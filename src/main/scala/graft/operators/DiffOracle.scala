@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.TableDef
+
+/** Generator for the DuckDB oracle SQL that mirrors [[SnapshotDiff]] step by
+  * step (normalize → full-outer join on `__key` → classify → emit changed
+  * rows). Written in the Spark-SQL/DuckDB common subset; the mutation SQL
+  * from [[Mutations]] is embedded verbatim so both engines diff identical
+  * snapshots.
+  */
+object DiffOracle {
+  private def norm(c: String): String = s"COALESCE(CAST($c AS VARCHAR), '<NULL>')"
+
+  /** Normalized-snapshot CTE body: stringify-all + NULL sentinel + `__key`
+    * (mirrors [[Normalize.withKey]]). */
+  def normalizedSelect(src: String, t: TableDef, pk: Seq[String]): String = {
+    val cols = t.cols.map(c => s"${norm(c)} AS $c").mkString(", ")
+    val key = s"concat(${pk.map(norm).mkString(", ")})"
+    s"SELECT $cols, $key AS __key FROM $src"
+  }
+
+  /** Named CTEs + final SELECT for one table's full diff. `prefix` namespaces
+    * the CTE names so several diffs can share one WITH clause. */
+  def diffParts(t: TableDef, afterSql: String, pk: Seq[String], prefix: String)
+      : (Seq[(String, String)], String) = {
+    val cols = t.cols
+    val p = prefix
+    val bSel = cols.map(c => s"b.$c AS b_$c").mkString(", ")
+    val aSel = cols.map(c => s"a.$c AS a_$c").mkString(", ")
+    val mods = "COALESCE(concat_ws(',', " +
+      cols.map(c => s"CASE WHEN b_$c <> a_$c THEN '$c' END").mkString(", ") + "), '')"
+    val bCols = cols.map(c => s"b_$c AS $c").mkString(", ")
+    val aCols = cols.map(c => s"a_$c AS $c").mkString(", ")
+    val head = "__key, diff_status, modified_columns"
+
+    val ctes = Seq(
+      s"${p}_before_n" -> normalizedSelect(t.name, t, pk),
+      s"${p}_after_raw" -> afterSql,
+      s"${p}_after_n" -> normalizedSelect(s"${p}_after_raw", t, pk),
+      s"${p}_j" ->
+        s"""SELECT COALESCE(b.__key, a.__key) AS __key,
+           |       (b.__key IS NOT NULL) AS in_b, (a.__key IS NOT NULL) AS in_a,
+           |       $bSel, $aSel
+           |FROM ${p}_before_n b FULL OUTER JOIN ${p}_after_n a ON b.__key = a.__key""".stripMargin,
+      s"${p}_cls" ->
+        s"""SELECT *,
+           |  CASE WHEN NOT in_b THEN 'INSERTED'
+           |       WHEN NOT in_a THEN 'DELETED'
+           |       WHEN mods = '' THEN 'NOT_MODIFIED'
+           |       ELSE 'UPDATED' END AS diff_status,
+           |  CASE WHEN in_b AND in_a AND mods <> '' THEN mods ELSE '' END AS modified_columns
+           |FROM (SELECT *, $mods AS mods FROM ${p}_j) ${p}_jm""".stripMargin,
+      s"${p}_out" ->
+        s"""SELECT $head, 'AFTER' AS side, $aCols FROM ${p}_cls WHERE diff_status = 'INSERTED'
+           |UNION ALL
+           |SELECT $head, 'BEFORE' AS side, $bCols FROM ${p}_cls WHERE diff_status = 'DELETED'
+           |UNION ALL
+           |SELECT $head, 'BEFORE' AS side, $bCols FROM ${p}_cls WHERE diff_status = 'UPDATED'
+           |UNION ALL
+           |SELECT $head, 'AFTER' AS side, $aCols FROM ${p}_cls WHERE diff_status = 'UPDATED'""".stripMargin
+    )
+    (ctes, s"SELECT * FROM ${p}_out")
+  }
+
+  private def withSql(ctes: Seq[(String, String)], select: String): String =
+    "WITH " + ctes.map { case (n, q) => s"$n AS (\n$q\n)" }.mkString(",\n") + "\n" + select
+
+  /** Complete oracle SQL for one table's diff. */
+  def diffSql(t: TableDef, afterSql: String, pk: Seq[String]): String = {
+    val (ctes, select) = diffParts(t, afterSql, pk, t.name + "_d")
+    withSql(ctes, select)
+  }
+
+  /** Oracle for diff(A, A) — empty result (property: diff is reflexive-empty). */
+  def identitySql(t: TableDef): String =
+    diffSql(t, s"SELECT * FROM ${t.name}", t.pk)
+
+  /** Oracle for the multi-table per-status change-count report. */
+  def reportSql(tables: Seq[(TableDef, String)]): String = {
+    val all = tables.map { case (t, afterSql) => (t, diffParts(t, afterSql, t.pk, t.name + "_d")) }
+    val ctes = all.flatMap(_._2._1)
+    val select = all.map { case (t, _) =>
+      s"""SELECT '${t.name}' AS table_name, diff_status, COUNT(DISTINCT __key) AS n_keys
+         |FROM ${t.name}_d_out GROUP BY table_name, diff_status""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    withSql(ctes, select)
+  }
+}

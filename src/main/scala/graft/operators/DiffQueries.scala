@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.{TableDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Harness registry for the snapshot-diff surface: one named query per
+  * reference operator (SURVEY.md §2), each paired with generated DuckDB
+  * oracle SQL in [[oracleSql]].
+  */
+object DiffQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Mutated "after" snapshot — executes the shared mutation SQL
+    * ([[Mutations]]) over a temp view of the before parquet. */
+  def after(spark: SparkSession, sfDir: String, t: TableDef): DataFrame = {
+    Tables.load(spark, sfDir, t.name).createOrReplaceTempView(t.name)
+    spark.sql(Mutations.afterSql(t.name))
+  }
+
+  private def diffQ(t: TableDef, pk: Seq[String]): Q = (spark, sfDir) => {
+    val before = Tables.load(spark, sfDir, t.name)
+    SnapshotDiff.diff(before, after(spark, sfDir, t), pk)
+  }
+
+  /** Flagship: composite-key diff of lineitem (SURVEY §7.2 step 1). */
+  def flagship(spark: SparkSession, sfDir: String): DataFrame =
+    diffQ(Tables.lineitem, Tables.lineitem.pk)(spark, sfDir)
+
+  val queries: Map[String, Q] = {
+    val perTable: Map[String, Q] = Tables.diffable.map { t =>
+      s"diff_${t.name}" -> diffQ(t, t.pk)
+    }.toMap
+
+    perTable ++ Map[String, Q](
+      // S5 fallback path: no PK → all columns form the key.
+      "diff_region_keyless" -> diffQ(Tables.region, Tables.region.cols),
+      // Property: diff(A, A) = ∅.
+      "diff_identity_nation" -> ((spark, sfDir) => {
+        val before = Tables.load(spark, sfDir, "nation")
+        SnapshotDiff.diff(before, Tables.load(spark, sfDir, "nation"), Tables.nation.pk)
+      }),
+      // Multi-table change report (A-series aggregates over J1 output).
+      "diff_report" -> ((spark, sfDir) => {
+        Tables.diffable.map { t =>
+          SnapshotDiff.report(diffQ(t, t.pk)(spark, sfDir))
+            .select(lit(t.name).as("table_name"), col("diff_status"), col("n_keys"))
+        }.reduce(_.unionByName(_))
+      }),
+      // P1+P2+P3 normalization exposed directly.
+      "snapshot_normalize_customer" -> ((spark, sfDir) =>
+        Normalize.withKey(Tables.load(spark, sfDir, "customer"), Tables.customer.pk)),
+      // S3/S4 catalog surface: static table+PK metadata.
+      "catalog_tables" -> ((spark, _) => {
+        import spark.implicits._
+        Tables.all.map(t => (t.name, t.pk.mkString(","), t.cols.length))
+          .toDF("table_name", "pk_columns", "n_columns")
+      }),
+      // A1/A2: global row counts per table (distributed count, no driver maps).
+      "catalog_counts" -> ((spark, sfDir) => {
+        Tables.all.map { t =>
+          Tables.load(spark, sfDir, t.name)
+            .agg(count(lit(1)).as("n_rows"))
+            .select(lit(t.name).as("table_name"), col("n_rows"))
+        }.reduce(_.unionByName(_))
+      })
+    )
+  }
+
+  val oracleSql: Map[String, String] = {
+    val perTable = Tables.diffable.map { t =>
+      s"diff_${t.name}" -> DiffOracle.diffSql(t, Mutations.afterSql(t.name), t.pk)
+    }.toMap
+
+    perTable ++ Map(
+      "diff_region_keyless" ->
+        DiffOracle.diffSql(Tables.region, Mutations.afterSql("region"), Tables.region.cols),
+      "diff_identity_nation" -> DiffOracle.identitySql(Tables.nation),
+      "diff_report" ->
+        DiffOracle.reportSql(Tables.diffable.map(t => t -> Mutations.afterSql(t.name))),
+      "snapshot_normalize_customer" ->
+        DiffOracle.normalizedSelect("customer", Tables.customer, Tables.customer.pk),
+      "catalog_tables" -> {
+        val rows = Tables.all
+          .map(t => s"('${t.name}', '${t.pk.mkString(",")}', ${t.cols.length})")
+          .mkString(", ")
+        s"SELECT * FROM (VALUES $rows) AS t(table_name, pk_columns, n_columns)"
+      },
+      "catalog_counts" -> Tables.all
+        .map(t => s"SELECT '${t.name}' AS table_name, COUNT(*) AS n_rows FROM ${t.name}")
+        .mkString("\nUNION ALL\n")
+    )
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+/** Deterministic "after"-snapshot synthesis for the diff harness.
+  *
+  * The reference diffs two live snapshots of a mutable database
+  * (`/root/reference/cmd/dbdiff/main.go:62-87`). The file-based harness has
+  * no mutable store, so the *after* snapshot is derived from the *before*
+  * parquet with deterministic key-mod mutations: deletes (`pk % m = 3`-ish),
+  * in-place column updates, and inserts with keys shifted far above the
+  * existing key range (so the separator-less key concat of
+  * `extract_data.go:154` cannot collide between old and new rows).
+  *
+  * Each mutation is ONE SQL string, deliberately written in the common
+  * subset of Spark SQL and DuckDB SQL: the engine executes it with
+  * `spark.sql` over a temp view and the DuckDB oracle embeds it verbatim as
+  * a CTE, so the two snapshots being diffed are identical by construction
+  * and cannot drift.
+  */
+object Mutations {
+  val afterSql: Map[String, String] = Map(
+    "region" ->
+      """SELECT r_regionkey,
+        |       CASE WHEN r_regionkey % 5 = 1 THEN concat(r_name, '_v2') ELSE r_name END AS r_name
+        |FROM region
+        |WHERE r_regionkey % 5 <> 3
+        |UNION ALL
+        |SELECT r_regionkey + 1000 AS r_regionkey, concat('NEW_', r_name) AS r_name
+        |FROM region
+        |WHERE r_regionkey % 5 = 0""".stripMargin,
+    "nation" ->
+      """SELECT n_nationkey,
+        |       CASE WHEN n_nationkey % 7 = 1 THEN concat(n_name, '_x') ELSE n_name END AS n_name,
+        |       CASE WHEN n_nationkey % 7 = 1 THEN n_regionkey + 1 ELSE n_regionkey END AS n_regionkey
+        |FROM nation
+        |WHERE n_nationkey % 7 <> 3
+        |UNION ALL
+        |SELECT n_nationkey + 1000 AS n_nationkey, concat('NEW_', n_name) AS n_name, n_regionkey
+        |FROM nation
+        |WHERE n_nationkey % 7 = 0""".stripMargin,
+    "customer" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |       CASE WHEN c_custkey % 10 = 4 THEN c_acctbal + 100.5 ELSE c_acctbal END AS c_acctbal,
+        |       CASE WHEN c_custkey % 10 = 4 THEN 'MODSEG' ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer
+        |WHERE c_custkey % 10 <> 3
+        |UNION ALL
+        |SELECT c_custkey + 1000000 AS c_custkey, concat('NEW_', c_name) AS c_name,
+        |       c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer
+        |WHERE c_custkey % 10 = 5""".stripMargin,
+    "supplier" ->
+      """SELECT s_suppkey, s_name, s_nationkey,
+        |       CASE WHEN s_suppkey % 5 = 1 THEN s_acctbal + 0.25 ELSE s_acctbal END AS s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey % 5 <> 3
+        |UNION ALL
+        |SELECT s_suppkey + 1000 AS s_suppkey, concat('NEW_', s_name) AS s_name, s_nationkey, s_acctbal
+        |FROM supplier
+        |WHERE s_suppkey % 5 = 0""".stripMargin,
+    "part" ->
+      """SELECT p_partkey, p_name, p_brand, p_type,
+        |       CASE WHEN p_partkey % 10 = 4 THEN p_size + 1 ELSE p_size END AS p_size,
+        |       CASE WHEN p_partkey % 10 = 4 THEN p_retailprice + 10.5 ELSE p_retailprice END AS p_retailprice
+        |FROM part
+        |WHERE p_partkey % 10 <> 3
+        |UNION ALL
+        |SELECT p_partkey + 100000 AS p_partkey, concat('NEW_', p_name) AS p_name,
+        |       p_brand, p_type, p_size, p_retailprice
+        |FROM part
+        |WHERE p_partkey % 10 = 5""".stripMargin,
+    "orders" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CASE WHEN o_orderkey % 10 = 4 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        |       CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice + 0.25 ELSE o_totalprice END AS o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey % 10 <> 3
+        |UNION ALL
+        |SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |       o_orderdate, o_orderpriority
+        |FROM orders
+        |WHERE o_orderkey % 10 = 5""".stripMargin,
+    "lineitem" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |       CASE WHEN l_orderkey % 10 = 4 THEN l_quantity + 1 ELSE l_quantity END AS l_quantity,
+        |       l_extendedprice, l_discount, l_tax,
+        |       CASE WHEN l_orderkey % 10 = 4 THEN concat(l_returnflag, 'U') ELSE l_returnflag END AS l_returnflag,
+        |       l_linestatus, l_shipdate
+        |FROM lineitem
+        |WHERE l_orderkey % 10 <> 3
+        |UNION ALL
+        |SELECT l_orderkey + 100000000 AS l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |       l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        |FROM lineitem
+        |WHERE l_orderkey % 10 = 5 AND l_linenumber = 1""".stripMargin
+  )
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The engine's core operator: keyed snapshot diff.
+  *
+  * Reference semantics (`/root/reference/extract_data.go:196-246`,
+  * `ExtractChangedData`): probe the *after* snapshot with every *before* key
+  * — key missing from after → DELETED; present and all columns equal →
+  * NOT_MODIFIED; present and unequal → UPDATED (both rows emitted, before
+  * then after, with the exact set of modified columns recorded on both,
+  * `extract_data.go:161-184`); keys only in after → INSERTED. Only
+  * changed rows reach the report (`extract_data.go:216,226-239`).
+  *
+  * The reference implements this as a single-threaded driver-side hash join
+  * over two fully heap-materialized Go maps — its scale ceiling is driver
+  * RAM. Here the same semantics are one declarative full-outer join on the
+  * derived `__key`, so Catalyst/AQE pick the physical strategy (sort-merge
+  * with both sides shuffled by key; broadcast-hash when one snapshot is
+  * small) and nothing ever materializes on the driver. At 100 TB: both
+  * snapshots shuffle-partition by `__key` hash — one shuffle each, no
+  * driver state, and if the lake bucket-stores snapshots by the same key the
+  * shuffle disappears entirely. Per-column comparison is a flat `when/
+  * concat_ws` expression tree that stays in whole-stage codegen.
+  *
+  * Output schema: `__key, diff_status, modified_columns, side, <data cols
+  * stringified>`. `modified_columns` is a comma-joined list in column order
+  * (empty for non-UPDATED rows); `side` is BEFORE/AFTER; NOT_MODIFIED rows
+  * are filtered out (reference F3).
+  */
+object SnapshotDiff {
+  val Inserted = "INSERTED"
+  val Deleted = "DELETED"
+  val Updated = "UPDATED"
+  val NotModified = "NOT_MODIFIED"
+
+  /** Full diff. `before`/`after` must share the same schema (the harness
+    * always diffs two snapshots of one table; the reference's column-count-
+    * mismatch branch, `extract_data.go:162-171`, is degenerate here).
+    * `pk` empty is disallowed — PK-less tables pass all columns (S5). */
+  def diff(before: DataFrame, after: DataFrame, pk: Seq[String]): DataFrame = {
+    val cols = before.columns.toIndexedSeq
+    val b = Normalize.withKey(before, pk)
+      .select(col(Normalize.KeyCol) +: cols.map(c => col(c).as(s"__b_$c")): _*)
+    val a = Normalize.withKey(after, pk)
+      .select(col(Normalize.KeyCol) +: cols.map(c => col(c).as(s"__a_$c")): _*)
+
+    val j = b.join(a, Seq(Normalize.KeyCol), "full_outer")
+
+    // Normalized values are never null, so any null side-column ⇔ the key
+    // is absent from that snapshot (the join's null-extension).
+    val inB = col(s"__b_${cols.head}").isNotNull
+    val inA = col(s"__a_${cols.head}").isNotNull
+
+    // F1: positional string comparison; comma-joined names of differing
+    // columns, in column order (ModifiedColumnIndex, extract_data.go:174-183).
+    val modList = concat_ws(",",
+      cols.map(c => when(col(s"__b_$c") =!= col(s"__a_$c"), lit(c))): _*)
+
+    // F2: 5-state classification from the join's null pattern.
+    val status = when(!inB, Inserted)
+      .when(!inA, Deleted)
+      .when(modList === "", NotModified)
+      .otherwise(Updated)
+
+    val modified = when(status === Updated, modList).otherwise(lit(""))
+
+    def sideStruct(side: String, prefix: String): Column =
+      struct(lit(side).as("side") +: cols.map(c => col(s"$prefix$c").as(c)): _*)
+    val bRow = sideStruct("BEFORE", "__b_")
+    val aRow = sideStruct("AFTER", "__a_")
+
+    // Single-pass emission: UPDATED explodes into its before+after pair
+    // (reference emits before first, extract_data.go:226-228 — order is
+    // carried by `side`); NOT_MODIFIED explodes to zero rows (F3 filter).
+    val rows = when(status === Inserted, array(aRow))
+      .when(status === Deleted, array(bRow))
+      .when(status === Updated, array(bRow, aRow))
+      .otherwise(array())
+
+    j.select(
+        col(Normalize.KeyCol),
+        status.as("diff_status"),
+        modified.as("modified_columns"),
+        explode(rows).as("__r"))
+      .select(
+        Seq(col(Normalize.KeyCol), col("diff_status"), col("modified_columns"),
+          col("__r.side").as("side")) ++ cols.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
+  /** Report aggregate: per-status logical change counts for one table's
+    * diff (UPDATED emits two physical rows per key — count keys once). */
+  def report(diffed: DataFrame): DataFrame =
+    diffed.groupBy(col("diff_status"))
+      .agg(countDistinct(col(Normalize.KeyCol)).as("n_keys"))
+}
