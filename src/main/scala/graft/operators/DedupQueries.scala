@@ -1,0 +1,262 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Hashing
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact (hash-group),
+  * MinHash+LSH (shingle → 16 minhashes → 4 banded buckets → candidate
+  * pairs → exact-Jaccard verification), SimHash (60-bit signatures +
+  * banded Hamming-neighbor pairs), and probe-based n-gram Jaccard.
+  *
+  * The fixture corpus has no duplicates, so each query first extends
+  * `documents` with deterministic synthetic duplicates (exact copies and
+  * appended-tail near-copies) via shared Spark/DuckDB SQL — mirroring how
+  * the diff harness synthesizes its "after" snapshots.
+  *
+  * Scale design (100 TB): everything is shingle/token explosion (linear,
+  * map-side) followed by per-doc aggregation (one shuffle on doc_id) and a
+  * bucket self-join whose fan-out is bounded by band-bucket sizes — never
+  * an all-pairs comparison. Candidate verification joins only the
+  * candidate set. Hashes are md5-derived for oracle parity ([[Hashing]]);
+  * at scale swap to xxhash64 with identical structure.
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val NumHashes = 16
+  val NumBands = 4
+  val RowsPerBand: Int = NumHashes / NumBands
+
+  /** Shared corpus: documents + exact dups (+100000) + near-dups with an
+    * appended tail (+200000), for doc_id % 50 = 0. */
+  val corpusSql: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+      |UNION ALL
+      |SELECT doc_id + 200000 AS doc_id, concat(text, ' zz yy xx ww vv') AS text
+      |FROM documents WHERE doc_id % 50 = 0""".stripMargin
+
+  def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.load(spark, sfDir, "documents").createOrReplaceTempView("documents")
+    spark.sql(corpusSql)
+  }
+
+  /** Distinct 3-word shingles per document (docs with <3 tokens drop out). */
+  def shingles(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("__toks", Hashing.tokens(col("text")))
+      .filter(size(col("__toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(__toks) - 3), " +
+          "i -> concat_ws(' ', __toks[i], __toks[i+1], __toks[i+2]))")).as("shingle"))
+      .distinct()
+
+  /** 16 md5-derived minhashes per doc, computed as 16 min-aggregates over
+    * one shingle explosion (no per-hash re-explosion). */
+  def minhashSigs(sh: DataFrame): DataFrame = {
+    val mins = (0 until NumHashes).map(j =>
+      min(Hashing.hash64(concat(col("shingle"), lit(s"#$j")))).as(s"m$j"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** (doc_id, band, bkey) — one row per LSH band. */
+  def bands(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until NumBands).map { b =>
+      val key = concat_ws("|",
+        (0 until RowsPerBand).map(k => col(s"m${RowsPerBand * b + k}").cast("string")): _*)
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("__b"))
+      .select(col("doc_id"), col("__b.band").as("band"), col("__b.bkey").as("bkey"))
+  }
+
+  /** Exact Jaccard for a candidate-pair set via shingle-set intersection. */
+  def jaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val sa = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val sb = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = cand
+      .join(sa, "doc_a").join(sb, Seq("doc_b", "shingle"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 60-bit SimHash signatures from the token multiset. */
+  def simhashSigs(corpus: DataFrame): DataFrame = {
+    val tok = corpus
+      .withColumn("__toks", Hashing.tokens(col("text")))
+      .select(col("doc_id"), explode(col("__toks")).as("token"))
+      .withColumn("h", Hashing.hash64(col("token")))
+    val bitSums = (0 until 60).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val sums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 60)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("text"))
+      corpus(spark, sfDir)
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .withColumn("n_copies", count(lit(1)).over(w))
+        .select(col("doc_id"), col("canonical_id"), col("n_copies"),
+          (col("doc_id") =!= col("canonical_id")).as("is_dup"))
+    }),
+    "dedup_minhash_lsh" -> ((spark, sfDir) => {
+      val sh = shingles(corpus(spark, sfDir))
+      val bb = bands(minhashSigs(sh))
+      val a = bb.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+      val b = bb.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+      val cand = a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      jaccard(cand, sh, 0.4)
+    }),
+    "dedup_simhash" -> ((spark, sfDir) =>
+      simhashSigs(corpus(spark, sfDir))),
+    "dedup_simhash_pairs" -> ((spark, sfDir) => {
+      val sigs = simhashSigs(corpus(spark, sfDir))
+      val chunks = sigs.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftright(col("simhash"), 15 * c).bitwiseAND(32767).as("ckey"))): _*)).as("__c"))
+        .select(col("doc_id"), col("simhash"),
+          col("__c.chunk").as("chunk"), col("__c.ckey").as("ckey"))
+      val a = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+        col("chunk"), col("ckey"))
+      val b = chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+        col("chunk"), col("ckey"))
+      a.join(b, Seq("chunk", "ckey")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+    }),
+    "dedup_ngram_jaccard" -> ((spark, sfDir) => {
+      val sh = shingles(corpus(spark, sfDir))
+      val probes = sh.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("doc_a"), col("shingle"))
+      val others = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+      val cand = probes.join(others, "shingle")
+        .filter(col("doc_a") =!= col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      jaccard(cand, sh, 0.2)
+    })
+  )
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  private val toksE = Hashing.tokensSql("text")
+
+  private def corpusCtes: Seq[(String, String)] = Seq(
+    "corpus" -> corpusSql,
+    "shing" ->
+      s"""SELECT DISTINCT doc_id, unnest(list_transform(
+         |    range(0, greatest(len(toks) - 2, 0)),
+         |    i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingle
+         |FROM (SELECT doc_id, $toksE AS toks FROM corpus) t""".stripMargin
+  )
+
+  private def sigsCte: (String, String) = {
+    val mins = (0 until NumHashes)
+      .map(j => s"MIN(${Hashing.hash64Sql(s"shingle || '#$j'")}) AS m$j")
+      .mkString(",\n  ")
+    "sigs" -> s"SELECT doc_id,\n  $mins\nFROM shing GROUP BY doc_id"
+  }
+
+  private def bandsCte: (String, String) = {
+    val selects = (0 until NumBands).map { b =>
+      val key = (0 until RowsPerBand).map(k => s"m${RowsPerBand * b + k}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws('|', $key) AS bkey FROM sigs"
+    }
+    "bands" -> selects.mkString("\nUNION ALL\n")
+  }
+
+  private val jaccardSql: String =
+    """SELECT * FROM (
+      |  SELECT i.doc_a, i.doc_b,
+      |         CAST(i.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_common) AS jaccard
+      |  FROM inter i
+      |  JOIN counts ca ON ca.doc_id = i.doc_a
+      |  JOIN counts cb ON cb.doc_id = i.doc_b) j
+      |""".stripMargin
+
+  private def simhashCtes: Seq[(String, String)] = {
+    val bitSums = (0 until 60)
+      .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n  ")
+    val sig = (0 until 60)
+      .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    Seq(
+      "tok" -> s"SELECT doc_id, unnest($toksE) AS token FROM corpus",
+      "th" -> s"SELECT doc_id, ${Hashing.hash64Sql("token")} AS h FROM tok",
+      "sums" -> s"SELECT doc_id,\n  $bitSums\nFROM th GROUP BY doc_id",
+      "simsigs" -> s"SELECT doc_id, CAST($sig AS BIGINT) AS simhash FROM sums"
+    )
+  }
+
+  private def withSql(ctes: Seq[(String, String)], select: String): String =
+    "WITH " + ctes.map { case (n, q) => s"$n AS (\n$q\n)" }.mkString(",\n") + "\n" + select
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" -> withSql(Seq("corpus" -> corpusSql),
+      """SELECT doc_id,
+        |  MIN(doc_id) OVER (PARTITION BY text) AS canonical_id,
+        |  COUNT(*) OVER (PARTITION BY text) AS n_copies,
+        |  doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_dup
+        |FROM corpus""".stripMargin),
+    "dedup_minhash_lsh" -> withSql(
+      corpusCtes ++ Seq(sigsCte, bandsCte) ++ Seq(
+        "cand" ->
+          """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            |FROM bands a JOIN bands b
+            |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin,
+        "counts" -> "SELECT doc_id, COUNT(*) AS n_sh FROM shing GROUP BY doc_id",
+        "inter" ->
+          """SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+            |FROM cand c
+            |JOIN shing sa ON sa.doc_id = c.doc_a
+            |JOIN shing sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+            |GROUP BY c.doc_a, c.doc_b""".stripMargin),
+      jaccardSql + "WHERE jaccard >= 0.4"),
+    "dedup_simhash" -> withSql(Seq("corpus" -> corpusSql) ++ simhashCtes,
+      "SELECT doc_id, simhash FROM simsigs"),
+    "dedup_simhash_pairs" -> withSql(Seq("corpus" -> corpusSql) ++ simhashCtes ++ Seq(
+      "chunks" -> (0 until 4).map(c =>
+        s"SELECT doc_id, simhash, $c AS chunk, (simhash >> ${15 * c}) & 32767 AS ckey FROM simsigs")
+        .mkString("\nUNION ALL\n")),
+      """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM chunks a JOIN chunks b
+        |  ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
+    "dedup_ngram_jaccard" -> withSql(
+      corpusCtes ++ Seq(
+        "cand" ->
+          """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            |FROM shing a JOIN shing b
+            |  ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+            |WHERE a.doc_id % 100 = 0""".stripMargin,
+        "counts" -> "SELECT doc_id, COUNT(*) AS n_sh FROM shing GROUP BY doc_id",
+        "inter" ->
+          """SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+            |FROM cand c
+            |JOIN shing sa ON sa.doc_id = c.doc_a
+            |JOIN shing sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+            |GROUP BY c.doc_a, c.doc_b""".stripMargin),
+      jaccardSql + "WHERE jaccard >= 0.2")
+  )
+}

@@ -1,0 +1,230 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General relational query surface: aggregation, multi-way joins (broadcast
+  * dims), windows, top-k, set ops, semi/anti joins, rollup/cube, and a
+  * shared-text `spark.sql` passthrough.
+  *
+  * The reference pushes every analytical query to the source RDBMS as a SQL
+  * template (SURVEY §2.3 J2, §2.4 F4) — this module is the engine-native
+  * replacement a user of the reference would run instead.
+  *
+  * Determinism across engines (the DuckDB oracle hash-compares values):
+  * every floating-point aggregate is computed over `DECIMAL(38,4|6)` casts
+  * — decimal addition is exact and order-independent, so Spark's partial
+  * (map-side) aggregation and DuckDB's single-node sum agree bit-for-bit;
+  * the final value is cast to double once (deterministic). Window/top-k
+  * orderings always carry a unique key tiebreaker.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec4(c: Column): Column = c.cast("decimal(38,4)")
+  private def dec6(c: Column): Column = c.cast("decimal(38,6)")
+
+  /** TPC-H Q1-style pricing summary: hash aggregate with map-side combine. */
+  private def q1(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec4(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec4(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double")
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q3-style: 3-way join, grouped revenue, top-10. customer is small
+    * → Catalyst broadcasts it; lineitem⋈orders shuffles on the order key. */
+  private def q3(spark: SparkSession, sfDir: String): DataFrame = {
+    val c = Tables.load(spark, sfDir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+    val l = Tables.load(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") > lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+    broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double")
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: 6-way join with broadcast dimension chain. */
+  private def q5(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = Tables.load(spark, sfDir, "region").filter(col("r_name") === "ASIA")
+    val n = Tables.load(spark, sfDir, "nation")
+    val c = Tables.load(spark, sfDir, "customer")
+    val o = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      .filter(col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+    val l = Tables.load(spark, sfDir, "lineitem")
+    val s = Tables.load(spark, sfDir, "supplier")
+    // dims (region⋈nation⋈supplier) stay broadcast; facts shuffle once each.
+    broadcast(r.join(n, col("r_regionkey") === col("n_regionkey")))
+      .join(c, col("n_nationkey") === col("c_nationkey"))
+      .join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(s),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double")
+        .as("revenue"))
+  }
+
+  /** Shared-text SQL passthrough (TPC-H Q6-style): the engine's `spark.sql`
+    * surface; the oracle runs the identical text. */
+  val q6Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> (q1 _),
+    "q3_topk_revenue" -> (q3 _),
+    "q5_region_volume" -> (q5 _),
+    "q6_sql_passthrough" -> ((spark, sfDir) => {
+      Tables.load(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+      spark.sql(q6Sql)
+    }),
+    "q_window_topn" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.load(spark, sfDir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    }),
+    "q_window_running" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(spark, sfDir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          sum(dec4(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+    }),
+    "q_semi_join" -> ((spark, sfDir) => {
+      val o = Tables.load(spark, sfDir, "orders").filter(col("o_orderstatus") === "F")
+      Tables.load(spark, sfDir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q_anti_join" -> ((spark, sfDir) => {
+      val o = Tables.load(spark, sfDir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      Tables.load(spark, sfDir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+    "q_except" -> ((spark, sfDir) => {
+      val a = Tables.load(spark, sfDir, "customer")
+        .filter(col("c_acctbal") > 5000).select(col("c_custkey").as("custkey"))
+      val b = Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("custkey"))
+      a.except(b)
+    }),
+    "q_intersect" -> ((spark, sfDir) => {
+      val a = Tables.load(spark, sfDir, "customer")
+        .filter(col("c_acctbal") > 5000).select(col("c_custkey").as("custkey"))
+      val b = Tables.load(spark, sfDir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("custkey"))
+      a.intersect(b)
+    }),
+    "q_distinct_agg" -> ((spark, sfDir) =>
+      Tables.load(spark, sfDir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs"), count(lit(1)).as("n_orders"))),
+    "q_rollup" -> ((spark, sfDir) =>
+      Tables.load(spark, sfDir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec4(col("o_totalprice"))).cast("double").as("total"))),
+    "q_cube" -> ((spark, sfDir) =>
+      Tables.load(spark, sfDir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec4(col("l_quantity"))).cast("double").as("sum_qty")))
+  )
+
+  private val decSum4 = (c: String) => s"CAST(SUM(CAST($c AS DECIMAL(38,4))) AS DOUBLE)"
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${decSum4("l_quantity")} AS sum_qty,
+         |  ${decSum4("l_extendedprice")} AS sum_base_price,
+         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+         |  COUNT(*) AS count_order
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk_revenue" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_region_volume" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |            JOIN customer ON n_nationkey = c_nationkey
+        |            JOIN orders ON c_custkey = o_custkey
+        |            JOIN lineitem ON o_orderkey = l_orderkey
+        |            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
+    "q6_sql_passthrough" -> q6Sql,
+    "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn <= 3""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q_except" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "q_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_rollup" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+         |  ${decSum4("o_totalprice")} AS total
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""".stripMargin,
+    "q_cube" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |  ${decSum4("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+  )
+}

@@ -1,0 +1,165 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.{Hashing, QuantizedVec}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`array<float>`, 64-dim).
+  *
+  * Two paths, as a 100 TB design requires:
+  *   - `ann_cosine_topk`: brute-force cosine top-k for a probe set — the
+  *     exact baseline. The probe side is broadcast; scoring is one
+  *     codegen'd [[QuantizedVec.QuantizedDot]] per (probe, vector) pair
+  *     with no shuffle until the final per-probe top-k.
+  *   - `ann_lsh_near_dup`: random-hyperplane LSH — 16 sign bits per vector
+  *     (md5-derived ±1 planes, shared with the oracle) bucket the corpus;
+  *     only same-bucket pairs are verified. Collision probability for
+  *     unrelated vectors is ~2^-16, so candidate fan-out stays linear.
+  *
+  * All scores derive from integer-quantized arithmetic (see
+  * [[QuantizedVec]]) so Spark and DuckDB agree bit-for-bit.
+  */
+object SimilarityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val NumPlanes = 16
+  val Dim = 64
+  val TopK = 10
+
+  /** Synthetic near-dup corpus for the LSH query (embeddings has no dups). */
+  val vecCorpusSql: String =
+    """SELECT vec_id, embedding FROM embeddings
+      |UNION ALL
+      |SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0""".stripMargin
+
+  /** ±1 plane matrix derived from md5 parity — computed in Scala with the
+    * same md5-derived hash as [[Hashing.hash64Sql]] so the oracle's planes
+    * are identical. */
+  def planeRows: Seq[(Int, Int, Int)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (p <- 0 until NumPlanes; d <- 0 until Dim) yield {
+      md.reset()
+      val hex = md.digest(s"plane:$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val h = java.lang.Long.parseLong(hex.take(15), 16)
+      (p, d, if (h % 2 == 1) 1 else -1)
+    }
+  }
+
+  private def normed(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), col("embedding"),
+      QuantizedVec.qnormsq(col("embedding")).as("nsq"))
+
+  val queries: Map[String, Q] = Map(
+    "ann_cosine_topk" -> ((spark, sfDir) => {
+      val emb = normed(Tables.load(spark, sfDir, "embeddings"))
+      val probes = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+          col("nsq").as("p_nsq"))
+      val scored = broadcast(probes).join(emb, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          QuantizedVec.qcosine(col("p_emb"), col("embedding"),
+            col("p_nsq"), col("nsq")).as("cos"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+    }),
+    "ann_lsh_near_dup" -> ((spark, sfDir) => {
+      import spark.implicits._
+      Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("embeddings")
+      val corpus = spark.sql(vecCorpusSql)
+      val planes = planeRows.toDF("p", "d", "s")
+      // quantized components, joined with the broadcast plane matrix
+      val qn = corpus.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+        .select(col("vec_id"), col("d"),
+          floor(col("v").cast("double") * QuantizedVec.DefaultScale + 0.5).cast("long").as("qv"))
+      val planeSums = qn.join(broadcast(planes), "d")
+        .groupBy(col("vec_id"), col("p"))
+        .agg(sum(col("s") * col("qv")).as("psum"))
+      val sigs = planeSums.groupBy(col("vec_id"))
+        .agg(sum(when(col("psum") > 0,
+          expr("shiftleft(cast(1 as bigint), cast(p as int))")).otherwise(0L)).as("sig"))
+      val a = sigs.select(col("vec_id").as("vec_a"), col("sig"))
+      val b = sigs.select(col("vec_id").as("vec_b"), col("sig"))
+      val cand = a.join(b, "sig").filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"))
+      val n = normed(corpus)
+      cand
+        .join(n.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+          col("nsq").as("nsq_a")), "vec_a")
+        .join(n.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+          col("nsq").as("nsq_b")), "vec_b")
+        .select(col("vec_a"), col("vec_b"),
+          QuantizedVec.qcosine(col("emb_a"), col("emb_b"),
+            col("nsq_a"), col("nsq_b")).as("cos"))
+        .filter(col("cos") >= 0.95)
+    })
+  )
+
+  // ---- oracle SQL ----------------------------------------------------
+
+  private val qv = QuantizedVec.quantizeSql("CAST(embedding[i] AS DOUBLE)")
+
+  private val qnCte: (String, String) =
+    "qn" ->
+      s"""SELECT vec_id, i - 1 AS d, $qv AS qv
+         |FROM corpus, range(1, ${Dim + 1}) r(i)""".stripMargin
+
+  private val normsCte: (String, String) =
+    "norms" -> "SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS nsq FROM qn GROUP BY vec_id"
+
+  val oracleSql: Map[String, String] = Map(
+    "ann_cosine_topk" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+         |${qnCte._1} AS (${qnCte._2}),
+         |${normsCte._1} AS (${normsCte._2}),
+         |dots AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         |         CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
+         |  FROM qn a JOIN qn b ON a.d = b.d AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 100 = 0
+         |  GROUP BY a.vec_id, b.vec_id),
+         |scored AS (
+         |  SELECT probe_id, neighbor_id,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
+         |  FROM dots JOIN norms na ON na.vec_id = probe_id
+         |            JOIN norms nb ON nb.vec_id = neighbor_id)
+         |SELECT probe_id, neighbor_id, cos, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                               ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) t WHERE rank <= $TopK""".stripMargin,
+    "ann_lsh_near_dup" ->
+      s"""WITH corpus AS (
+         |$vecCorpusSql
+         |),
+         |${qnCte._1} AS (${qnCte._2}),
+         |${normsCte._1} AS (${normsCte._2}),
+         |planes AS (
+         |  SELECT p, d, CASE WHEN ${Hashing.hash64Sql("'plane:' || p || ':' || d")} % 2 = 1
+         |               THEN 1 ELSE -1 END AS s
+         |  FROM range(0, $NumPlanes) rp(p), range(0, $Dim) rd(d)),
+         |psums AS (
+         |  SELECT qn.vec_id, planes.p, CAST(SUM(planes.s * qn.qv) AS BIGINT) AS psum
+         |  FROM qn JOIN planes ON planes.d = qn.d
+         |  GROUP BY qn.vec_id, planes.p),
+         |sigs AS (
+         |  SELECT vec_id, CAST(SUM(CASE WHEN psum > 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS sig
+         |  FROM psums GROUP BY vec_id),
+         |cand AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id),
+         |pdots AS (
+         |  SELECT c.vec_a, c.vec_b, CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
+         |  FROM cand c JOIN qn qa ON qa.vec_id = c.vec_a
+         |              JOIN qn qb ON qb.vec_id = c.vec_b AND qb.d = qa.d
+         |  GROUP BY c.vec_a, c.vec_b)
+         |SELECT vec_a, vec_b, cos FROM (
+         |  SELECT p.vec_a, p.vec_b,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
+         |  FROM pdots p JOIN norms na ON na.vec_id = p.vec_a
+         |               JOIN norms nb ON nb.vec_id = p.vec_b) t
+         |WHERE cos >= 0.95""".stripMargin
+  )
+}

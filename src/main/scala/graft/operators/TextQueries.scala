@@ -1,0 +1,148 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language identification (marker-word heuristic), and
+  * content fingerprinting — the per-document scoring stages of a training-
+  * data pipeline. All are narrow per-row projections (no shuffle): at
+  * 100 TB they scale linearly and stay inside whole-stage codegen.
+  *
+  * Determinism: every score is derived from exact integer counts (token
+  * counts, lengths, marker hits) with at most one final double division.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Marker words per language for the lang-ID heuristic. Precedence order
+    * (en, de, fr, es) breaks ties deterministically. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "es" -> Seq("el", "los", "las", "que", "es"))
+
+  private def markerHits(toks: Column, words: Seq[String]): Column = {
+    val pred = (t: Column) => words.map(w => t === w).reduce(_ || _)
+    size(filter(toks, pred))
+  }
+
+  private def markerHitsSql(toksE: String, words: Seq[String]): String = {
+    val pred = words.map(w => s"t = '$w'").mkString(" OR ")
+    s"len(list_filter($toksE, t -> $pred))"
+  }
+
+  /** BPE-ish subword tokenization regex: letter runs, digit runs, or single
+    * non-alphanumeric glyphs. Simple enough to behave identically in Java
+    * and RE2 regex engines. */
+  val SubwordPattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+
+  val queries: Map[String, Q] = Map(
+    "text_stats" -> ((spark, sfDir) => {
+      val toks = Hashing.tokens(col("text"))
+      Tables.load(spark, sfDir, "documents")
+        .withColumn("__toks", toks)
+        .select(
+          col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("__toks"))).cast("long").as("n_uniq_tokens"),
+          aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t)).as("sum_token_len"),
+          size(expr(s"regexp_extract_all(lower(text), '$SubwordPattern', 0)")).cast("long")
+            .as("n_subword_tokens"))
+    }),
+    "text_quality" -> ((spark, sfDir) => {
+      val toks = Hashing.tokens(col("text"))
+      val d = Tables.load(spark, sfDir, "documents")
+        .withColumn("__toks", toks)
+        .withColumn("__n", size(col("__toks")))
+        .withColumn("__stop", markerHits(col("__toks"), Stopwords))
+        .withColumn("__uniq", size(array_distinct(col("__toks"))))
+      d.select(
+          col("doc_id"),
+          col("__n").cast("long").as("n_tokens"),
+          col("__stop").cast("long").as("n_stopwords"),
+          // each component is int/int once → deterministic doubles
+          (col("__stop").cast("double") / col("__n")).as("stop_ratio"),
+          (col("__uniq").cast("double") / col("__n")).as("uniq_ratio"),
+          (least(length(col("text")), lit(400)).cast("double") / lit(400.0)).as("len_score"))
+        .withColumn("quality_ok",
+          col("stop_ratio") >= 0.02 && col("uniq_ratio") >= 0.1 && col("len_score") >= 0.2)
+    }),
+    "text_langid" -> ((spark, sfDir) => {
+      val d = Tables.load(spark, sfDir, "documents")
+        .withColumn("__toks", Hashing.tokens(col("text")))
+      val scored = LangMarkers.foldLeft(d) { case (df, (lang, words)) =>
+        df.withColumn(s"score_$lang", markerHits(col("__toks"), words))
+      }
+      // argmax with fixed precedence en > de > fr > es
+      val best = LangMarkers.map(_._1).foldRight(lit("und")) { (lang, rest) =>
+        val isMax = LangMarkers.map(_._1).filter(_ != lang)
+          .map(o => col(s"score_$lang") >= col(s"score_$o")).reduce(_ && _)
+        when(col(s"score_$lang") > 0 && isMax, lit(lang)).otherwise(rest)
+      }
+      scored.select(col("doc_id") +:
+        LangMarkers.map { case (l, _) => col(s"score_$l").cast("long").as(s"score_$l") } :+
+        best.as("detected_lang"): _*)
+    }),
+    "text_fingerprint" -> ((spark, sfDir) => {
+      val normed = regexp_replace(lower(col("text")), " +", " ")
+      Tables.load(spark, sfDir, "documents")
+        .select(
+          col("doc_id"),
+          md5(normed).as("fp_md5"),
+          Hashing.hash64(normed).as("fp_hash64"))
+    })
+  )
+
+  private val toksE = Hashing.tokensSql("text")
+
+  val oracleSql: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |  length(text) AS n_chars,
+         |  len($toksE) AS n_tokens,
+         |  len(list_distinct($toksE)) AS n_uniq_tokens,
+         |  CAST(list_sum(list_transform($toksE, t -> length(t))) AS BIGINT) AS sum_token_len,
+         |  len(regexp_extract_all(lower(text), '$SubwordPattern', 0)) AS n_subword_tokens
+         |FROM documents""".stripMargin,
+    "text_quality" ->
+      s"""SELECT doc_id, n_tokens, n_stopwords,
+         |  CAST(n_stopwords AS DOUBLE) / n_tokens AS stop_ratio,
+         |  CAST(n_uniq AS DOUBLE) / n_tokens AS uniq_ratio,
+         |  CAST(least(n_chars, 400) AS DOUBLE) / 400.0 AS len_score,
+         |  (CAST(n_stopwords AS DOUBLE) / n_tokens >= 0.02
+         |    AND CAST(n_uniq AS DOUBLE) / n_tokens >= 0.1
+         |    AND CAST(least(n_chars, 400) AS DOUBLE) / 400.0 >= 0.2) AS quality_ok
+         |FROM (
+         |  SELECT doc_id, length(text) AS n_chars, len($toksE) AS n_tokens,
+         |         ${markerHitsSql(toksE, Stopwords)} AS n_stopwords,
+         |         len(list_distinct($toksE)) AS n_uniq
+         |  FROM documents) t""".stripMargin,
+    "text_langid" -> {
+      val scores = LangMarkers
+        .map { case (l, ws) => s"${markerHitsSql(toksE, ws)} AS score_$l" }
+        .mkString(",\n  ")
+      val langs = LangMarkers.map(_._1)
+      val best = langs.foldRight("'und'") { (lang, rest) =>
+        val isMax = langs.filter(_ != lang).map(o => s"score_$lang >= score_$o").mkString(" AND ")
+        s"CASE WHEN score_$lang > 0 AND $isMax THEN '$lang' ELSE $rest END"
+      }
+      s"""SELECT doc_id, ${langs.map(l => s"score_$l").mkString(", ")},
+         |  $best AS detected_lang
+         |FROM (SELECT doc_id,
+         |  $scores
+         |FROM documents) t""".stripMargin
+    },
+    "text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp_md5,
+         |  ${Hashing.hash64Sql("regexp_replace(lower(text), ' +', ' ', 'g')")} AS fp_hash64
+         |FROM documents""".stripMargin
+  )
+}

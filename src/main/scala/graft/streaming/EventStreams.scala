@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the event-pipeline operators.
+  *
+  * The reference's interactive before/after loop is a manually-triggered
+  * micro-batch over mutable external state (SURVEY §2.9); its idiomatic
+  * scale-out form is a continuous pipeline: `readStream` → watermarked
+  * windowed aggregation / keyed session state → `writeStream`. The column
+  * logic matches the batch operators in
+  * [[graft.operators.EventsQueries]], so the DuckDB-oracle-checked batch
+  * results pin the streaming semantics too.
+  */
+object EventStreams {
+  /** Watermarked tumbling-window counts — append-mode safe: windows close
+    * 10 minutes after the max seen event time. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,4)")).cast("double").as("total_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  final case class Ev(user_id: Long, event_id: Long, ts_us: Long)
+  final case class SessionizedEv(user_id: Long, event_id: Long, session_id: Long)
+  final case class SessState(sessionSeq: Long, lastTsUs: Long)
+
+  val SessionGapUs: Long = 30L * 60 * 1000000
+
+  /** Keyed session assignment with explicit state — the streaming
+    * equivalent of the batch lag/running-sum sessionizer. State per user is
+    * O(1): (current session ordinal, last event time). */
+  def sessionize(events: Dataset[Ev]): Dataset[SessionizedEv] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          var st = state.getOption.getOrElse(SessState(0L, Long.MinValue))
+          val out = sorted.map { e =>
+            val isNew = st.sessionSeq == 0L || e.ts_us - st.lastTsUs > SessionGapUs
+            st = SessState(if (isNew) st.sessionSeq + 1 else st.sessionSeq, e.ts_us)
+            SessionizedEv(user, e.event_id, st.sessionSeq)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Convenience: run [[tumblingCounts]] over a bounded parquet-backed
+    * stream to completion and return the result (used by tests/demos —
+    * `availableNow` processes the whole input then stops). */
+  def runTumblingOnce(spark: SparkSession, eventsDir: String, schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val q = tumblingCounts(stream)
+      .writeStream.outputMode(OutputMode.Complete).format("memory")
+      .queryName("graft_tumbling").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table("graft_tumbling")
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.DedupQueries
+import org.apache.spark.sql.functions._
+
+/** Dedup operators find the planted exact and near duplicates. */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exact dedup marks planted copies as dups of their canonical doc") {
+    val d = DedupQueries.queries("dedup_exact")(spark, Sf)
+    val dups = d.filter($"is_dup").collect()
+    assert(dups.nonEmpty)
+    // every planted +100000 copy points back at its source
+    dups.filter(_.getAs[Long]("doc_id") >= 100000).foreach { r =>
+      assert(r.getAs[Long]("canonical_id") == r.getAs[Long]("doc_id") - 100000)
+    }
+  }
+
+  test("minhash LSH recovers exact copies (jaccard 1.0) and near copies") {
+    val pairs = DedupQueries.queries("dedup_minhash_lsh")(spark, Sf)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard")))
+    val exact = pairs.filter { case (a, b, _) => a < 100000 && b == a + 100000 }
+    assert(exact.nonEmpty)
+    exact.foreach { case (_, _, j) => assert(j == 1.0) }
+    val near = pairs.filter { case (a, b, _) => a < 100000 && b == a + 200000 }
+    assert(near.nonEmpty)
+    near.foreach { case (_, _, j) => assert(j > 0.5 && j < 1.0) }
+  }
+
+  test("simhash: identical docs share signatures; near copies are close") {
+    val sigs = DedupQueries.queries("dedup_simhash")(spark, Sf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    sigs.keys.filter(id => id >= 100000 && id < 200000).foreach { id =>
+      assert(sigs(id) == sigs(id - 100000), s"exact copy $id")
+    }
+    val pairs = DedupQueries.queries("dedup_simhash_pairs")(spark, Sf)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("hamming")))
+    assert(pairs.exists { case (a, b, h) => b == a + 100000 && h == 0 })
+  }
+
+  test("similarity: lsh near-dup finds planted vector copies with cos 1.0") {
+    val pairs = graft.operators.SimilarityQueries.queries("ann_lsh_near_dup")(spark, Sf)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos")))
+    val planted = pairs.filter { case (a, b, _) => b == a + 100000 }
+    assert(planted.size == 10) // 500 vecs, vec_id % 50 == 0 → 10 copies
+    planted.foreach { case (_, _, c) => assert(math.abs(c - 1.0) < 1e-12) }
+  }
+
+  test("ann topk returns k ranked neighbors per probe") {
+    val t = graft.operators.SimilarityQueries.queries("ann_cosine_topk")(spark, Sf)
+    val byProbe = t.groupBy("probe_id").agg(count(lit(1)).as("n"), max("rank").as("mx"))
+      .collect()
+    assert(byProbe.length == 5) // 500 vecs, % 100 == 0
+    byProbe.foreach { r =>
+      assert(r.getAs[Long]("n") == 10 && r.getAs[Long]("mx") == 10)
+    }
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-cutting checks over the full query registry + targeted assertions
+  * for text/multimodal operators. */
+class OperatorSmokeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("every query has either oracle SQL or a documented reason; names are unique") {
+    val qs = SparkEntry.queries
+    val missing = qs.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries without oracle SQL: $missing")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+  }
+
+  test("flagship entry returns changed lineitem rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("text_stats n_chars agrees with the fixture's own n_chars column") {
+    val stats = SparkEntry.queries("text_stats")(spark, Sf).select("doc_id", "n_chars")
+    val fixture = Tables.load(spark, Sf, "documents")
+      .select(col("doc_id"), col("n_chars").as("expected"))
+    val mismatches = stats.join(fixture, "doc_id")
+      .filter(col("n_chars") =!= col("expected")).count()
+    assert(mismatches == 0)
+  }
+
+  test("multimodal decode is deterministic and complete") {
+    val f1 = SparkEntry.queries("mm_decode_features")(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint")).toMap
+    val f2 = SparkEntry.queries("mm_decode_features")(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint")).toMap
+    assert(f1 == f2)
+    assert(f1.size == Tables.load(spark, Sf, "documents").count())
+  }
+
+  test("langid detects the dominant language of an english marker text") {
+    // fixture text is synthetic english-ish word salad: detector should
+    // never pick a language with zero marker hits over one with hits
+    val d = SparkEntry.queries("text_langid")(spark, Sf)
+    val bad = d.filter(col("detected_lang") === "en" && col("score_en") === 0).count()
+    assert(bad == 0)
+  }
+}
