@@ -20,6 +20,17 @@ object SparkEntry {
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
       Multimodal.queries
 
+  /** Headline queries timed by [[Bench]] — one representative per module
+    * (the full registry runs in Verify; benching all 42 on a cold JVM
+    * measures codegen/JIT warmup, not the engine). */
+  def benchQueries: Seq[String] = Seq(
+    "diff_lineitem", "diff_orders", "diff_report",
+    "q1_pricing_summary", "q3_topk_revenue", "q5_region_volume",
+    "q6_sql_passthrough", "q_window_topn",
+    "events_sessionize", "events_tumbling",
+    "text_stats", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+    "ann_cosine_topk", "ann_lsh_near_dup", "mm_decode_features")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -23,6 +23,14 @@ object Hashing {
   def hash64Sql(e: String): String =
     s"CAST(concat('0x', substr(md5(CAST($e AS VARCHAR)),1,15)) AS BIGINT)"
 
+  /** Fixed-length hex hash as a STRING — for min-hash style aggregates,
+    * lexicographic MIN over same-length hex ≡ numeric MIN, and skipping the
+    * base conversion keeps the hot loop cheap. */
+  def hashHex(c: Column): Column = substring(md5(c.cast("string")), 1, 15)
+
+  /** DuckDB SQL equivalent of [[hashHex]]. */
+  def hashHexSql(e: String): String = s"substr(md5(CAST($e AS VARCHAR)),1,15)"
+
   /** Tokenization shared by the text/dedup operators: split on single
     * spaces, drop empties. */
   def tokens(c: Column): Column =

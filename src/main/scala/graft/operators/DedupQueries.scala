@@ -56,10 +56,11 @@ object DedupQueries {
       .distinct()
 
   /** 16 md5-derived minhashes per doc, computed as 16 min-aggregates over
-    * one shingle explosion (no per-hash re-explosion). */
+    * one shingle explosion (no per-hash re-explosion). Hashes stay as
+    * fixed-length hex strings: lexicographic MIN ≡ numeric MIN. */
   def minhashSigs(sh: DataFrame): DataFrame = {
     val mins = (0 until NumHashes).map(j =>
-      min(Hashing.hash64(concat(col("shingle"), lit(s"#$j")))).as(s"m$j"))
+      min(Hashing.hashHex(concat(col("shingle"), lit(s"#$j")))).as(s"m$j"))
     sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
@@ -171,7 +172,7 @@ object DedupQueries {
 
   private def sigsCte: (String, String) = {
     val mins = (0 until NumHashes)
-      .map(j => s"MIN(${Hashing.hash64Sql(s"shingle || '#$j'")}) AS m$j")
+      .map(j => s"MIN(${Hashing.hashHexSql(s"shingle || '#$j'")}) AS m$j")
       .mkString(",\n  ")
     "sigs" -> s"SELECT doc_id,\n  $mins\nFROM shing GROUP BY doc_id"
   }

@@ -40,10 +40,12 @@ object DiffQueries {
         val before = Tables.load(spark, sfDir, "nation")
         SnapshotDiff.diff(before, Tables.load(spark, sfDir, "nation"), Tables.nation.pk)
       }),
-      // Multi-table change report (A-series aggregates over J1 output).
+      // Multi-table change report (A-series aggregates over J1 output) —
+      // uses the pre-explosion statusCounts fast path.
       "diff_report" -> ((spark, sfDir) => {
         Tables.diffable.map { t =>
-          SnapshotDiff.report(diffQ(t, t.pk)(spark, sfDir))
+          val before = Tables.load(spark, sfDir, t.name)
+          SnapshotDiff.statusCounts(before, after(spark, sfDir, t), t.pk)
             .select(lit(t.name).as("table_name"), col("diff_status"), col("n_keys"))
         }.reduce(_.unionByName(_))
       }),

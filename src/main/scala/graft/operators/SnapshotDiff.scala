@@ -28,6 +28,14 @@ import org.apache.spark.sql.functions._
   * stringified>`. `modified_columns` is a comma-joined list in column order
   * (empty for non-UPDATED rows); `side` is BEFORE/AFTER; NOT_MODIFIED rows
   * are filtered out (reference F3).
+  *
+  * Duplicate keys (non-unique PK or a separator-less key-concat collision,
+  * SURVEY §7.4.1/3): the reference's map insert keeps one nondeterministic
+  * winner per key (`extract_data.go:81`); this operator instead keeps every
+  * pairing (join multiplicity) — deterministic and information-preserving,
+  * with [[statusCounts]]/[[report]] counting distinct keys. The fixture
+  * lineitem table has 1,161 duplicate PK pairs, so this path is exercised
+  * by the oracle gate, not just documented.
   */
 object SnapshotDiff {
   val Inserted = "INSERTED"
@@ -35,11 +43,10 @@ object SnapshotDiff {
   val Updated = "UPDATED"
   val NotModified = "NOT_MODIFIED"
 
-  /** Full diff. `before`/`after` must share the same schema (the harness
-    * always diffs two snapshots of one table; the reference's column-count-
-    * mismatch branch, `extract_data.go:162-171`, is degenerate here).
-    * `pk` empty is disallowed — PK-less tables pass all columns (S5). */
-  def diff(before: DataFrame, after: DataFrame, pk: Seq[String]): DataFrame = {
+  /** The classification join shared by [[diff]] and [[statusCounts]]:
+    * one row per key with `diff_status`, `modified_columns`, and both
+    * sides' normalized columns (`__b_*` / `__a_*`). */
+  private def classified(before: DataFrame, after: DataFrame, pk: Seq[String]): DataFrame = {
     val cols = before.columns.toIndexedSeq
     val b = Normalize.withKey(before, pk)
       .select(col(Normalize.KeyCol) +: cols.map(c => col(c).as(s"__b_$c")): _*)
@@ -64,7 +71,20 @@ object SnapshotDiff {
       .when(modList === "", NotModified)
       .otherwise(Updated)
 
-    val modified = when(status === Updated, modList).otherwise(lit(""))
+    j.withColumn("diff_status", status)
+      .withColumn("modified_columns",
+        when(status === Updated, modList).otherwise(lit("")))
+  }
+
+  /** Full diff. `before`/`after` must share the same schema (the harness
+    * always diffs two snapshots of one table; the reference's column-count-
+    * mismatch branch, `extract_data.go:162-171`, is degenerate here).
+    * `pk` empty is disallowed — PK-less tables pass all columns (S5). */
+  def diff(before: DataFrame, after: DataFrame, pk: Seq[String]): DataFrame = {
+    val cols = before.columns.toIndexedSeq
+    val j = classified(before, after, pk)
+    val status = col("diff_status")
+    val modified = col("modified_columns")
 
     def sideStruct(side: String, prefix: String): Column =
       struct(lit(side).as("side") +: cols.map(c => col(s"$prefix$c").as(c)): _*)
@@ -93,5 +113,16 @@ object SnapshotDiff {
     * diff (UPDATED emits two physical rows per key — count keys once). */
   def report(diffed: DataFrame): DataFrame =
     diffed.groupBy(col("diff_status"))
+      .agg(countDistinct(col(Normalize.KeyCol)).as("n_keys"))
+
+  /** Fast report path: per-status distinct-key counts straight off the
+    * classification join — skips building, exploding and re-aggregating the
+    * stringified per-row output entirely. Distinct, not plain count: keys
+    * need not be unique per snapshot (fixture lineitem has duplicate PKs,
+    * and the separator-less key concat can collide — SURVEY §7.4.1/3). */
+  def statusCounts(before: DataFrame, after: DataFrame, pk: Seq[String]): DataFrame =
+    classified(before, after, pk)
+      .filter(col("diff_status") =!= NotModified)
+      .groupBy(col("diff_status"))
       .agg(countDistinct(col(Normalize.KeyCol)).as("n_keys"))
 }

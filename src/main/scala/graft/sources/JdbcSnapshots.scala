@@ -1,0 +1,112 @@
+package graft.sources
+
+import graft.TableDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** JDBC snapshot source — the engine's equivalent of the reference's live
+  * RDBMS scans (`/root/reference/db_impl.go:20-61` connections,
+  * `dbutil.go:9-146` catalog, `extract_data.go:19-95` snapshot scan).
+  *
+  * The parquet harness never exercises this path (no database in the test
+  * container), but a user of the reference switching to this engine points
+  * these readers at the same PostgreSQL/MySQL/SQL Server instance:
+  *
+  *   - table list + PK discovery run the reference's own catalog SQL
+  *     through the JDBC source (the `information_schema` joins execute
+  *     inside the source DB, exactly as in the reference — SURVEY §2.3 J2);
+  *   - snapshot scans are partitioned on a numeric PK so a 1000-executor
+  *     cluster reads range-disjoint slices in parallel instead of the
+  *     reference's single-threaded full scan;
+  *   - `Normalize`/`SnapshotDiff` then apply unchanged — the diff operator
+  *     is source-agnostic.
+  */
+object JdbcSnapshots {
+  /** Reference catalog queries per dialect (`dbutil.go:9-38`). */
+  def tableListSql(dialect: String, schema: String): String = dialect match {
+    case "postgresql" =>
+      s"SELECT relname AS table_name FROM pg_stat_user_tables ORDER BY relname"
+    case "mysql" =>
+      "SELECT table_name FROM information_schema.tables " +
+        "WHERE table_schema = database() ORDER BY table_name"
+    case "mssql" =>
+      "SELECT name AS table_name FROM sys.objects WHERE type = 'U' ORDER BY name"
+    case d => throw new IllegalArgumentException(s"unsupported dialect: $d")
+  }
+
+  /** Reference PK queries per dialect (`dbutil.go:41-114`), parameterized by
+    * table; ordered by ordinal_position — PK column order is load-bearing
+    * for key concat (SURVEY §2.6 O2). */
+  def pkSql(dialect: String, table: String, schema: String): String = dialect match {
+    case "postgresql" =>
+      s"""SELECT kcu.column_name
+         |FROM information_schema.table_constraints tc
+         |JOIN information_schema.constraint_column_usage ccu
+         |  ON tc.constraint_name = ccu.constraint_name
+         |JOIN information_schema.key_column_usage kcu
+         |  ON tc.constraint_name = kcu.constraint_name
+         | AND ccu.column_name = kcu.column_name
+         |WHERE tc.constraint_type = 'PRIMARY KEY' AND tc.table_name = '$table'
+         |ORDER BY kcu.ordinal_position""".stripMargin
+    case "mysql" =>
+      s"""SELECT column_name FROM information_schema.columns
+         |WHERE table_schema = database() AND table_name = '$table'
+         |  AND column_key = 'PRI' ORDER BY ordinal_position""".stripMargin
+    case "mssql" =>
+      s"""SELECT kcu.column_name
+         |FROM information_schema.table_constraints tc
+         |JOIN information_schema.key_column_usage kcu
+         |  ON tc.constraint_name = kcu.constraint_name
+         |WHERE tc.constraint_type = 'PRIMARY KEY' AND tc.table_name = '$table'
+         |ORDER BY kcu.ordinal_position""".stripMargin
+    case d => throw new IllegalArgumentException(s"unsupported dialect: $d")
+  }
+
+  private def jdbc(spark: SparkSession, url: String, query: String,
+      props: Map[String, String]): DataFrame = {
+    val r = spark.read.format("jdbc")
+      .option("url", url).option("query", query)
+    props.foldLeft(r)((acc, kv) => acc.option(kv._1, kv._2)).load()
+  }
+
+  /** Catalog introspection: (table, pk columns) pairs. The PK-less fallback
+    * (all columns as key, `dbutil.go:136-141`) is applied by the caller via
+    * `TableDef.keyless` once the snapshot's schema is known. */
+  def catalog(spark: SparkSession, dialect: String, url: String, schema: String,
+      props: Map[String, String] = Map.empty): Seq[(String, Seq[String])] = {
+    val tables = jdbc(spark, url, tableListSql(dialect, schema), props)
+      .collect().map(_.getString(0)).toSeq
+    tables.map { t =>
+      val pks = jdbc(spark, url, pkSql(dialect, t, schema), props)
+        .collect().map(_.getString(0)).toSeq
+      (t, pks)
+    }
+  }
+
+  /** Partitioned snapshot scan: range-parallel on a numeric PK when one is
+    * known (`numPartitions` JDBC splits), else a single-partition read.
+    * The reference's ORDER BY pk (`extract_data.go:31-42`) is dropped —
+    * semantically inert for the diff (SURVEY §2.6 O1). */
+  def snapshot(spark: SparkSession, url: String, table: String,
+      partitionCol: Option[String], bounds: Option[(Long, Long)], numPartitions: Int,
+      props: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+    val partitioned = (partitionCol, bounds) match {
+      case (Some(c), Some((lo, hi))) =>
+        base.option("partitionColumn", c)
+          .option("lowerBound", lo).option("upperBound", hi)
+          .option("numPartitions", numPartitions)
+      case _ => base
+    }
+    props.foldLeft(partitioned)((acc, kv) => acc.option(kv._1, kv._2)).load()
+  }
+
+  /** Full multi-table snapshot, as `Map[table -> DataFrame]` — the lazy
+    * distributed analogue of the reference's `AllTableStore`. */
+  def snapshotAll(spark: SparkSession, url: String,
+      catalog: Seq[(String, Seq[String])], numPartitions: Int,
+      props: Map[String, String] = Map.empty): Map[String, (DataFrame, Seq[String])] =
+    catalog.map { case (t, pks) =>
+      t -> (snapshot(spark, url, t, None, None, numPartitions, props), pks)
+    }.toMap
+}

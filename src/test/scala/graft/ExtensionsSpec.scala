@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The SQL function surface installed by [[GraftExtensions]]. */
+class ExtensionsSpec extends SparkTestBase {
+  test("qdot/qnormsq are callable from SQL via extensions") {
+    val shared = spark // force shared session first
+    // build a sibling session (same SparkContext, fresh session state) so
+    // withExtensions actually applies instead of getOrCreate returning the
+    // shared session
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s.implicits._
+      Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b").createOrReplaceTempView("v")
+      val r = s.sql("SELECT qdot(a, b) AS d, qnormsq(a) AS n FROM v").collect().head
+      assert(r.getLong(0) == 1000000L * 3000000L + 2000000L * 4000000L)
+      assert(r.getLong(1) == 1000000L * 1000000L + 2000000L * 2000000L)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+}
