@@ -97,7 +97,15 @@ object TextQueries {
           col("doc_id"),
           md5(normed).as("fp_md5"),
           Hashing.hash64(normed).as("fp_hash64"))
-    })
+    }),
+    // corpus-level term frequencies: explode → hash aggregate → top-k
+    "text_top_terms" -> ((spark, sfDir) =>
+      Tables.load(spark, sfDir, "documents")
+        .select(explode(Hashing.tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50))
   )
 
   private val toksE = Hashing.tokensSql("text")
@@ -143,6 +151,10 @@ object TextQueries {
       s"""SELECT doc_id,
          |  md5(regexp_replace(lower(text), ' +', ' ', 'g')) AS fp_md5,
          |  ${Hashing.hash64Sql("regexp_replace(lower(text), ' +', ' ', 'g')")} AS fp_hash64
-         |FROM documents""".stripMargin
+         |FROM documents""".stripMargin,
+    "text_top_terms" ->
+      s"""SELECT token, COUNT(*) AS n
+         |FROM (SELECT unnest($toksE) AS token FROM documents) t
+         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin
   )
 }
