@@ -138,6 +138,30 @@ object Relational {
         .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("custkey"))
       a.intersect(b)
     }),
+    // TPC-H Q17 shape: correlated scalar subquery, expressed engine-side as
+    // its standard groupBy+join rewrite (what a decorrelator produces).
+    // Quantities are whole numbers, so the double avg is exact/order-free.
+    "q_correlated_subquery" -> ((spark, sfDir) => {
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val avgq = li.groupBy(col("l_partkey").as("p_key"))
+        .agg((avg(col("l_quantity")) * 0.5).as("half_avg_qty"))
+      li.join(broadcast(avgq), col("l_partkey") === col("p_key"))
+        .filter(col("l_quantity") < col("half_avg_qty"))
+        .agg(sum(dec4(col("l_extendedprice"))).cast("double").as("total"),
+          count(lit(1)).as("n"))
+    }),
+    // TPC-H Q22 shape: uncorrelated scalar subquery + anti join + group agg.
+    "q_scalar_subquery_anti" -> ((spark, sfDir) => {
+      val c = Tables.load(spark, sfDir, "customer")
+      val o = Tables.load(spark, sfDir, "orders")
+      val threshold = c.filter(col("c_acctbal") > 0.0)
+        .agg(avg(dec4(col("c_acctbal"))).cast("double")).head().getDouble(0)
+      c.filter(col("c_acctbal") > threshold)
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec4(col("c_acctbal"))).cast("double").as("total_bal"))
+    }),
     "q_distinct_agg" -> ((spark, sfDir) =>
       Tables.load(spark, sfDir, "orders")
         .groupBy(col("o_orderpriority"))
@@ -215,6 +239,18 @@ object Relational {
       """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
         |INTERSECT
         |SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "q_correlated_subquery" ->
+      s"""SELECT ${decSum4("l_extendedprice")} AS total, COUNT(*) AS n
+         |FROM lineitem l1
+         |WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity) FROM lineitem l2
+         |                    WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
+    "q_scalar_subquery_anti" ->
+      s"""SELECT c_mktsegment, COUNT(*) AS n, ${decSum4("c_acctbal")} AS total_bal
+         |FROM customer
+         |WHERE c_acctbal > (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE)
+         |                   FROM customer WHERE c_acctbal > 0.0)
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         |GROUP BY c_mktsegment""".stripMargin,
     "q_distinct_agg" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority""".stripMargin,

@@ -46,12 +46,17 @@ object SnapshotDiff {
   /** The classification join shared by [[diff]] and [[statusCounts]]:
     * one row per key with `diff_status`, `modified_columns`, and both
     * sides' normalized columns (`__b_*` / `__a_*`). */
-  private def classified(before: DataFrame, after: DataFrame, pk: Seq[String]): DataFrame = {
-    val cols = before.columns.toIndexedSeq
-    val b = Normalize.withKey(before, pk)
-      .select(col(Normalize.KeyCol) +: cols.map(c => col(c).as(s"__b_$c")): _*)
-    val a = Normalize.withKey(after, pk)
-      .select(col(Normalize.KeyCol) +: cols.map(c => col(c).as(s"__a_$c")): _*)
+  private def classified(before: DataFrame, after: DataFrame, pk: Seq[String]): DataFrame =
+    classifyNormalized(Normalize.withKey(before, pk), Normalize.withKey(after, pk))
+
+  /** Same classification over already-normalized inputs (each: data columns
+    * stringified + `__key`). This is the entry point for pre-materialized
+    * snapshot stores — e.g. [[BucketedSnapshots]], where both sides are
+    * bucketed by `__key` and the join plans with ZERO shuffle. */
+  private[operators] def classifyNormalized(bn: DataFrame, an: DataFrame): DataFrame = {
+    val cols = bn.columns.filterNot(_ == Normalize.KeyCol).toIndexedSeq
+    val b = bn.select(col(Normalize.KeyCol) +: cols.map(c => col(c).as(s"__b_$c")): _*)
+    val a = an.select(col(Normalize.KeyCol) +: cols.map(c => col(c).as(s"__a_$c")): _*)
 
     val j = b.join(a, Seq(Normalize.KeyCol), "full_outer")
 
@@ -80,9 +85,14 @@ object SnapshotDiff {
     * always diffs two snapshots of one table; the reference's column-count-
     * mismatch branch, `extract_data.go:162-171`, is degenerate here).
     * `pk` empty is disallowed — PK-less tables pass all columns (S5). */
-  def diff(before: DataFrame, after: DataFrame, pk: Seq[String]): DataFrame = {
-    val cols = before.columns.toIndexedSeq
-    val j = classified(before, after, pk)
+  def diff(before: DataFrame, after: DataFrame, pk: Seq[String]): DataFrame =
+    diffNormalized(Normalize.withKey(before, pk), Normalize.withKey(after, pk))
+
+  /** Full diff over already-normalized snapshots (data columns stringified +
+    * `__key`) — used directly by pre-materialized stores. */
+  def diffNormalized(bn: DataFrame, an: DataFrame): DataFrame = {
+    val cols = bn.columns.filterNot(_ == Normalize.KeyCol).toIndexedSeq
+    val j = classifyNormalized(bn, an)
     val status = col("diff_status")
     val modified = col("modified_columns")
 

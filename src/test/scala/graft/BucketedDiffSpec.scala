@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.{BucketedSnapshots, DiffQueries, SnapshotDiff}
+
+/** The bucketed snapshot store produces identical diffs with a
+  * shuffle-free physical plan. */
+class BucketedDiffSpec extends SparkTestBase {
+
+  test("bucketed diff equals plain diff and plans with zero Exchange") {
+    val t = Tables.nation
+    val before = Tables.load(spark, Sf, t.name)
+    val after = DiffQueries.after(spark, Sf, t)
+    val dir = java.nio.file.Files.createTempDirectory("graft_buckets")
+
+    BucketedSnapshots.write(before, t.pk, "snap_before", s"$dir/before", 4)
+    BucketedSnapshots.write(after, t.pk, "snap_after", s"$dir/after", 4)
+
+    val bucketed = BucketedSnapshots.diff(spark, "snap_before", "snap_after")
+    val plain = SnapshotDiff.diff(before, after, t.pk)
+
+    val key = (r: org.apache.spark.sql.Row) => r.toSeq.map(String.valueOf).mkString("|")
+    assert(bucketed.collect().map(key).sorted.toSeq == plain.collect().map(key).sorted.toSeq)
+
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan, got:\n$plan")
+
+    val counts = BucketedSnapshots.statusCounts(spark, "snap_before", "snap_after")
+    val fromPlain = SnapshotDiff.statusCounts(before, after, t.pk)
+    assert(counts.collect().map(key).sorted.toSeq == fromPlain.collect().map(key).sorted.toSeq)
+
+    spark.sql("DROP TABLE IF EXISTS snap_before")
+    spark.sql("DROP TABLE IF EXISTS snap_after")
+  }
+}
