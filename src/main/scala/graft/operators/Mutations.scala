@@ -80,6 +80,28 @@ object Mutations {
         |       o_orderdate, o_orderpriority
         |FROM orders
         |WHERE o_orderkey % 10 = 5""".stripMargin,
+    "events" ->
+      """SELECT event_id, ts, user_id,
+        |       CASE WHEN event_id % 10 = 4 THEN 'mutated' ELSE event_type END AS event_type,
+        |       CASE WHEN event_id % 10 = 4 THEN value + 1 ELSE value END AS value,
+        |       props
+        |FROM events
+        |WHERE event_id % 10 <> 3
+        |UNION ALL
+        |SELECT event_id + 100000000 AS event_id, ts, user_id, event_type, value, props
+        |FROM events
+        |WHERE event_id % 10 = 5""".stripMargin,
+    "documents" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 10 = 4 THEN concat(text, ' APPENDED') ELSE text END AS text,
+        |       lang, source,
+        |       CASE WHEN doc_id % 10 = 4 THEN n_chars + 9 ELSE n_chars END AS n_chars
+        |FROM documents
+        |WHERE doc_id % 10 <> 3
+        |UNION ALL
+        |SELECT doc_id + 100000000 AS doc_id, text, lang, source, n_chars
+        |FROM documents
+        |WHERE doc_id % 10 = 5""".stripMargin,
     "lineitem" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
         |       CASE WHEN l_orderkey % 10 = 4 THEN l_quantity + 1 ELSE l_quantity END AS l_quantity,

@@ -162,6 +162,18 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(dec4(col("c_acctbal"))).cast("double").as("total_bal"))
     }),
+    // explicit skew-salted join; result equals the unsalted join (oracle)
+    "q_skew_salted_join" -> ((spark, sfDir) => {
+      val f = Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_extendedprice"), col("l_discount"))
+      val d = Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      SkewJoin.saltedInner(f, d, "okey", 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double")
+            .as("revenue"))
+    }),
     "q_distinct_agg" -> ((spark, sfDir) =>
       Tables.load(spark, sfDir, "orders")
         .groupBy(col("o_orderpriority"))
@@ -251,6 +263,11 @@ object Relational {
          |                   FROM customer WHERE c_acctbal > 0.0)
          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
          |GROUP BY c_mktsegment""".stripMargin,
+    "q_skew_salted_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "q_distinct_agg" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
