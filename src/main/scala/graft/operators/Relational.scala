@@ -162,6 +162,34 @@ object Relational {
         .agg(count(lit(1)).as("n"),
           sum(dec4(col("c_acctbal"))).cast("double").as("total_bal"))
     }),
+    // TPC-H Q14 shape: conditional aggregation (CASE inside SUM) + ratio
+    "q14_promo_ratio" -> ((spark, sfDir) => {
+      val l = Tables.load(spark, sfDir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-07-01 00:00:00")))
+      val p = Tables.load(spark, sfDir, "part")
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(dec6(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0)))).cast("double")
+            .as("promo_revenue"),
+          sum(dec6(rev)).cast("double").as("total_revenue"))
+        .withColumn("promo_ratio", col("promo_revenue") / col("total_revenue"))
+    }),
+    // TPC-H Q19 shape: disjunctive multi-attribute predicates over a join
+    "q19_disjunctive" -> ((spark, sfDir) => {
+      val l = Tables.load(spark, sfDir, "lineitem")
+      val p = Tables.load(spark, sfDir, "part")
+      val b1 = col("p_brand") === "Brand#1" && col("l_quantity").between(1, 15) &&
+        col("p_size").between(1, 10)
+      val b2 = col("p_brand") === "Brand#2" && col("l_quantity").between(10, 25) &&
+        col("p_size").between(5, 25)
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(b1 || b2)
+        .agg(count(lit(1)).as("n"),
+          sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double")
+            .as("revenue"))
+    }),
     // explicit skew-salted join; result equals the unsalted join (oracle)
     "q_skew_salted_join" -> ((spark, sfDir) => {
       val f = Tables.load(spark, sfDir, "lineitem")
@@ -263,6 +291,25 @@ object Relational {
          |                   FROM customer WHERE c_acctbal > 0.0)
          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
          |GROUP BY c_mktsegment""".stripMargin,
+    "q14_promo_ratio" ->
+      """SELECT promo_revenue, total_revenue, promo_revenue / total_revenue AS promo_ratio
+        |FROM (
+        |  SELECT
+        |    CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |                       THEN l_extendedprice * (1 - l_discount)
+        |                       ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS promo_revenue,
+        |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00') t""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND l_quantity >= 1 AND l_quantity <= 15
+        |       AND p_size >= 1 AND p_size <= 10)
+        |   OR (p_brand = 'Brand#2' AND l_quantity >= 10 AND l_quantity <= 25
+        |       AND p_size >= 5 AND p_size <= 25)""".stripMargin,
     "q_skew_salted_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
