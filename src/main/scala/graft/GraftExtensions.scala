@@ -13,18 +13,30 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * plain SQL with full whole-stage codegen.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  private def requireArity(name: String, args: Seq[Expression], n: Int): Unit =
+    if (args.length != n)
+      throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> name, "expectedNum" -> n.toString,
+          "actualNum" -> args.length.toString, "docroot" -> ""))
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("qdot"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[QuantizedVec.QuantizedDot].getName, "qdot"),
-        (args: Seq[Expression]) =>
-          QuantizedVec.QuantizedDot(args.head, args(1), QuantizedVec.DefaultScale)))
+        (args: Seq[Expression]) => {
+          requireArity("qdot(arr, arr)", args, 2)
+          QuantizedVec.QuantizedDot(args.head, args(1), QuantizedVec.DefaultScale)
+        }))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("qnormsq"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[QuantizedVec.QuantizedNormSq].getName, "qnormsq"),
-        (args: Seq[Expression]) =>
-          QuantizedVec.QuantizedNormSq(args.head, QuantizedVec.DefaultScale)))
+        (args: Seq[Expression]) => {
+          requireArity("qnormsq(arr)", args, 1)
+          QuantizedVec.QuantizedNormSq(args.head, QuantizedVec.DefaultScale)
+        }))
   }
 }

@@ -109,16 +109,24 @@ object DedupQueries {
 
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> ((spark, sfDir) => {
-      val w = Window.partitionBy(col("text"))
+      // Window keyed on a 128-bit fingerprint, not the raw document text:
+      // at 100 TB the shuffle key must be 32 bytes, not multi-KB documents.
+      val w = Window.partitionBy(col("__fp"))
       corpus(spark, sfDir)
+        .withColumn("__fp", md5(col("text")))
         .withColumn("canonical_id", min(col("doc_id")).over(w))
         .withColumn("n_copies", count(lit(1)).over(w))
         .select(col("doc_id"), col("canonical_id"), col("n_copies"),
           (col("doc_id") =!= col("canonical_id")).as("is_dup"))
     }),
     "dedup_minhash_lsh" -> ((spark, sfDir) => {
-      val sh = shingles(corpus(spark, sfDir))
-      val bb = bands(minhashSigs(sh))
+      // The shingle frame feeds candidate generation AND three legs of the
+      // Jaccard verify — persist it so the corpus is tokenized once, not
+      // 4-5×. At 100 TB those redundant passes are the dominant cost.
+      val sh = shingles(corpus(spark, sfDir)).persist()
+      // both sides of the bucket self-join scan the banded frame — persist
+      // it (4 small rows/doc) so the 16 min-aggregates run once, not twice
+      val bb = bands(minhashSigs(sh)).persist()
       val a = bb.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
       val b = bb.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
       val cand = a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
@@ -135,6 +143,7 @@ object DedupQueries {
             shiftright(col("simhash"), 15 * c).bitwiseAND(32767).as("ckey"))): _*)).as("__c"))
         .select(col("doc_id"), col("simhash"),
           col("__c.chunk").as("chunk"), col("__c.ckey").as("ckey"))
+        .persist() // both join sides scan it: one signature pass, not two
       val a = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
         col("chunk"), col("ckey"))
       val b = chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
@@ -146,7 +155,7 @@ object DedupQueries {
         .filter(col("hamming") <= 3)
     }),
     "dedup_ngram_jaccard" -> ((spark, sfDir) => {
-      val sh = shingles(corpus(spark, sfDir))
+      val sh = shingles(corpus(spark, sfDir)).persist()
       val probes = sh.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("doc_a"), col("shingle"))
       val others = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -215,9 +224,9 @@ object DedupQueries {
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> withSql(Seq("corpus" -> corpusSql),
       """SELECT doc_id,
-        |  MIN(doc_id) OVER (PARTITION BY text) AS canonical_id,
-        |  COUNT(*) OVER (PARTITION BY text) AS n_copies,
-        |  doc_id <> MIN(doc_id) OVER (PARTITION BY text) AS is_dup
+        |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |  COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+        |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM corpus""".stripMargin),
     "dedup_minhash_lsh" -> withSql(
       corpusCtes ++ Seq(sigsCte, bandsCte) ++ Seq(

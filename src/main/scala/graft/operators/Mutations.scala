@@ -15,6 +15,12 @@ package graft.operators
   * `spark.sql` over a temp view and the DuckDB oracle embeds it verbatim as
   * a CTE, so the two snapshots being diffed are identical by construction
   * and cannot drift.
+  *
+  * Precondition on that common subset: `concat` is only applied to string
+  * columns that are never NULL in the fixtures (Spark's concat returns
+  * NULL if any argument is NULL; DuckDB's skips NULLs). TESTDATA string
+  * columns are non-null at every scale factor; if that ever changes, wrap
+  * the arguments in COALESCE.
   */
 object Mutations {
   val afterSql: Map[String, String] = Map(

@@ -151,12 +151,16 @@ object Relational {
           count(lit(1)).as("n"))
     }),
     // TPC-H Q22 shape: uncorrelated scalar subquery + anti join + group agg.
+    // The scalar threshold stays a lazy single-row frame cross-joined in
+    // (what Spark's own subquery decorrelator emits) — no driver-side
+    // action at query-construction time.
     "q_scalar_subquery_anti" -> ((spark, sfDir) => {
       val c = Tables.load(spark, sfDir, "customer")
       val o = Tables.load(spark, sfDir, "orders")
       val threshold = c.filter(col("c_acctbal") > 0.0)
-        .agg(avg(dec4(col("c_acctbal"))).cast("double")).head().getDouble(0)
-      c.filter(col("c_acctbal") > threshold)
+        .agg(avg(dec4(col("c_acctbal"))).cast("double").as("__thr"))
+      c.crossJoin(broadcast(threshold))
+        .filter(col("c_acctbal") > col("__thr"))
         .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n"),

@@ -35,8 +35,12 @@ object JdbcSnapshots {
 
   /** Reference PK queries per dialect (`dbutil.go:41-114`), parameterized by
     * table; ordered by ordinal_position — PK column order is load-bearing
-    * for key concat (SURVEY §2.6 O2). */
-  def pkSql(dialect: String, table: String, schema: String): String = dialect match {
+    * for key concat (SURVEY §2.6 O2). The table name comes from the live
+    * catalog but is still escaped before interpolation: an unusual name
+    * (embedded quote) must not break or inject into the source query. */
+  def pkSql(dialect: String, rawTable: String, schema: String): String = {
+    val table = rawTable.replace("'", "''")
+    dialect match {
     case "postgresql" =>
       s"""SELECT kcu.column_name
          |FROM information_schema.table_constraints tc
@@ -59,6 +63,7 @@ object JdbcSnapshots {
          |WHERE tc.constraint_type = 'PRIMARY KEY' AND tc.table_name = '$table'
          |ORDER BY kcu.ordinal_position""".stripMargin
     case d => throw new IllegalArgumentException(s"unsupported dialect: $d")
+    }
   }
 
   private def jdbc(spark: SparkSession, url: String, query: String,
