@@ -206,6 +206,87 @@ object Relational {
           sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double")
             .as("revenue"))
     }),
+    // TPC-H Q7 shape: two dimension legs over the same nation table (aliased)
+    // + year bucketing. Both nation legs broadcast; the lineitem⋈orders⋈
+    // customer chain shuffles on its keys only.
+    "q7_nation_volume" -> ((spark, sfDir) => {
+      val n1 = Tables.load(spark, sfDir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = Tables.load(spark, sfDir, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      val s = Tables.load(spark, sfDir, "supplier")
+      val c = Tables.load(spark, sfDir, "customer")
+      val o = Tables.load(spark, sfDir, "orders")
+      val l = Tables.load(spark, sfDir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+        .filter((col("supp_nation") === "NATION_20" && col("cust_nation") === "NATION_11") ||
+          (col("supp_nation") === "NATION_11" && col("cust_nation") === "NATION_20"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double")
+          .as("revenue"))
+    }),
+    // Plain LEFT OUTER join + two-level aggregation: per-customer order
+    // counts (customers with zero orders survive the outer join), then a
+    // segment-level rollup of activity. COUNT(o_orderkey) counts only
+    // matched rows — the outer-join null extension is load-bearing.
+    "q_left_outer_agg" -> ((spark, sfDir) => {
+      val c = Tables.load(spark, sfDir, "customer")
+      val o = Tables.load(spark, sfDir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"), col("c_mktsegment"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("n_orders")).as("total_orders"),
+          sum(when(col("n_orders") === 0, 1L).otherwise(0L)).as("n_inactive"))
+    }),
+    // Plain RIGHT OUTER join: every part keeps a row even with no lineitem.
+    "q_right_outer_agg" -> ((spark, sfDir) => {
+      val l = Tables.load(spark, sfDir, "lineitem")
+      val p = Tables.load(spark, sfDir, "part")
+      l.join(p, col("l_partkey") === col("p_partkey"), "right_outer")
+        .groupBy(col("p_brand"))
+        .agg(count(col("l_orderkey")).as("n_items"), count(lit(1)).as("n_rows"))
+    }),
+    // TPC-H Q20 shape: nested IN chain (part → qualifying lineitem volume →
+    // supplier), expressed engine-side as the semi-join ladder Spark's
+    // subquery rewriter produces. Quantity sums are whole numbers → exact.
+    "q20_nested_in" -> ((spark, sfDir) => {
+      val p = Tables.load(spark, sfDir, "part").filter(col("p_name").startsWith("b"))
+        .select(col("p_partkey"))
+      val l = Tables.load(spark, sfDir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+      val qualified = l.join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec4(col("l_quantity"))).cast("double").as("qty"))
+        .filter(col("qty") > 50.0)
+      Tables.load(spark, sfDir, "supplier")
+        .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+    // TPC-H Q21 shape: EXISTS + NOT EXISTS chain over lineitem self-joins
+    // (returnflag standing in for the receipt-delay predicate, which the
+    // fixture schema lacks). Both correlated subqueries become one semi and
+    // one anti join on the order key — no row explosion, no driver state.
+    "q21_exists_chain" -> ((spark, sfDir) => {
+      val li = Tables.load(spark, sfDir, "lineitem")
+      val l1 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("okey"), col("l_suppkey").as("skey"))
+      val l2 = li.select(col("l_orderkey").as("okey2"), col("l_suppkey").as("skey2"))
+      val l3 = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("okey3"), col("l_suppkey").as("skey3"))
+      val s = Tables.load(spark, sfDir, "supplier")
+      l1.join(l2, col("okey") === col("okey2") && col("skey") =!= col("skey2"), "left_semi")
+        .join(l3, col("okey") === col("okey3") && col("skey") =!= col("skey3"), "left_anti")
+        .join(broadcast(s), col("skey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+    }),
     "q_distinct_agg" -> ((spark, sfDir) =>
       Tables.load(spark, sfDir, "orders")
         .groupBy(col("o_orderpriority"))
@@ -319,6 +400,51 @@ object Relational {
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |              JOIN customer ON o_custkey = c_custkey
+        |              JOIN supplier ON l_suppkey = s_suppkey
+        |              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+        |   OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20')
+        |GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS BIGINT)""".stripMargin,
+    "q_left_outer_agg" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |  CAST(SUM(n_orders) AS BIGINT) AS total_orders,
+        |  CAST(SUM(CASE WHEN n_orders = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inactive
+        |FROM (
+        |  SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey, c_mktsegment) t
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_right_outer_agg" ->
+      """SELECT p_brand, COUNT(l_orderkey) AS n_items, COUNT(*) AS n_rows
+        |FROM lineitem RIGHT OUTER JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
+    "q20_nested_in" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'b%')
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY l_suppkey
+        |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) > 50.0)""".stripMargin,
+    "q21_exists_chain" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name""".stripMargin,
     "q_distinct_agg" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
