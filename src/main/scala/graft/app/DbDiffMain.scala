@@ -1,0 +1,96 @@
+package graft.app
+
+import graft.Tables
+import graft.operators.Mutations
+import org.apache.spark.sql.SparkSession
+
+import java.time.LocalDateTime
+
+/** Runnable dbdiff-equivalent CLI (`/root/reference/cmd/dbdiff/main.go`).
+  *
+  * {{{
+  * spark-submit --class graft.app.DbDiffMain ... [-conf configuration.yaml]
+  *   [-o out.html] [--demo]
+  * }}}
+  *
+  * Flow, matching `main.go:23-98`: load config (S1) → catalog the tables →
+  * BEFORE snapshot → wait for the operator's keypress → AFTER snapshot →
+  * diff → console lines (S7) + styled HTML report (S8, timestamped filename
+  * S9) → swap → repeat, until `q`/`exit`.
+  *
+  * `--demo` replaces the stdin wait with two scripted iterations against the
+  * fixture lake: iteration 1 applies the harness mutation set (the "user
+  * operations"), iteration 2 changes nothing — so the first report is full
+  * and the second is empty, which exercises the swap end-to-end without a
+  * terminal. This is also what [[DbDiffAppSpec]] pins.
+  */
+object DbDiffMain {
+  def main(args: Array[String]): Unit = {
+    var conf = DbDiffConfig.DefaultConfigPath
+    var outName = ReportSink.DefaultOutputName
+    var demo = false
+    args.sliding(2, 1).toList.foreach {
+      case Array("-conf", v) => conf = v
+      case Array("-o", v)    => outName = v
+      case _                 =>
+    }
+    if (args.contains("--demo")) demo = true
+
+    val config =
+      if (demo && !java.nio.file.Files.exists(java.nio.file.Paths.get(conf)))
+        DbDiffConfig(DbConfig(dbType = "parquet", name = "/root/testdata/sf0.001"))
+      else DbDiffConfig.load(conf)
+    require(config.db.dbType == "parquet",
+      s"this build reads parquet lakes; JDBC dialects are wired in graft.sources.JdbcSnapshots " +
+        s"but no database is reachable from this container (got '${config.db.dbType}')")
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-dbdiff")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    println("[INITIALIZING] Collecting Table Information ...")
+    val tables = Tables.diffable
+    println(s"Table count: ${tables.length}")
+
+    // live-database abstraction: in demo mode a mutable overlay plays the
+    // operator's UPDATE/INSERT/DELETE session; otherwise each snapshot
+    // re-reads the parquet dir, so external rewrites show up
+    var mutated = false
+    val base = DbDiffApp.parquetSource(spark, config.db.name)
+    val app = new DbDiffApp(spark, tables,
+      t => if (mutated) {
+        base(t).createOrReplaceTempView(t.name)
+        spark.sql(Mutations.afterSql(t.name))
+      } else base(t))
+
+    println("[BEFORE] Collecting snapshot data... COMPLETE!")
+
+    def runOnce(): Unit = {
+      println("\n[AFTER ] Collecting snapshot data... COMPLETE!")
+      val out = ReportSink.generateOutFilename(outName, LocalDateTime.now())
+      val r = app.iterate(out)
+      println(s"[ResultOutput] See ${r.reportPath.getOrElse("(no report)")} " +
+        s"— ${r.totalChanged} changed keys across ${r.changedKeys.count(_._2 > 0)} tables")
+    }
+
+    if (demo) {
+      mutated = true; runOnce()   // iteration 1: the scripted "operations"
+      runOnce()                   // iteration 2: nothing changed since swap
+    } else {
+      val stdin = scala.io.Source.stdin.getLines()
+      print("OK, Let's do some operations, THEN HIT ANY KEY! OR type 'q' or 'exit' to quit this tool.  ")
+      while (stdin.hasNext) {
+        val line = stdin.next()
+        if (line == "q" || line == "exit") { spark.stop(); return }
+        runOnce()
+        print("OK, Let's do some operations, THEN HIT ANY KEY! OR type 'q' or 'exit' to quit this tool.  ")
+      }
+    }
+    spark.stop()
+  }
+}

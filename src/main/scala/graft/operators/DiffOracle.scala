@@ -21,10 +21,19 @@ object DiffOracle {
 
   /** Named CTEs + final SELECT for one table's full diff. `prefix` namespaces
     * the CTE names so several diffs can share one WITH clause. */
-  def diffParts(t: TableDef, afterSql: String, pk: Seq[String], prefix: String)
-      : (Seq[(String, String)], String) = {
+  def diffParts(t: TableDef, afterSql: String, pk: Seq[String], prefix: String,
+      oneWinner: Boolean = false): (Seq[(String, String)], String) = {
     val cols = t.cols
     val p = prefix
+
+    /** Mirrors [[SnapshotDiff.oneRowPerKey]]: struct-max ≡ first row under
+      * ORDER BY every column DESC in column order. */
+    def dedup(src: String): String = {
+      val ord = cols.map(c => s"$c DESC").mkString(", ")
+      s"""SELECT ${cols.mkString(", ")}, __key FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY __key ORDER BY $ord) AS __rn
+         |  FROM $src) ${src}_w WHERE __rn = 1""".stripMargin
+    }
     val bSel = cols.map(c => s"b.$c AS b_$c").mkString(", ")
     val aSel = cols.map(c => s"a.$c AS a_$c").mkString(", ")
     val mods = "COALESCE(concat_ws(',', " +
@@ -33,10 +42,17 @@ object DiffOracle {
     val aCols = cols.map(c => s"a_$c AS $c").mkString(", ")
     val head = "__key, diff_status, modified_columns"
 
-    val ctes = Seq(
+    val ctes = (if (oneWinner) Seq(
+      s"${p}_before_n0" -> normalizedSelect(t.name, t, pk),
+      s"${p}_before_n" -> dedup(s"${p}_before_n0"),
+      s"${p}_after_raw" -> afterSql,
+      s"${p}_after_n0" -> normalizedSelect(s"${p}_after_raw", t, pk),
+      s"${p}_after_n" -> dedup(s"${p}_after_n0")
+    ) else Seq(
       s"${p}_before_n" -> normalizedSelect(t.name, t, pk),
       s"${p}_after_raw" -> afterSql,
-      s"${p}_after_n" -> normalizedSelect(s"${p}_after_raw", t, pk),
+      s"${p}_after_n" -> normalizedSelect(s"${p}_after_raw", t, pk)
+    )) ++ Seq(
       s"${p}_j" ->
         s"""SELECT COALESCE(b.__key, a.__key) AS __key,
            |       (b.__key IS NOT NULL) AS in_b, (a.__key IS NOT NULL) AS in_a,
@@ -66,8 +82,9 @@ object DiffOracle {
     "WITH " + ctes.map { case (n, q) => s"$n AS (\n$q\n)" }.mkString(",\n") + "\n" + select
 
   /** Complete oracle SQL for one table's diff. */
-  def diffSql(t: TableDef, afterSql: String, pk: Seq[String]): String = {
-    val (ctes, select) = diffParts(t, afterSql, pk, t.name + "_d")
+  def diffSql(t: TableDef, afterSql: String, pk: Seq[String],
+      oneWinner: Boolean = false): String = {
+    val (ctes, select) = diffParts(t, afterSql, pk, t.name + "_d", oneWinner)
     withSql(ctes, select)
   }
 

@@ -49,6 +49,21 @@ object DiffQueries {
             .select(lit(t.name).as("table_name"), col("diff_status"), col("n_keys"))
         }.reduce(_.unionByName(_))
       }),
+      // Reference map semantics (one deterministic winner per duplicate key,
+      // extract_data.go:81) — the application-loop diff mode. lineitem is
+      // the table with real duplicate PKs, so this exercises the dedup.
+      "diff_lineitem_onewinner" -> ((spark, sfDir) => {
+        val t = Tables.lineitem
+        val before = Tables.load(spark, sfDir, t.name)
+        SnapshotDiff.diffOneWinner(before, after(spark, sfDir, t), t.pk)
+      }),
+      // Property the app loop depends on: one-winner diff(A, A) = ∅ even
+      // with duplicate keys (multiplicity diff is nonempty on lineitem).
+      "diff_identity_onewinner" -> ((spark, sfDir) => {
+        val t = Tables.lineitem
+        SnapshotDiff.diffOneWinner(
+          Tables.load(spark, sfDir, t.name), Tables.load(spark, sfDir, t.name), t.pk)
+      }),
       // P1+P2+P3 normalization exposed directly.
       "snapshot_normalize_customer" -> ((spark, sfDir) =>
         Normalize.withKey(Tables.load(spark, sfDir, "customer"), Tables.customer.pk)),
@@ -78,6 +93,10 @@ object DiffQueries {
       "diff_region_keyless" ->
         DiffOracle.diffSql(Tables.region, Mutations.afterSql("region"), Tables.region.cols),
       "diff_identity_nation" -> DiffOracle.identitySql(Tables.nation),
+      "diff_lineitem_onewinner" -> DiffOracle.diffSql(
+        Tables.lineitem, Mutations.afterSql("lineitem"), Tables.lineitem.pk, oneWinner = true),
+      "diff_identity_onewinner" -> DiffOracle.diffSql(
+        Tables.lineitem, "SELECT * FROM lineitem", Tables.lineitem.pk, oneWinner = true),
       "diff_report" ->
         DiffOracle.reportSql(Tables.diffable.map(t => t -> Mutations.afterSql(t.name))),
       "snapshot_normalize_customer" ->

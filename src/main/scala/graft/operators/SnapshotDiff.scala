@@ -119,6 +119,29 @@ object SnapshotDiff {
           col("__r.side").as("side")) ++ cols.map(c => col(s"__r.$c").as(c)): _*)
   }
 
+  /** Reference map semantics (`extract_data.go:81`): ONE row per key — a Go
+    * map insert keeps a nondeterministic winner among duplicate keys; here
+    * the winner is the lexicographic max of the normalized row (struct max,
+    * field order = column order), so reruns and retries agree. A plain
+    * hash-aggregate with map-side combine: it shares the diff join's hash
+    * partitioning on `__key`, so AQE plans no extra shuffle between the
+    * dedup and the join. Used by the application loop ([[graft.app.DbDiffApp]]),
+    * where `diff(A, A) = ∅` must hold even for duplicate-PK tables; the
+    * harness `diff_*` queries keep the information-preserving multiplicity
+    * semantics instead. */
+  def oneRowPerKey(normalized: DataFrame): DataFrame = {
+    val cols = normalized.columns.filterNot(_ == Normalize.KeyCol).toIndexedSeq
+    normalized.groupBy(col(Normalize.KeyCol))
+      .agg(max(struct(cols.map(col): _*)).as("__r"))
+      .select(col(Normalize.KeyCol) +: cols.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
+  /** [[diff]] under the reference's one-row-per-key map semantics. */
+  def diffOneWinner(before: DataFrame, after: DataFrame, pk: Seq[String]): DataFrame =
+    diffNormalized(
+      oneRowPerKey(Normalize.withKey(before, pk)),
+      oneRowPerKey(Normalize.withKey(after, pk)))
+
   /** Report aggregate: per-status logical change counts for one table's
     * diff (UPDATED emits two physical rows per key — count keys once). */
   def report(diffed: DataFrame): DataFrame =

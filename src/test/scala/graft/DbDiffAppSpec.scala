@@ -1,0 +1,114 @@
+package graft
+
+import graft.app.{DbDiffApp, DbDiffConfig, ReportSink}
+import graft.operators.Mutations
+import org.apache.spark.sql.DataFrame
+
+import java.nio.file.{Files, Paths}
+import java.time.LocalDateTime
+
+/** End-to-end parity with the reference application loop
+  * (`cmd/dbdiff/main.go:23-98`): config → snapshot → operations → diff →
+  * console + styled report → swap → next iteration sees no changes. */
+class DbDiffAppSpec extends SparkTestBase {
+
+  test("S1: parses the reference's normal config shape") {
+    val c = DbDiffConfig.parse(
+      """db:
+        |  type: postgresql
+        |  host: localhost
+        |  port: 5432
+        |  user: user1
+        |  password: pswd2
+        |  name: dbname
+        |  schema: schema.
+        |""".stripMargin)
+    assert(c.db.dbType == "postgresql")
+    assert(c.db.host == "localhost")
+    assert(c.db.port == "5432")
+    assert(c.db.user == "user1")
+    assert(c.db.password == "pswd2")
+    assert(c.db.name == "dbname")
+    assert(c.db.schema == "schema.")
+  }
+
+  test("S1: rejects the reference's invalid config shape") {
+    intercept[IllegalArgumentException] {
+      DbDiffConfig.parse("schema.\ntest\naaaa\nddd\n")
+    }
+  }
+
+  test("S9: timestamped default filename; explicit name passes through") {
+    val t = LocalDateTime.of(2026, 8, 12, 13, 4, 5)
+    assert(ReportSink.generateOutFilename(ReportSink.DefaultOutputName, t)
+      == "dbdiff_20260812_130405.html")
+    assert(ReportSink.generateOutFilename("x.html", t) == "x.html")
+  }
+
+  test("loop twice with swap: first iteration reports, second is empty") {
+    val tables = Seq(Tables.region, Tables.customer)
+    var mutated = false
+    val source = (t: TableDef) => {
+      val base = Tables.load(spark, Sf, t.name)
+      if (mutated) {
+        base.createOrReplaceTempView(t.name)
+        spark.sql(Mutations.afterSql(t.name))
+      } else base
+    }
+
+    val console = scala.collection.mutable.ArrayBuffer.empty[String]
+    val app = new DbDiffApp(spark, tables, source, console.append(_), maxConsoleRows = 10000)
+
+    assert(app.totalCount(tables.map(t => t.name -> source(t)).toMap) > 0)
+
+    // iteration 1: the "user operations" happen, then the diff sees them
+    mutated = true
+    val out1 = Files.createTempFile("dbdiff", ".html").toString
+    val r1 = app.iterate(out1)
+    assert(r1.totalChanged > 0)
+    assert(r1.changedKeys.keySet == Set("region", "customer"))
+
+    // console renderer: reference label widths, byte for byte (main.go:204-231)
+    assert(console.exists(_.startsWith("INSERTED        : (")))
+    assert(console.exists(_.startsWith("DELETED         : (")))
+    assert(console.exists(_.startsWith("UPDATED[Before] : (")))
+    assert(console.exists(_.startsWith("UPDATED[After ] : (")))
+    // row debug string shape `([col:val]...)` (extract_data.go:135-147)
+    assert(console.exists(_.contains("[r_regionkey:")))
+
+    // styled report: section per changed table, modified cells marked
+    val html1 = Files.readString(Paths.get(out1))
+    assert(html1.contains("<td>region</td>") && html1.contains("<td>customer</td>"))
+    assert(html1.contains("<td class=\"mod\">"))
+    assert(html1.contains("<th>(diff)</th>"))
+    assert(html1.contains("UPD BEFORE") && html1.contains("UPD  AFTER"))
+
+    // iteration 2: nothing changed since the swap → empty diff, empty report
+    console.clear()
+    val out2 = Files.createTempFile("dbdiff", ".html").toString
+    val r2 = app.iterate(out2)
+    assert(r2.totalChanged == 0)
+    assert(console.isEmpty)
+    val html2 = Files.readString(Paths.get(out2))
+    assert(!html2.contains("<table>"))
+  }
+
+  test("UPDATED pair renders BEFORE above AFTER for the same key") {
+    val t = Tables.region
+    Tables.load(spark, Sf, t.name).createOrReplaceTempView(t.name)
+    val after = spark.sql(Mutations.afterSql(t.name))
+    val d = graft.operators.SnapshotDiff.diff(Tables.load(spark, Sf, t.name), after, t.pk)
+    val lines = graft.operators.RenderQueries.consoleLines(d, t.cols)
+
+    val sw = new java.io.StringWriter()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    ReportSink.printConsole(lines, buf.append(_), 10000)
+    sw.close()
+    val upd = buf.filter(_.startsWith("UPDATED"))
+    assert(upd.nonEmpty && upd.length % 2 == 0)
+    upd.grouped(2).foreach { pair =>
+      assert(pair(0).startsWith("UPDATED[Before] "))
+      assert(pair(1).startsWith("UPDATED[After ] "))
+    }
+  }
+}
