@@ -28,6 +28,9 @@ object SimilarityQueries {
   val Dim = 64
   val TopK = 10
 
+  /** IVF probe width: clusters scanned per query (of 10 label clusters). */
+  val NProbe = 4
+
   /** Synthetic near-dup corpus for the LSH query (embeddings has no dups). */
   val vecCorpusSql: String =
     """SELECT vec_id, embedding FROM embeddings
@@ -61,6 +64,68 @@ object SimilarityQueries {
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
           QuantizedVec.qcosine(col("p_emb"), col("embedding"),
             col("p_nsq"), col("nsq")).as("cos"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+    }),
+    // IVF-style ANN: the 100 TB path next to the brute-force baseline.
+    // Index build = one deterministic centroid per `label` cluster (the
+    // quantized per-dimension mean — in production this is an offline
+    // k-means; the label column plays the trained assignment's role).
+    // Query = route each probe to its NProbe nearest centroids, then
+    // exact-rerank ONLY vectors assigned to those clusters: the scan is
+    // NProbe/K of the corpus instead of all of it, and every join in the
+    // plan is an equi-join (d, label) — no broadcast nested loop anywhere.
+    // The rerank inner loop is the codegen'd QuantizedDot. Recall vs the
+    // exact baseline is pinned by IvfRecallSpec.
+    "ann_ivf_topk" -> ((spark, sfDir) => {
+      val raw = Tables.load(spark, sfDir, "embeddings")
+      // quantized components (vec_id, d, qv) — shared by build + rerank
+      val qn = raw.select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("d", "v")))
+        .select(col("vec_id"), col("label"), col("d"),
+          floor(col("v").cast("double") * QuantizedVec.DefaultScale + 0.5)
+            .cast("long").as("qv"))
+        .persist() // feeds centroid build, assignment, and both rerank legs
+      // --- index build: per-label quantized mean, exact in both engines
+      // (sum < 2^53 so the double division is correctly rounded IEEE)
+      val cq = qn.groupBy(col("label"), col("d"))
+        .agg(floor(sum(col("qv")).cast("double") / count(lit(1))).cast("long").as("qc"))
+      val cnorms = cq.groupBy(col("label")).agg(sum(col("qc") * col("qc")).as("cnsq"))
+      val norms = qn.groupBy(col("vec_id")).agg(sum(col("qv") * col("qv")).as("nsq"))
+      // --- assignment: nearest centroid per vector, via the d equi-join
+      // (relational index build — the per-query hot path never does this)
+      val ascore = qn.drop("label")
+        .join(broadcast(cq), "d")
+        .groupBy(col("vec_id"), col("label")).agg(sum(col("qv") * col("qc")).as("dot"))
+        .join(norms, "vec_id").join(broadcast(cnorms), "label")
+        .select(col("vec_id"), col("label"),
+          (col("dot").cast("double") /
+            (sqrt(col("nsq").cast("double")) * sqrt(col("cnsq").cast("double")))).as("ccos"))
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("ccos").desc, col("label"))
+      val assigned = ascore.withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1).select(col("vec_id"), col("label"))
+      // --- probe routing: top-NProbe clusters per probe
+      val probeClusters = ascore.filter(col("vec_id") % 100 === 0)
+        .withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") <= NProbe)
+        .select(col("vec_id").as("probe_id"), col("label"))
+      // --- candidate gen (label equi-join) + exact codegen rerank
+      val emb = normed(raw)
+      val cand = probeClusters
+        .join(assigned.select(col("vec_id").as("neighbor_id"), col("label")), "label")
+        .filter(col("neighbor_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("neighbor_id"))
+      val scored = cand
+        .join(emb.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+          col("nsq").as("p_nsq")), "probe_id")
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+          col("nsq").as("n_nsq")), "neighbor_id")
+        .select(col("probe_id"), col("neighbor_id"),
+          QuantizedVec.qcosine(col("p_emb"), col("n_emb"),
+            col("p_nsq"), col("n_nsq")).as("cos"))
       val w = Window.partitionBy(col("probe_id"))
         .orderBy(col("cos").desc, col("neighbor_id"))
       scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -126,6 +191,52 @@ object SimilarityQueries {
          |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
          |  FROM dots JOIN norms na ON na.vec_id = probe_id
          |            JOIN norms nb ON nb.vec_id = neighbor_id)
+         |SELECT probe_id, neighbor_id, cos, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                               ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) t WHERE rank <= $TopK""".stripMargin,
+    "ann_ivf_topk" ->
+      s"""WITH corpus AS (SELECT vec_id, label, embedding FROM embeddings),
+         |qn AS (
+         |  SELECT vec_id, label, i - 1 AS d, $qv AS qv
+         |  FROM corpus, range(1, ${Dim + 1}) r(i)),
+         |norms AS (SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS nsq FROM qn GROUP BY vec_id),
+         |cq AS (
+         |  SELECT label, d, CAST(floor(CAST(SUM(qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS qc
+         |  FROM qn GROUP BY label, d),
+         |cnorms AS (SELECT label, CAST(SUM(qc * qc) AS BIGINT) AS cnsq FROM cq GROUP BY label),
+         |ascore AS (
+         |  SELECT q.vec_id, c.label,
+         |         CAST(CAST(SUM(q.qv * c.qc) AS BIGINT) AS DOUBLE) /
+         |           (sqrt(CAST(MIN(n.nsq) AS DOUBLE)) * sqrt(CAST(MIN(cn.cnsq) AS DOUBLE))) AS ccos
+         |  FROM qn q JOIN cq c ON c.d = q.d
+         |            JOIN norms n ON n.vec_id = q.vec_id
+         |            JOIN cnorms cn ON cn.label = c.label
+         |  GROUP BY q.vec_id, c.label),
+         |assigned AS (
+         |  SELECT vec_id, label FROM (
+         |    SELECT vec_id, label,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS rn
+         |    FROM ascore) t WHERE rn = 1),
+         |probeclusters AS (
+         |  SELECT vec_id AS probe_id, label FROM (
+         |    SELECT vec_id, label,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS rn
+         |    FROM ascore WHERE vec_id % 100 = 0) t WHERE rn <= $NProbe),
+         |cand AS (
+         |  SELECT p.probe_id, a.vec_id AS neighbor_id
+         |  FROM probeclusters p JOIN assigned a ON a.label = p.label
+         |  WHERE a.vec_id <> p.probe_id),
+         |pdots AS (
+         |  SELECT c.probe_id, c.neighbor_id, CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
+         |  FROM cand c JOIN qn qa ON qa.vec_id = c.probe_id
+         |              JOIN qn qb ON qb.vec_id = c.neighbor_id AND qb.d = qa.d
+         |  GROUP BY c.probe_id, c.neighbor_id),
+         |scored AS (
+         |  SELECT p.probe_id, p.neighbor_id,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
+         |  FROM pdots p JOIN norms na ON na.vec_id = p.probe_id
+         |               JOIN norms nb ON nb.vec_id = p.neighbor_id)
          |SELECT probe_id, neighbor_id, cos, rank FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
          |                               ORDER BY cos DESC, neighbor_id) AS rank

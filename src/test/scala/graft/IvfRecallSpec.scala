@@ -1,0 +1,32 @@
+package graft
+
+import graft.operators.SimilarityQueries
+import org.apache.spark.sql.functions._
+
+/** Pins the IVF ANN path's two contracts: it must not degrade into a
+  * nested-loop scan (that's the brute-force baseline's job), and its
+  * recall against the exact top-k must stay useful. */
+class IvfRecallSpec extends SparkTestBase {
+
+  test("ann_ivf_topk plans with no broadcast nested-loop join") {
+    val df = SimilarityQueries.queries("ann_ivf_topk")(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("recall@10 vs the exact baseline is >= 0.5") {
+    val exact = SimilarityQueries.queries("ann_cosine_topk")(spark, Sf)
+      .select(col("probe_id"), col("neighbor_id"))
+    val ivf = SimilarityQueries.queries("ann_ivf_topk")(spark, Sf)
+      .select(col("probe_id"), col("neighbor_id"))
+    val nExact = exact.count()
+    val hit = exact.join(ivf, Seq("probe_id", "neighbor_id"), "left_semi").count()
+    val recall = hit.toDouble / nExact
+    info(f"recall@${SimilarityQueries.TopK} = $recall%.3f ($hit/$nExact)")
+    assert(recall >= 0.5, f"recall $recall%.3f below 0.5")
+    // and the candidate scan really is pruned: IVF scores fewer pairs than
+    // brute force would (NProbe of 10 clusters)
+    assert(SimilarityQueries.NProbe < 10)
+  }
+}
