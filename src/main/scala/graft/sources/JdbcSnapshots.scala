@@ -30,6 +30,13 @@ object JdbcSnapshots {
         "WHERE table_schema = database() ORDER BY table_name"
     case "mssql" =>
       "SELECT name AS table_name FROM sys.objects WHERE type = 'U' ORDER BY name"
+    // Embedded-test dialect (also a real 4th production target): Derby has
+    // no information_schema — its catalog is the SYS.* tables.
+    case "derby" =>
+      s"""SELECT t.tablename AS table_name FROM sys.systables t
+         |JOIN sys.sysschemas s ON t.schemaid = s.schemaid
+         |WHERE t.tabletype = 'T' AND s.schemaname = '${schema.replace("'", "''")}'
+         |ORDER BY t.tablename""".stripMargin
     case d => throw new IllegalArgumentException(s"unsupported dialect: $d")
   }
 
@@ -73,6 +80,27 @@ object JdbcSnapshots {
     props.foldLeft(r)((acc, kv) => acc.option(kv._1, kv._2)).load()
   }
 
+  /** Dialect-independent PK discovery via the JDBC driver's own metadata
+    * (`DatabaseMetaData.getPrimaryKeys`), ordered by KEY_SEQ — the same
+    * ordinal-position ordering the information_schema queries produce. Used
+    * for dialects whose PK catalog isn't reachable through plain SQL (Derby
+    * exposes its index descriptors as opaque objects), and available as a
+    * fallback for any JDBC source. Driver-side, but catalog-sized (one
+    * round-trip per table), like the reference's own catalog pass. */
+  def pksViaMetadata(url: String, schema: String, table: String,
+      props: Map[String, String] = Map.empty): Seq[String] = {
+    val p = new java.util.Properties()
+    props.foreach { case (k, v) => p.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, p)
+    try {
+      val rs = conn.getMetaData.getPrimaryKeys(null, schema, table)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Short, String)]
+      while (rs.next()) buf += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+      rs.close()
+      buf.sortBy(_._1).map(_._2).toSeq
+    } finally conn.close()
+  }
+
   /** Catalog introspection: (table, pk columns) pairs. The PK-less fallback
     * (all columns as key, `dbutil.go:136-141`) is applied by the caller via
     * `TableDef.keyless` once the snapshot's schema is known. */
@@ -81,8 +109,11 @@ object JdbcSnapshots {
     val tables = jdbc(spark, url, tableListSql(dialect, schema), props)
       .collect().map(_.getString(0)).toSeq
     tables.map { t =>
-      val pks = jdbc(spark, url, pkSql(dialect, t, schema), props)
-        .collect().map(_.getString(0)).toSeq
+      val pks = dialect match {
+        case "derby" => pksViaMetadata(url, schema, t, props)
+        case _ => jdbc(spark, url, pkSql(dialect, t, schema), props)
+          .collect().map(_.getString(0)).toSeq
+      }
       (t, pks)
     }
   }
