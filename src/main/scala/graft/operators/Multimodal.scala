@@ -8,76 +8,163 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata and run a per-partition "decode / feature
   * extract" stage.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB ([[Multimodal.stubDecode]]) — it
-  * derives fake width/height from an md5 of the payload bytes. Everything
-  * around it is the real 100 TB-shape pipeline: a `binary` payload column,
-  * a typed `Dataset[MediaFeature]`, and `mapPartitions` with per-partition
-  * decoder initialization (where a codec/model handle would be opened once
-  * per task, then stream the partition's rows through it — the Scala
-  * analogue of a batched `mapInPandas` UDF).
+  * The container ships no image/audio codec libraries, so full pixel decode
+  * is out of reach — but header decode is pure JVM, and that is what this
+  * stage genuinely does: [[synthesizeMedia]] wraps each document's bytes in
+  * a REAL container format (valid PNG signature + IHDR chunk with a correct
+  * CRC-32 on even doc_ids; a BITMAPINFOHEADER BMP on odd ones), and
+  * [[decodeMedia]] recovers format and dimensions by parsing those bytes —
+  * big-endian IHDR fields behind a verified CRC for PNG, little-endian DIB
+  * fields for BMP. Nothing is threaded around the payload: if an offset,
+  * endianness, or checksum is wrong the oracle hash-gate fails, because the
+  * DuckDB oracle predicts the dimensions from the doc_id formula alone and
+  * never sees the binary.
+  *
+  * Pipeline shape is the 100 TB one: a `binary` payload column, a typed
+  * `Dataset[MediaFeature]`, and `mapPartitions` with per-partition decoder
+  * initialization (where a codec/model handle would be opened once per
+  * task — the Scala analogue of a batched `mapInPandas` UDF). Narrow
+  * end-to-end: partitioning is inherited from the scan, so at scale the
+  * decode parallelizes with the input splits and shuffles nothing.
   */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
 
   /** Typed feature row produced by the decode stage. */
   final case class MediaFeature(
-      doc_id: Long, n_bytes: Long, width: Long, height: Long, fingerprint: String)
+      doc_id: Long, format: String, n_bytes: Long, width: Long, height: Long,
+      fingerprint: String)
 
-  /** STUB decoder: a real implementation would decode the media payload
-    * here (JPEG dims, audio duration, frame samples). Deterministic fake:
-    * dimensions from the payload's md5. */
-  def stubDecode(md: java.security.MessageDigest, id: Long, bytes: Array[Byte]): MediaFeature = {
+  /** Fixture dimensions, derived from the id; the oracle uses the same
+    * formulas. Real-world analogue: whatever the original media carried. */
+  def widthOf(id: Long): Int = (16 + (id * 7) % 480).toInt
+  def heightOf(id: Long): Int = (16 + (id * 13) % 360).toInt
+
+  private val PngSig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def be32(v: Int): Array[Byte] =
+    Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array(v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+  private def le16(v: Int): Array[Byte] = Array(v.toByte, (v >>> 8).toByte)
+
+  /** A valid 33-byte PNG prelude (signature + IHDR chunk, CRC-32 computed
+    * for real) followed by the content bytes standing in for IDAT. */
+  def pngBytes(width: Int, height: Int, content: Array[Byte]): Array[Byte] = {
+    val ihdr = "IHDR".getBytes("US-ASCII") ++ be32(width) ++ be32(height) ++
+      Array[Byte](8, 2, 0, 0, 0) // bit depth, color type RGB, compression, filter, interlace
+    val crc = new java.util.zip.CRC32()
+    crc.update(ihdr)
+    PngSig ++ be32(13) ++ ihdr ++ be32(crc.getValue.toInt) ++ content
+  }
+
+  /** A valid 54-byte BMP header (BITMAPFILEHEADER + BITMAPINFOHEADER,
+    * little-endian throughout) followed by the content bytes. */
+  def bmpBytes(width: Int, height: Int, content: Array[Byte]): Array[Byte] = {
+    val total = 54 + content.length
+    "BM".getBytes("US-ASCII") ++ le32(total) ++ le32(0) ++ le32(54) ++ // file header
+      le32(40) ++ le32(width) ++ le32(height) ++ le16(1) ++ le16(24) ++ // DIB: size, w, h, planes, bpp
+      le32(0) ++ le32(content.length) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ content
+  }
+
+  /** Media synthesis: (doc_id, payload) with a genuine container header.
+    * Stands in for the lake's binary column; even ids become PNG, odd BMP. */
+  def synthesizeMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, content) =>
+        val payload =
+          if (id % 2 == 0) pngBytes(widthOf(id), heightOf(id), content)
+          else bmpBytes(widthOf(id), heightOf(id), content)
+        (id, payload)
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  private def u8(b: Byte): Int = b & 0xff
+  private def readBe32(a: Array[Byte], off: Int): Int =
+    (u8(a(off)) << 24) | (u8(a(off + 1)) << 16) | (u8(a(off + 2)) << 8) | u8(a(off + 3))
+  private def readLe32(a: Array[Byte], off: Int): Int =
+    u8(a(off)) | (u8(a(off + 1)) << 8) | (u8(a(off + 2)) << 16) | (u8(a(off + 3)) << 24)
+
+  /** Real header decode: parse format + dimensions out of the payload bytes.
+    * PNG: verify the 8-byte signature, the IHDR tag, and the chunk CRC-32,
+    * then read big-endian dims. BMP: verify the magic and BITMAPINFOHEADER
+    * size, then read little-endian dims. The fingerprint is an md5 of the
+    * content region (the bytes after the container header). */
+  def decodeMedia(md: java.security.MessageDigest, id: Long, bytes: Array[Byte]): MediaFeature = {
+    require(bytes.length >= 33, s"payload too short: ${bytes.length}")
+    val (format, w, h, contentOff) =
+      if (bytes.startsWith(PngSig)) {
+        require(new String(bytes, 12, 4, "US-ASCII") == "IHDR", "PNG: missing IHDR")
+        val crc = new java.util.zip.CRC32()
+        crc.update(bytes, 12, 17)
+        require(crc.getValue.toInt == readBe32(bytes, 29), "PNG: IHDR CRC mismatch")
+        ("png", readBe32(bytes, 16), readBe32(bytes, 20), 33)
+      } else if (bytes(0) == 'B' && bytes(1) == 'M') {
+        require(bytes.length >= 54 && readLe32(bytes, 14) == 40, "BMP: not a BITMAPINFOHEADER")
+        ("bmp", readLe32(bytes, 18), readLe32(bytes, 22), 54)
+      } else throw new IllegalArgumentException("unknown media container")
     md.reset()
-    val hex = md.digest(bytes).map("%02x".format(_)).mkString
-    val h = java.lang.Long.parseLong(hex.take(15), 16)
-    MediaFeature(id, bytes.length.toLong, 16 + h % 240, 16 + (h / 240) % 240, hex)
+    md.update(bytes, contentOff, bytes.length - contentOff)
+    val hex = md.digest().map("%02x".format(_)).mkString
+    MediaFeature(id, format, bytes.length.toLong, w.toLong, h.toLong, hex)
   }
 
   /** The decode pipeline: binary payload column → per-partition decoder →
     * typed features. Narrow (no shuffle); partitioning is inherited from
     * the scan, so at scale it parallelizes with the input splits. */
-  def decodeFeatures(spark: SparkSession, docs: DataFrame): Dataset[MediaFeature] = {
+  def decodeFeatures(spark: SparkSession, payloads: DataFrame): Dataset[MediaFeature] = {
     import spark.implicits._
-    docs
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    payloads
+      .select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition init: stands in for opening a codec/model handle
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, bytes) => stubDecode(md, id, bytes) }
+        it.map { case (id, bytes) => decodeMedia(md, id, bytes) }
       }
   }
 
+  private def features(spark: SparkSession, sfDir: String): DataFrame =
+    decodeFeatures(spark,
+      synthesizeMedia(spark, Tables.load(spark, sfDir, "documents"))).toDF()
+
   val queries: Map[String, Q] = Map(
-    "mm_decode_features" -> ((spark, sfDir) =>
-      decodeFeatures(spark, Tables.load(spark, sfDir, "documents")).toDF()),
+    "mm_decode_features" -> ((spark, sfDir) => features(spark, sfDir)),
     // metadata aggregation over the decoded features (typed Dataset → agg)
     "mm_feature_stats" -> ((spark, sfDir) =>
-      decodeFeatures(spark, Tables.load(spark, sfDir, "documents")).toDF()
-        .groupBy((col("width") % 4).as("width_bucket"))
+      features(spark, sfDir)
+        .groupBy(col("format"))
         .agg(count(lit(1)).as("n"),
           sum(col("n_bytes")).as("total_bytes"),
+          max(col("width")).as("max_width"),
           max(col("height")).as("max_height")))
   )
 
+  /** The oracle predicts every decoded field from doc_id/text alone — it
+    * never sees the binary, so it cross-checks the real parse. */
   val oracleSql: Map[String, String] = Map(
     "mm_decode_features" ->
-      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-        |       16 + (h % 240) AS width, 16 + ((h // 240) % 240) AS height,
-        |       fp AS fingerprint
-        |FROM (SELECT doc_id, text, md5(text) AS fp,
-        |             CAST(concat('0x', substr(md5(text),1,15)) AS BIGINT) AS h
-        |      FROM documents) t""".stripMargin,
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |       CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 54 END
+        |         + octet_length(encode(text)) AS n_bytes,
+        |       16 + (doc_id * 7) % 480 AS width,
+        |       16 + (doc_id * 13) % 360 AS height,
+        |       md5(text) AS fingerprint
+        |FROM documents""".stripMargin,
     "mm_feature_stats" ->
-      """SELECT width_bucket, COUNT(*) AS n, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-        |       MAX(height) AS max_height
+      """SELECT format, COUNT(*) AS n, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |       MAX(width) AS max_width, MAX(height) AS max_height
         |FROM (
-        |  SELECT (16 + (h % 240)) % 4 AS width_bucket,
-        |         octet_length(encode(text)) AS n_bytes,
-        |         16 + ((h // 240) % 240) AS height
-        |  FROM (SELECT CAST(concat('0x', substr(md5(text),1,15)) AS BIGINT) AS h, text
-        |        FROM documents) t1) t2
-        |GROUP BY width_bucket""".stripMargin
+        |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |         CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 54 END
+        |           + octet_length(encode(text)) AS n_bytes,
+        |         16 + (doc_id * 7) % 480 AS width,
+        |         16 + (doc_id * 13) % 360 AS height
+        |  FROM documents) t
+        |GROUP BY format""".stripMargin
   )
 }

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Multimodal
+
+/** Pins the real header codecs: byte-exact layout, endianness, and CRC
+  * verification — independent of the doc_id formulas the oracle uses. */
+class MultimodalSpec extends SparkTestBase {
+
+  private val md = java.security.MessageDigest.getInstance("MD5")
+  private val content = "hello, multimodal world".getBytes("UTF-8")
+
+  test("PNG round-trip: signature, big-endian IHDR dims, verified CRC") {
+    val bytes = Multimodal.pngBytes(640, 480, content)
+    // spot-pin the big-endian encoding: width 640 = 0x00000280 at offset 16
+    assert((bytes(16), bytes(17), bytes(18), bytes(19)) == (0x00.toByte, 0x00.toByte, 0x02.toByte, 0x80.toByte))
+    val f = Multimodal.decodeMedia(md, 42L, bytes)
+    assert(f.format == "png" && f.width == 640 && f.height == 480)
+    assert(f.n_bytes == 33 + content.length)
+  }
+
+  test("BMP round-trip: little-endian DIB dims") {
+    val bytes = Multimodal.bmpBytes(640, 480, content)
+    // little-endian: width 640 = 80 02 00 00 at offset 18
+    assert((bytes(18), bytes(19), bytes(20), bytes(21)) == (0x80.toByte, 0x02.toByte, 0x00.toByte, 0x00.toByte))
+    val f = Multimodal.decodeMedia(md, 43L, bytes)
+    assert(f.format == "bmp" && f.width == 640 && f.height == 480)
+    assert(f.n_bytes == 54 + content.length)
+  }
+
+  test("content fingerprint is md5 of the bytes after the header, either container") {
+    val expected = md.digest(content).map("%02x".format(_)).mkString
+    assert(Multimodal.decodeMedia(md, 1L, Multimodal.pngBytes(20, 20, content)).fingerprint == expected)
+    assert(Multimodal.decodeMedia(md, 2L, Multimodal.bmpBytes(20, 20, content)).fingerprint == expected)
+  }
+
+  test("corrupted PNG dims are rejected by the CRC check") {
+    val bytes = Multimodal.pngBytes(640, 480, content)
+    bytes(19) = 0x81.toByte // flip a width bit without fixing the CRC
+    val e = intercept[IllegalArgumentException](Multimodal.decodeMedia(md, 44L, bytes))
+    assert(e.getMessage.contains("CRC"))
+  }
+
+  test("truncated or unknown payloads are rejected") {
+    intercept[IllegalArgumentException](Multimodal.decodeMedia(md, 45L, Array.fill[Byte](80)(0x7f)))
+    intercept[IllegalArgumentException](
+      Multimodal.decodeMedia(md, 46L, Multimodal.pngBytes(20, 20, content).take(20)))
+  }
+}
