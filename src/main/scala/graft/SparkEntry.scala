@@ -18,7 +18,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     DiffQueries.queries ++ Relational.queries ++ EventsQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
-      Multimodal.queries ++ RenderQueries.queries
+      Multimodal.queries ++ RenderQueries.queries ++ SketchQueries.queries
 
   /** Headline queries timed by [[Bench]] — one representative per module
     * (the full registry runs in Verify; benching all 42 on a cold JVM
@@ -36,5 +36,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     DiffQueries.oracleSql ++ Relational.oracleSql ++ EventsQueries.oracleSql ++
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++ SimilarityQueries.oracleSql ++
-      Multimodal.oracleSql ++ RenderQueries.oracleSql
+      Multimodal.oracleSql ++ RenderQueries.oracleSql ++ SketchQueries.oracleSql
 }

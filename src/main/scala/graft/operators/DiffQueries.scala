@@ -41,13 +41,12 @@ object DiffQueries {
         SnapshotDiff.diff(before, Tables.load(spark, sfDir, "nation"), Tables.nation.pk)
       }),
       // Multi-table change report (A-series aggregates over J1 output) —
-      // uses the pre-explosion statusCounts fast path.
+      // all 9 tables fused into ONE fingerprint aggregation (no joins; see
+      // SnapshotDiff.fusedReport for the scale argument).
       "diff_report" -> ((spark, sfDir) => {
-        Tables.diffable.map { t =>
-          val before = Tables.load(spark, sfDir, t.name)
-          SnapshotDiff.statusCounts(before, after(spark, sfDir, t), t.pk)
-            .select(lit(t.name).as("table_name"), col("diff_status"), col("n_keys"))
-        }.reduce(_.unionByName(_))
+        SnapshotDiff.fusedReport(Tables.diffable.map { t =>
+          (t.name, Tables.load(spark, sfDir, t.name), after(spark, sfDir, t), t.pk)
+        })
       }),
       // Reference map semantics (one deterministic winner per duplicate key,
       // extract_data.go:81) — the application-loop diff mode. lineitem is
