@@ -300,7 +300,114 @@ object Relational {
       Tables.load(spark, sfDir, "lineitem")
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
-          sum(dec4(col("l_quantity"))).cast("double").as("sum_qty")))
+          sum(dec4(col("l_quantity"))).cast("double").as("sum_qty"))),
+    // TPC-H Q4 shape: EXISTS correlated subquery → one semi join on the
+    // order key (returnflag stands in for the commit/receipt predicate the
+    // fixture schema lacks). No row multiplication from duplicate lineitems.
+    "q4_exists_priority" -> ((spark, sfDir) => {
+      val o = Tables.load(spark, sfDir, "orders")
+      val flagged = Tables.load(spark, sfDir, "lineitem")
+        .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+      o.join(flagged, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+    // TPC-H Q8 shape: market share — 8-way join (two nation legs), CASE
+    // inside the aggregate, ratio of two decimal sums. Dimension chain
+    // (region⋈nation, supplier⋈nation, filtered part) broadcasts; the
+    // lineitem⋈orders⋈customer fact chain shuffles on its join keys only.
+    "q8_market_share" -> ((spark, sfDir) => {
+      val r = Tables.load(spark, sfDir, "region").filter(col("r_name") === "ASIA")
+      val n1 = Tables.load(spark, sfDir, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cn_rkey"))
+      val n2 = Tables.load(spark, sfDir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val p = Tables.load(spark, sfDir, "part").filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val s = Tables.load(spark, sfDir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val c = Tables.load(spark, sfDir, "customer")
+      val o = Tables.load(spark, sfDir, "orders")
+      val l = Tables.load(spark, sfDir, "lineitem")
+      val vol = dec6(col("l_extendedprice") * (lit(1) - col("l_discount")))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1.join(r, col("cn_rkey") === col("r_regionkey"))),
+          col("c_nationkey") === col("cn_key"))
+        .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_5", vol)
+            .otherwise(lit(0).cast("decimal(38,6)"))).cast("double") /
+          sum(vol).cast("double")).as("mkt_share"))
+    }),
+    // TPC-H Q9 shape: LIKE-filtered part, profit aggregated by supplier
+    // nation × year (a constant unit cost stands in for ps_supplycost —
+    // the fixture has no partsupp table).
+    "q9_profit_nation" -> ((spark, sfDir) => {
+      val p = Tables.load(spark, sfDir, "part")
+        .filter(col("p_name").contains("widget")).select(col("p_partkey"))
+      val s = Tables.load(spark, sfDir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val n = Tables.load(spark, sfDir, "nation")
+      val l = Tables.load(spark, sfDir, "lineitem")
+      val amount = dec6(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+        lit(15.0) * col("l_quantity"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).cast("long").as("o_year"))
+        .agg(sum(amount).cast("double").as("sum_profit"))
+    }),
+    // TPC-H Q12 shape: conditional aggregation — two CASE counts in one
+    // pass (linestatus stands in for shipmode).
+    "q12_priority_split" -> ((spark, sfDir) => {
+      val o = Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val l = Tables.load(spark, sfDir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT" ||
+            col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+            col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L)).as("low_line_count"))
+    }),
+    // TPC-H Q13 shape: customer order-count distribution. The status filter
+    // lives in the OUTER JOIN's ON clause — zero-order customers must
+    // survive — then two aggregation levels build the histogram.
+    "q13_custdist" -> ((spark, sfDir) => {
+      val c = Tables.load(spark, sfDir, "customer").select(col("c_custkey"))
+      val o = Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      c.join(o, col("c_custkey") === col("o_custkey") && col("o_orderstatus") =!= "F",
+          "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+    // TPC-H Q18 shape: IN over a grouped HAVING (large-quantity orders) —
+    // the subquery becomes a semi join against the aggregated frame, then
+    // the detail re-joins for the final rollup.
+    "q18_large_orders" -> ((spark, sfDir) => {
+      val l = Tables.load(spark, sfDir, "lineitem")
+      val big = l.groupBy(col("l_orderkey").as("big_okey"))
+        .agg(sum(dec4(col("l_quantity"))).cast("double").as("tot_qty"))
+        .filter(col("tot_qty") > 100.0)
+        .select(col("big_okey"))
+      val o = Tables.load(spark, sfDir, "orders")
+      val c = Tables.load(spark, sfDir, "customer")
+      o.join(big, col("o_orderkey") === col("big_okey"), "left_semi")
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(dec4(col("l_quantity"))).cast("double").as("sum_qty"))
+    })
   )
 
   private val decSum4 = (c: String) => s"CAST(SUM(CAST($c AS DECIMAL(38,4))) AS DOUBLE)"
@@ -455,6 +562,66 @@ object Relational {
     "q_cube" ->
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          |  ${decSum4("l_quantity")} AS sum_qty
-         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q4_exists_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN vol
+        |                     ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+        |         / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+        |FROM (
+        |  SELECT o_orderdate, n2.n_name AS supp_nation,
+        |         CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)) AS vol
+        |  FROM lineitem
+        |  JOIN part ON p_partkey = l_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        |  JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'ASIA'
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation n2 ON n2.n_nationkey = s_nationkey) t
+        |GROUP BY 1""".stripMargin,
+    "q9_profit_nation" ->
+      """SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) - 15.0 * l_quantity
+        |                     AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+    "q12_priority_split" ->
+      """SELECT l_linestatus,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_linestatus""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
+        |  GROUP BY c_custkey) t
+        |GROUP BY c_count""".stripMargin,
+    "q18_large_orders" ->
+      s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+         |  ${decSum4("l_quantity")} AS sum_qty
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |WHERE o_orderkey IN (
+         |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${decSum4("l_quantity")} > 100.0)
+         |GROUP BY 1, 2, 3, 4, 5""".stripMargin
   )
 }
