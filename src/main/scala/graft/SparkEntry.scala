@@ -29,7 +29,8 @@ object SparkEntry {
     "q6_sql_passthrough", "q_window_topn",
     "events_sessionize", "events_tumbling",
     "text_stats", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_near_dup", "mm_decode_features")
+    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_near_dup", "mm_decode_features",
+    "sketch_kmv_groups")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -194,14 +194,17 @@ object Relational {
           sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double")
             .as("revenue"))
     }),
-    // explicit skew-salted join; result equals the unsalted join (oracle)
+    // explicit skew-salted join; result equals the unsalted join (oracle).
+    // part is the true dimension side here (SkewJoin's contract: the
+    // replicated side must be ≪ facts — lineitem:part is ~7:1 per SF and
+    // the ratio grows with fact-table skew at scale).
     "q_skew_salted_join" -> ((spark, sfDir) => {
       val f = Tables.load(spark, sfDir, "lineitem")
-        .select(col("l_orderkey").as("okey"), col("l_extendedprice"), col("l_discount"))
-      val d = Tables.load(spark, sfDir, "orders")
-        .select(col("o_orderkey").as("okey"), col("o_orderpriority"))
-      SkewJoin.saltedInner(f, d, "okey", 8)
-        .groupBy(col("o_orderpriority"))
+        .select(col("l_partkey").as("pkey"), col("l_extendedprice"), col("l_discount"))
+      val d = Tables.load(spark, sfDir, "part")
+        .select(col("p_partkey").as("pkey"), col("p_brand"))
+      SkewJoin.saltedInner(f, d, "pkey", 8)
+        .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_items"),
           sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double")
             .as("revenue"))
@@ -503,10 +506,10 @@ object Relational {
         |   OR (p_brand = 'Brand#2' AND l_quantity >= 10 AND l_quantity <= 25
         |       AND p_size >= 5 AND p_size <= 25)""".stripMargin,
     "q_skew_salted_join" ->
-      """SELECT o_orderpriority, COUNT(*) AS n_items,
+      """SELECT p_brand, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority""".stripMargin,
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand""".stripMargin,
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  CAST(year(l_shipdate) AS BIGINT) AS l_year,

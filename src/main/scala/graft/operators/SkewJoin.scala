@@ -21,7 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
   /** Inner equi-join `facts ⋈ dims` on `key`, salting the (big, skewed)
-    * fact side. `dims` is replicated `salts`× — keep it the small side. */
+    * fact side.
+    *
+    * Contract: `dims` MUST be the much-smaller side — it is physically
+    * replicated `salts`× before the shuffle, so its post-explode size is
+    * `salts × |dims|`. If `dims` fits in a broadcast, use a plain
+    * `broadcast()` join instead (broadcast joins have no skew problem);
+    * salting is specifically for the mid-size-dimension × skewed-fact case
+    * where neither broadcast nor an even shuffle works. */
   def saltedInner(facts: DataFrame, dims: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts > 0)
     val saltExpr: Column =
