@@ -103,6 +103,7 @@ object SimilarityQueries {
         .select(col("vec_id"), col("label"),
           (col("dot").cast("double") /
             (sqrt(col("nsq").cast("double")) * sqrt(col("cnsq").cast("double")))).as("ccos"))
+        .persist() // consumed twice (assignment + probe routing): score once
       val wAssign = Window.partitionBy(col("vec_id"))
         .orderBy(col("ccos").desc, col("label"))
       val assigned = ascore.withColumn("rn", row_number().over(wAssign))

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.{DiffQueries, SnapshotDiff}
+
+/** Pins the physical-plan properties the 100 TB design depends on — not
+  * just that queries return correct rows, but that Catalyst produced the
+  * plan we argued for: filters and projections reaching the parquet scan,
+  * dimensions broadcast, the diff shuffling each side exactly once, and
+  * the fused report containing no join at all. A regression that keeps
+  * results correct but silently de-optimizes the plan fails here. */
+class PlanQualitySpec extends SparkTestBase {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString
+
+  test("q6: filters are pushed into the parquet scan") {
+    val p = plan("q6_sql_passthrough")
+    val scan = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    // non-empty pushdown including the shipdate bound (the printed filter
+    // list is truncated by Spark, so match the stable prefix)
+    assert(scan.contains("PushedFilters: [IsNotNull"), scan)
+    assert(scan.contains("GreaterThanOrEqual(l_shipda"), scan)
+  }
+
+  test("q1: scan is pruned to exactly the aggregated columns") {
+    val p = plan("q1_pricing_summary")
+    // the FileScan's projected-column list is printed untruncated
+    val scan = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    Seq("l_returnflag#", "l_linestatus#", "l_quantity#", "l_extendedprice#", "l_discount#")
+      .foreach(c => assert(scan.contains(c), scan))
+    // none of the other 6 lineitem columns should be read
+    Seq("l_orderkey#", "l_partkey#", "l_suppkey#", "l_shipdate#", "l_tax#")
+      .foreach(c => assert(!scan.contains(c), scan))
+    // codegen shows up once AQE finalizes — execute, then check
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, Sf)
+    df.collect() // drives THIS plan (count() would build a new one)
+    // whole-stage codegen renders as "*(n) Operator" in the final plan
+    val fin = df.queryExecution.executedPlan.toString
+    assert(fin.contains("*(1)") || fin.contains("WholeStageCodegen"), fin.take(2000))
+  }
+
+  test("q5: dimension chain broadcasts, no cartesian/nested-loop join") {
+    val p = plan("q5_region_volume")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
+  test("snapshot diff: one full-outer join, each side shuffled exactly once") {
+    val t = Tables.nation
+    val d = SnapshotDiff.diff(
+      Tables.load(spark, Sf, t.name), DiffQueries.after(spark, Sf, t), t.pk)
+    val p = d.queryExecution.executedPlan.toString
+    assert(p.contains("FullOuter"), p.take(2000))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"expected 2 Exchanges (one per side), got $exchanges:\n$p")
+  }
+
+  test("fused report: no join operator anywhere in the plan") {
+    val p = plan("diff_report")
+    Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+      "BroadcastNestedLoopJoin", "CartesianProduct")
+      .foreach(j => assert(!p.contains(j), s"unexpected $j in fused report plan"))
+  }
+
+  test("text_stats: scan reads only doc_id and text") {
+    val p = plan("text_stats")
+    val scan = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("doc_id#") && scan.contains("text#"), scan)
+    Seq("lang#", "source#", "n_chars#").foreach(c => assert(!scan.contains(c), scan))
+  }
+}
