@@ -18,7 +18,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     DiffQueries.queries ++ Relational.queries ++ EventsQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
-      Multimodal.queries ++ RenderQueries.queries ++ SketchQueries.queries
+      Multimodal.queries ++ RenderQueries.queries ++ SketchQueries.queries ++
+      PipelineQueries.queries
 
   /** Headline queries timed by [[Bench]] — one representative per module
     * (the full registry runs in Verify; benching all 42 on a cold JVM
@@ -37,5 +38,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     DiffQueries.oracleSql ++ Relational.oracleSql ++ EventsQueries.oracleSql ++
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++ SimilarityQueries.oracleSql ++
-      Multimodal.oracleSql ++ RenderQueries.oracleSql ++ SketchQueries.oracleSql
+      Multimodal.oracleSql ++ RenderQueries.oracleSql ++ SketchQueries.oracleSql ++
+      PipelineQueries.oracleSql
 }
