@@ -28,13 +28,28 @@ final class DbDiffApp(
     tables: Seq[TableDef],
     source: TableDef => DataFrame,
     consoleOut: String => Unit = println,
-    maxConsoleRows: Int = 200) {
+    maxConsoleRows: Int = 200,
+    pinSnapshots: Boolean = false) {
 
   import DbDiffApp.IterationResult
 
-  /** One lazy frame per table (S6). */
-  private def snapshotAll(): Map[String, DataFrame] =
-    tables.map(t => t.name -> source(t)).toMap
+  /** One frame per table (S6). With `pinSnapshots` the frame is eagerly
+    * CHECKPOINTED: a lazy frame over a MUTABLE source (a live JDBC table)
+    * would re-scan at diff time and silently see the post-mutation state on
+    * both sides — the reference materializes its before snapshot for
+    * exactly this reason (`main.go:56-60`), into driver heap; here the pin
+    * is a distributed checkpoint, so snapshot-at-time-T semantics hold
+    * without any driver materialization. Leave false for immutable sources
+    * (parquet fixture dirs) where pinning is pure cost. */
+  private def snapshotAll(): Map[String, DataFrame] = {
+    if (pinSnapshots && spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft_snapshots").toString)
+    tables.map { t =>
+      val df = source(t)
+      t.name -> (if (pinSnapshots) df.checkpoint() else df)
+    }.toMap
+  }
 
   /** Total record count across tables — the reference prints this per
     * snapshot (`main.go:59,76`). One distributed count per table, unioned
@@ -89,4 +104,27 @@ object DbDiffApp {
   /** Source over a parquet table directory (the fixture layout). */
   def parquetSource(spark: SparkSession, dir: String): TableDef => DataFrame =
     t => Tables.load(spark, dir, t.name)
+
+  /** Source over a live JDBC database — the reference's actual deployment
+    * shape (`db_impl.go:20-61`): each snapshot re-scans the table, so
+    * whatever the operator changed in the database between iterations is
+    * what the next diff sees. */
+  def jdbcSource(spark: SparkSession, url: String, schema: String,
+      props: Map[String, String] = Map.empty): TableDef => DataFrame =
+    t => graft.sources.JdbcSnapshots.snapshot(
+      spark, url, s"$schema.${t.name}", None, None, 1, props)
+
+  /** Catalog-driven table discovery over JDBC (S3/S4): table list + PKs
+    * from the live catalog, column lists from the scan schema, and the
+    * reference's keyless fallback (S5, `dbutil.go:136-141`) — a table
+    * without a PK keys on all its columns. */
+  def jdbcTables(spark: SparkSession, dialect: String, url: String, schema: String,
+      props: Map[String, String] = Map.empty): Seq[TableDef] =
+    graft.sources.JdbcSnapshots.catalog(spark, dialect, url, schema, props).map {
+      case (name, pks) =>
+        val cols = graft.sources.JdbcSnapshots
+          .snapshot(spark, url, s"$schema.$name", None, None, 1, props)
+          .columns.toSeq
+        TableDef(name, cols, if (pks.nonEmpty) pks else cols)
+    }
 }
