@@ -49,7 +49,40 @@ object EventsQueries {
         .groupBy(col("user_id"), col("session_id"))
         .agg(count(lit(1)).as("n_events"),
           (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("duration_us"),
-          sum(col("value").cast("decimal(38,4)")).cast("double").as("total_value")))
+          sum(col("value").cast("decimal(38,4)")).cast("double").as("total_value"))),
+    // AS-OF join: each click matched to the user's latest view at-or-before
+    // it. Spark has no asof operator and the naive form is an inequality
+    // join (quadratic per user); the scale-true plan is UNION the two
+    // event kinds and take a running last-view window — ONE shuffle on
+    // user_id, linear scan per user, no range explosion. The oracle is
+    // DuckDB's native ASOF LEFT JOIN over the same deduped view stream.
+    "events_asof_join" -> ((spark, sfDir) => {
+      val ev = Tables.load(spark, sfDir, "events")
+      // one view per (user, ts): makes the at-or-before winner unique, so
+      // both engines agree on ties (max event_id wins via max_by)
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("view_id"),
+          expr("max_by(value, event_id)").as("view_value"))
+        .select(col("user_id"), col("ts"), lit(0).as("__kind"),
+          col("view_id"), col("view_value"),
+          lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), lit(1).as("__kind"),
+          lit(null).cast("long").as("view_id"), lit(null).cast("double").as("view_value"),
+          col("event_id"), col("value"))
+      // views sort before clicks at equal ts (__kind 0 < 1): at-or-before
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("__kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      views.unionByName(clicks)
+        .withColumn("__asof",
+          last(when(col("__kind") === 0,
+            struct(col("view_id"), col("view_value"))), ignoreNulls = true).over(w))
+        .filter(col("__kind") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("__asof.view_id").as("view_id"), col("__asof.view_value").as("view_value"))
+    })
   )
 
   private val sessionizeSql: String =
@@ -74,6 +107,16 @@ object EventsQueries {
       s"""SELECT user_id, session_id, COUNT(*) AS n_events,
          |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
          |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
-         |FROM ($sessionizeSql) s GROUP BY user_id, session_id""".stripMargin
+         |FROM ($sessionizeSql) s GROUP BY user_id, session_id""".stripMargin,
+    "events_asof_join" ->
+      """WITH views AS (
+        |  SELECT user_id, ts, MAX(event_id) AS view_id,
+        |         arg_max(value, event_id) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        |clicks AS (
+        |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click')
+        |SELECT c.event_id, c.user_id, c.ts, c.value, v.view_id, v.view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin
   )
 }
