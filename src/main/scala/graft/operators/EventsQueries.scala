@@ -82,6 +82,22 @@ object EventsQueries {
         .filter(col("__kind") === 1)
         .select(col("event_id"), col("user_id"), col("ts"), col("value"),
           col("__asof.view_id").as("view_id"), col("__asof.view_value").as("view_value"))
+    }),
+    // Exact distributed quantiles per group — rank arithmetic over one
+    // sort, no interpolation (both engines pick the value at rank
+    // ceil(p·n), so the result is a real data value and engine-exact;
+    // approx_percentile sketches differ across engines by construction).
+    "events_value_quantiles" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      val n = Window.partitionBy(col("event_type"))
+      def pick(p: Double) =
+        max(when(col("__rn") === greatest(lit(1L), ceil(lit(p) * col("__n")).cast("long")),
+          col("value"))).as(s"p${(p * 100).toInt}")
+      Tables.load(spark, sfDir, "events")
+        .withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(n))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), pick(0.5), pick(0.9), pick(0.99))
     })
   )
 
@@ -117,6 +133,17 @@ object EventsQueries {
         |  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click')
         |SELECT c.event_id, c.user_id, c.ts, c.value, v.view_id, v.view_value
         |FROM clicks c ASOF LEFT JOIN views v
-        |  ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin
+        |  ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin,
+    "events_value_quantiles" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |  MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN value END) AS p50,
+        |  MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.9 * n) AS BIGINT)) THEN value END) AS p90,
+        |  MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.99 * n) AS BIGINT)) THEN value END) AS p99
+        |FROM r GROUP BY event_type""".stripMargin
   )
 }
