@@ -35,6 +35,12 @@ object Bench {
     // on a 5-row table so the first timed query measures the engine
     try SparkEntry.queries("diff_region")(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // warm the multi-table report too: its first execution pays codegen for
+    // all 9 mutation plans (~30-60s at sf0.1) — enough to blow the watchdog
+    // and leave a wedged task contending with the retry; warm attempts
+    // measure the plan (~5-10s), which is the number that means anything
+    try SparkEntry.queries("diff_report")(spark, sfDir).count()
+    catch { case _: Throwable => () }
 
     var attemptSeq = 0
     // Runs one attempt under `timeout`; None = timed out (cancelled),
@@ -67,7 +73,7 @@ object Bench {
       }
     }
 
-    val watchdog = 45.seconds
+    val watchdog = 60.seconds
     val attemptLog = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = SparkEntry.benchQueries
       .flatMap(name => SparkEntry.queries.get(name).map(name -> _))
