@@ -79,12 +79,20 @@ object Bench {
       .flatMap(name => SparkEntry.queries.get(name).map(name -> _))
       .map { case (name, fn) =>
         val two = Seq(attempt(name, fn, watchdog), attempt(name, fn, watchdog))
-        val ok = two.flatten.filter(_ >= 0)
+        // the environment stall (see scaladoc) wedges ~25% of attempts; when
+        // the two readings disagree wildly or one timed out, a third attempt
+        // usually lands clean and the min is the engine's number
+        val noisy = two.flatten.filter(_ >= 0) match {
+          case ok if ok.size < 2 => true
+          case ok => ok.max > 3 * ok.min && ok.max > 5.0
+        }
+        val all = if (noisy) two :+ attempt(name, fn, watchdog) else two
+        val ok = all.flatten.filter(_ >= 0)
         val sec =
           if (ok.nonEmpty) ok.min
-          else if (two.flatten.contains(-1.0)) -1.0
-          else attempt(name, fn, 10.minutes).getOrElse(-1.0) // both stalled
-        attemptLog(name) = two.map(_.getOrElse(-2.0)) // -2 marks a timeout
+          else if (all.flatten.contains(-1.0)) -1.0
+          else attempt(name, fn, 10.minutes).getOrElse(-1.0) // all stalled
+        attemptLog(name) = all.map(_.getOrElse(-2.0)) // -2 marks a timeout
         name -> sec
       }
 
