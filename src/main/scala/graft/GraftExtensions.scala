@@ -38,5 +38,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           requireArity("qnormsq(arr)", args, 1)
           QuantizedVec.QuantizedNormSq(args.head, QuantizedVec.DefaultScale)
         }))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("kmv_distinct"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.KmvSketch.KmvDistinct].getName, "kmv_distinct"),
+        (args: Seq[Expression]) => {
+          requireArity("kmv_distinct(str, k)", args, 2)
+          val k = args(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"kmv_distinct: k must be an integer literal, got $other")
+          }
+          graft.functions.KmvSketch.KmvDistinct(args.head, k).toAggregateExpression()
+        }))
   }
 }

@@ -393,6 +393,39 @@ object Relational {
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
     }),
+    // TPC-H Q10 shape: returned-item report — 4-way join filtered to
+    // returned lineitems, grouped per customer, top-20 by revenue.
+    "q10_returned_topk" -> ((spark, sfDir) => {
+      val c = Tables.load(spark, sfDir, "customer")
+      val o = Tables.load(spark, sfDir, "orders")
+      val l = Tables.load(spark, sfDir, "lineitem").filter(col("l_returnflag") === "R")
+      val n = Tables.load(spark, sfDir, "nation")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double")
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+    // TPC-H Q15 shape: top supplier by revenue — the grouped view consumed
+    // twice (per-supplier revenue + its max) with the max applied as a lazy
+    // broadcast scalar, never a driver-side action.
+    "q15_top_supplier" -> ((spark, sfDir) => {
+      val rev = Tables.load(spark, sfDir, "lineitem")
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+        .filter(col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")))).cast("double")
+          .as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("__max_rev"))
+      Tables.load(spark, sfDir, "supplier")
+        .join(rev, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(broadcast(maxRev))
+        .filter(col("total_revenue") === col("__max_rev"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    }),
     // TPC-H Q18 shape: IN over a grouped HAVING (large-quantity orders) —
     // the subquery becomes a semi join against the aggregated frame, then
     // the detail re-joins for the final rollup.
@@ -616,6 +649,27 @@ object Relational {
         |    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
         |  GROUP BY c_custkey) t
         |GROUP BY c_count""".stripMargin,
+    "q10_returned_topk" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey AND l_returnflag = 'R'
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+        |           AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""".stripMargin,
     "q18_large_orders" ->
       s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
          |  ${decSum4("l_quantity")} AS sum_qty

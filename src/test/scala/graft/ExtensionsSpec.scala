@@ -22,6 +22,13 @@ class ExtensionsSpec extends SparkTestBase {
       val r = s.sql("SELECT qdot(a, b) AS d, qnormsq(a) AS n FROM v").collect().head
       assert(r.getLong(0) == 1000000L * 3000000L + 2000000L * 4000000L)
       assert(r.getLong(1) == 1000000L * 1000000L + 2000000L * 2000000L)
+
+      // the KMV sketch aggregate from plain SQL: 3 distinct of 4 rows,
+      // below k → exact count in milli-units
+      (1 to 4).map(i => (if (i == 4) "x1" else s"x$i")).toDF("x")
+        .createOrReplaceTempView("kv")
+      val k = s.sql("SELECT kmv_distinct(x, 16) AS nd FROM kv").collect().head
+      assert(k.getLong(0) == 3000L)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
