@@ -75,26 +75,44 @@ object Bench {
 
     val watchdog = 60.seconds
     val attemptLog = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    val results = SparkEntry.benchQueries
+    val named = SparkEntry.benchQueries
       .flatMap(name => SparkEntry.queries.get(name).map(name -> _))
-      .map { case (name, fn) =>
-        val two = Seq(attempt(name, fn, watchdog), attempt(name, fn, watchdog))
-        // the environment stall (see scaladoc) wedges ~25% of attempts; when
-        // the two readings disagree wildly or one timed out, a third attempt
-        // usually lands clean and the min is the engine's number
-        val noisy = two.flatten.filter(_ >= 0) match {
-          case ok if ok.size < 2 => true
-          case ok => ok.max > 3 * ok.min && ok.max > 5.0
-        }
-        val all = if (noisy) two :+ attempt(name, fn, watchdog) else two
-        val ok = all.flatten.filter(_ >= 0)
-        val sec =
-          if (ok.nonEmpty) ok.min
-          else if (all.flatten.contains(-1.0)) -1.0
-          else attempt(name, fn, 10.minutes).getOrElse(-1.0) // all stalled
-        attemptLog(name) = all.map(_.getOrElse(-2.0)) // -2 marks a timeout
-        name -> sec
+
+    // Pass 1: best-of-2 per query (adaptive 3rd when the readings disagree
+    // wildly — the environment stall wedges ~25% of attempts and a clean
+    // retry is the engine's number). Queries still unresolved are NOT
+    // retried in place: the stall arrives in multi-minute waves, so
+    // back-to-back retries die together — they go to the end of the run,
+    // by which time the wave has usually passed.
+    val deferred = scala.collection.mutable.ArrayBuffer[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]()
+    val firstPass = named.map { case (name, fn) =>
+      val two = Seq(attempt(name, fn, watchdog), attempt(name, fn, watchdog))
+      val noisy = two.flatten.filter(_ >= 0) match {
+        case ok if ok.size < 2 => true
+        case ok => ok.max > 3 * ok.min && ok.max > 5.0
       }
+      val all = if (noisy && two.flatten.exists(_ >= 0)) two :+ attempt(name, fn, watchdog) else two
+      attemptLog(name) = all.map(_.getOrElse(-2.0)) // -2 marks a timeout
+      val ok = all.flatten.filter(_ >= 0)
+      if (ok.isEmpty && !all.flatten.contains(-1.0)) deferred += (name -> fn)
+      name -> (if (ok.nonEmpty) ok.min else -1.0)
+    }.toMap
+
+    // Pass 2: deferred queries get two more watchdogged shots, then one
+    // generous-but-finite attempt — Bench never hangs unboundedly.
+    val results = named.map { case (name, fn) =>
+      val v =
+        if (!deferred.exists(_._1 == name)) firstPass(name)
+        else {
+          val more = Seq(attempt(name, fn, watchdog), attempt(name, fn, watchdog))
+          val ok = more.flatten.filter(_ >= 0)
+          val fin = if (ok.nonEmpty) ok.min
+            else attempt(name, fn, 10.minutes).getOrElse(-1.0)
+          attemptLog(name) = attemptLog(name) ++ more.map(_.getOrElse(-2.0))
+          fin
+        }
+      name -> v
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
