@@ -40,9 +40,10 @@ object DbDiffMain {
       if (demo && !java.nio.file.Files.exists(java.nio.file.Paths.get(conf)))
         DbDiffConfig(DbConfig(dbType = "parquet", name = "/root/testdata/sf0.001"))
       else DbDiffConfig.load(conf)
-    require(config.db.dbType == "parquet",
-      s"this build reads parquet lakes; JDBC dialects are wired in graft.sources.JdbcSnapshots " +
-        s"but no database is reachable from this container (got '${config.db.dbType}')")
+    val jdbcDialects = Set("postgresql", "mysql", "mssql", "derby")
+    require(config.db.dbType == "parquet" || jdbcDialects(config.db.dbType),
+      s"db type must be 'parquet' or one of ${jdbcDialects.mkString("/")}, " +
+        s"got '${config.db.dbType}'")
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
@@ -54,19 +55,32 @@ object DbDiffMain {
     spark.sparkContext.setLogLevel("WARN")
 
     println("[INITIALIZING] Collecting Table Information ...")
-    val tables = Tables.diffable
-    println(s"Table count: ${tables.length}")
 
-    // live-database abstraction: in demo mode a mutable overlay plays the
-    // operator's UPDATE/INSERT/DELETE session; otherwise each snapshot
-    // re-reads the parquet dir, so external rewrites show up
+    // live-database abstraction: JDBC configs catalog and scan the live
+    // database (with checkpoint-pinned snapshots — a lazy frame over a
+    // mutable table would see post-mutation state on both diff sides); in
+    // parquet demo mode a mutable overlay plays the operator's
+    // UPDATE/INSERT/DELETE session
     var mutated = false
-    val base = DbDiffApp.parquetSource(spark, config.db.name)
-    val app = new DbDiffApp(spark, tables,
-      t => if (mutated) {
-        base(t).createOrReplaceTempView(t.name)
-        spark.sql(Mutations.afterSql(t.name))
-      } else base(t))
+    val (tables, source, pin) =
+      if (jdbcDialects(config.db.dbType)) {
+        val url = graft.sources.JdbcSnapshots.jdbcUrl(
+          config.db.dbType, config.db.host, config.db.port, config.db.name)
+        val props = Map("user" -> config.db.user, "password" -> config.db.password)
+          .filter(_._2.nonEmpty)
+        (DbDiffApp.jdbcTables(spark, config.db.dbType, url, config.db.schema, props),
+          DbDiffApp.jdbcSource(spark, url, config.db.schema, props), true)
+      } else {
+        val base = DbDiffApp.parquetSource(spark, config.db.name)
+        val overlay: graft.TableDef => org.apache.spark.sql.DataFrame =
+          t => if (mutated) {
+            base(t).createOrReplaceTempView(t.name)
+            spark.sql(Mutations.afterSql(t.name))
+          } else base(t)
+        (Tables.diffable, overlay, false)
+      }
+    println(s"Table count: ${tables.length}")
+    val app = new DbDiffApp(spark, tables, source, pinSnapshots = pin)
 
     println("[BEFORE] Collecting snapshot data... COMPLETE!")
 

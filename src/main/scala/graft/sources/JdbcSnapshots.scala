@@ -21,6 +21,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     is source-agnostic.
   */
 object JdbcSnapshots {
+  /** JDBC connection string per dialect — the engine-side analogue of the
+    * reference's DSN builders (`db_impl.go:20-61`): postgres/mysql/mssql
+    * from host+port+database, plus embedded Derby (database = path or
+    * `memory:name`). Credentials travel as JDBC properties, not in the URL. */
+  def jdbcUrl(dialect: String, host: String, port: String, database: String): String =
+    dialect match {
+      case "postgresql" => s"jdbc:postgresql://$host:$port/$database"
+      case "mysql"      => s"jdbc:mysql://$host:$port/$database"
+      case "mssql"      => s"jdbc:sqlserver://$host:$port;databaseName=$database"
+      case "derby"      => s"jdbc:derby:$database"
+      case d => throw new IllegalArgumentException(s"unsupported dialect: $d")
+    }
+
   /** Reference catalog queries per dialect (`dbutil.go:9-38`). */
   def tableListSql(dialect: String, schema: String): String = dialect match {
     case "postgresql" =>

@@ -37,6 +37,14 @@ class DerbyJdbcSpec extends SparkTestBase {
     } finally conn.close()
   }
 
+  test("jdbcUrl builds the reference's connection-string shapes") {
+    assert(JdbcSnapshots.jdbcUrl("postgresql", "h", "5432", "db") == "jdbc:postgresql://h:5432/db")
+    assert(JdbcSnapshots.jdbcUrl("mysql", "h", "3306", "db") == "jdbc:mysql://h:3306/db")
+    assert(JdbcSnapshots.jdbcUrl("mssql", "h", "1433", "db") == "jdbc:sqlserver://h:1433;databaseName=db")
+    assert(JdbcSnapshots.jdbcUrl("derby", "", "", "memory:x") == "jdbc:derby:memory:x")
+    intercept[IllegalArgumentException](JdbcSnapshots.jdbcUrl("oracle", "h", "1", "db"))
+  }
+
   test("catalog: table list via SYS catalog query + PKs via driver metadata") {
     seeded
     val cat = JdbcSnapshots.catalog(spark, "derby", url, "APP")
