@@ -45,14 +45,8 @@ object DbDiffMain {
       s"db type must be 'parquet' or one of ${jdbcDialects.mkString("/")}, " +
         s"got '${config.db.dbType}'")
 
-    val spark = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
-      .appName("graft-dbdiff")
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.GraftSession.create(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"), "graft-dbdiff")
 
     println("[INITIALIZING] Collecting Table Information ...")
 
