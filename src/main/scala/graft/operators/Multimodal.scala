@@ -131,8 +131,28 @@ object Multimodal {
     decodeFeatures(spark,
       synthesizeMedia(spark, Tables.load(spark, sfDir, "documents"))).toDF()
 
+  /** Aspect-preserving thumbnail geometry: the scale factor that fits the
+    * decoded frame inside `box`×`box` without upscaling, and the resulting
+    * dimensions. Exact integer arithmetic (floor of a scaled ratio), so the
+    * oracle reproduces it; a real resize stage would apply this geometry to
+    * the pixel buffer in the same per-partition decoder. */
+  val ThumbBox = 64L
+  // scale = min(box, max(w,h)) / max(w,h) (never upscale):
+  // thumb = max(1, floor(d * scale)); exact-parity double arithmetic
+  private def thumbDim(d: org.apache.spark.sql.Column, w: org.apache.spark.sql.Column,
+      h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    greatest(lit(1L),
+      floor(d * least(lit(ThumbBox), greatest(w, h)) / greatest(w, h)).cast("long"))
+
   val queries: Map[String, Q] = Map(
     "mm_decode_features" -> ((spark, sfDir) => features(spark, sfDir)),
+    // downstream geometry stage over the decoded dims — narrow, codegen'd
+    "mm_thumbnail_geometry" -> ((spark, sfDir) => {
+      val f = features(spark, sfDir)
+      f.select(col("doc_id"), col("format"), col("width"), col("height"),
+        thumbDim(col("width"), col("width"), col("height")).as("thumb_w"),
+        thumbDim(col("height"), col("width"), col("height")).as("thumb_h"))
+    }),
     // metadata aggregation over the decoded features (typed Dataset → agg)
     "mm_feature_stats" -> ((spark, sfDir) =>
       features(spark, sfDir)
@@ -146,6 +166,18 @@ object Multimodal {
   /** The oracle predicts every decoded field from doc_id/text alone — it
     * never sees the binary, so it cross-checks the real parse. */
   val oracleSql: Map[String, String] = Map(
+    "mm_thumbnail_geometry" ->
+      s"""SELECT doc_id, format, width, height,
+         |  GREATEST(1, CAST(floor(width * LEAST($ThumbBox, GREATEST(width, height))
+         |      / GREATEST(width, height)) AS BIGINT)) AS thumb_w,
+         |  GREATEST(1, CAST(floor(height * LEAST($ThumbBox, GREATEST(width, height))
+         |      / GREATEST(width, height)) AS BIGINT)) AS thumb_h
+         |FROM (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+         |         16 + (doc_id * 7) % 480 AS width,
+         |         16 + (doc_id * 13) % 360 AS height
+         |  FROM documents) t""".stripMargin,
     "mm_decode_features" ->
       """SELECT doc_id,
         |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,

@@ -304,6 +304,15 @@ object Relational {
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           sum(dec4(col("l_quantity"))).cast("double").as("sum_qty"))),
+    // explicit GROUPING SETS (neither rollup nor cube): two named slices in
+    // one aggregation pass, via the SQL surface
+    "q_grouping_sets" -> ((spark, sfDir) => {
+      Tables.load(spark, sfDir, "orders").createOrReplaceTempView("orders")
+      spark.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+          |FROM orders
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin)
+    }),
     // TPC-H Q4 shape: EXISTS correlated subquery → one semi join on the
     // order key (returnflag stands in for the commit/receipt predicate the
     // fixture schema lacks). No row multiplication from duplicate lineitems.
@@ -649,6 +658,10 @@ object Relational {
         |    ON c_custkey = o_custkey AND o_orderstatus <> 'F'
         |  GROUP BY c_custkey) t
         |GROUP BY c_count""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
     "q10_returned_topk" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
         |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
