@@ -38,6 +38,24 @@ object Bench {
     catch { case _: Throwable => () }
 
     var attemptSeq = 0
+    // A cancelled attempt's wedged task can ignore its interrupt and keep a
+    // core at 100% for 70-150s; if the next attempt starts immediately, the
+    // zombie contends with it and the *next* query's time is contaminated
+    // (observed: q1 at 18-20s right after a diff_report timeout, 0.5s in
+    // isolation). Wait — bounded, untimed — for active stages to drain
+    // before starting any attempt's clock.
+    def quiesce(maxWaitSec: Int): Unit = {
+      val tracker = spark.sparkContext.statusTracker
+      // a killed task that ignores its interrupt stays in the executor's
+      // running-task count until the thread actually exits — that count,
+      // not active-stage ids (the cancelled stage retires immediately), is
+      // what detects the zombie
+      def busy = tracker.getActiveStageIds().nonEmpty ||
+        tracker.getExecutorInfos.exists(_.numRunningTasks() > 0)
+      val t0 = System.nanoTime()
+      while (busy && (System.nanoTime() - t0) / 1e9 < maxWaitSec)
+        Thread.sleep(200)
+    }
     // Runs one attempt under `timeout`; None = timed out (cancelled),
     // Some(-1) = query error, Some(sec) = success.
     def attempt(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
@@ -48,6 +66,7 @@ object Bench {
       // attempt pays the full plan cost — best-of-2 must not measure a
       // warm cache left by the previous attempt
       spark.catalog.clearCache()
+      quiesce(150)
       val t0 = System.nanoTime()
       val f = Future {
         spark.sparkContext.setJobGroup(group, group, interruptOnCancel = true)
@@ -94,25 +113,31 @@ object Bench {
     }.toMap
 
     // Pass 2: deferred queries get two more watchdogged shots, then one
-    // generous-but-finite attempt — Bench never hangs unboundedly.
+    // generous-but-finite attempt — Bench never hangs unboundedly. The
+    // fallback attempt is logged too, so the attempts/timeouts counters
+    // cover exactly the most-stalled queries.
     val results = named.map { case (name, fn) =>
       val v =
         if (!deferred.exists(_._1 == name)) firstPass(name)
         else {
           val more = Seq(attempt(name, fn, watchdog), attempt(name, fn, watchdog))
           val ok = more.flatten.filter(_ >= 0)
-          val fin = if (ok.nonEmpty) ok.min
-            else attempt(name, fn, 10.minutes).getOrElse(-1.0)
-          attemptLog(name) = attemptLog(name) ++ more.map(_.getOrElse(-2.0))
+          val (fin, logged) =
+            if (ok.nonEmpty) (ok.min, more)
+            else { val fb = attempt(name, fn, 10.minutes); (fb.getOrElse(-1.0), more :+ fb) }
+          attemptLog(name) = attemptLog(name) ++ logged.map(_.getOrElse(-2.0))
           fin
         }
       name -> v
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // JSON must be locale-independent: f"%.3f" honours the JVM default
+    // locale (a ',' decimal separator would emit invalid JSON).
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     val att = attemptLog.map { case (k, vs) =>
-      "\"" + k + "\":[" + vs.map(v => f"$v%.3f").mkString(",") + "]"
+      "\"" + k + "\":[" + vs.map(num).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val timeouts = attemptLog.valuesIterator.flatten.count(_ == -2.0)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum

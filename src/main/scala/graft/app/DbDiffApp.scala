@@ -34,21 +34,40 @@ final class DbDiffApp(
   import DbDiffApp.IterationResult
 
   /** One frame per table (S6). With `pinSnapshots` the frame is eagerly
-    * CHECKPOINTED: a lazy frame over a MUTABLE source (a live JDBC table)
-    * would re-scan at diff time and silently see the post-mutation state on
-    * both sides — the reference materializes its before snapshot for
-    * exactly this reason (`main.go:56-60`), into driver heap; here the pin
-    * is a distributed checkpoint, so snapshot-at-time-T semantics hold
-    * without any driver materialization. Leave false for immutable sources
-    * (parquet fixture dirs) where pinning is pure cost. */
-  private def snapshotAll(): Map[String, DataFrame] = {
-    if (pinSnapshots && spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft_snapshots").toString)
-    tables.map { t =>
-      val df = source(t)
-      t.name -> (if (pinSnapshots) df.checkpoint() else df)
-    }.toMap
+    * MATERIALIZED to a per-snapshot parquet directory and read back: a lazy
+    * frame over a MUTABLE source (a live JDBC table) would re-scan at diff
+    * time and silently see the post-mutation state on both sides — the
+    * reference materializes its before snapshot for exactly this reason
+    * (`main.go:56-60`), into driver heap; here the pin is a distributed
+    * write, so snapshot-at-time-T semantics hold without any driver
+    * materialization. The app owns the pin directories, and [[iterate]]
+    * deletes a snapshot's directory as soon as the swap retires it — a
+    * long-running loop holds at most two pinned snapshots on disk (RDD
+    * `checkpoint()` would instead accumulate files for the life of the
+    * session). Leave false for immutable sources (parquet fixture dirs)
+    * where pinning is pure cost. */
+  private lazy val pinRoot: java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory("graft_snapshots")
+  private var pinSeq = 0
+
+  private def snapshotAll(): (Map[String, DataFrame], Option[java.nio.file.Path]) =
+    if (!pinSnapshots) (tables.map(t => t.name -> source(t)).toMap, None)
+    else {
+      pinSeq += 1
+      val dir = pinRoot.resolve(s"snap_$pinSeq")
+      val m = tables.map { t =>
+        val path = dir.resolve(t.name).toString
+        source(t).write.parquet(path)
+        t.name -> spark.read.parquet(path)
+      }.toMap
+      (m, Some(dir))
+    }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
   }
 
   /** Total record count across tables — the reference prints this per
@@ -58,13 +77,16 @@ final class DbDiffApp(
     snap.values.map(_.agg(count(lit(1)).as("n"))).reduce(_.unionAll(_))
       .agg(sum(col("n")).as("total")).head().getLong(0)
 
-  private var before: Map[String, DataFrame] = snapshotAll()
+  private var beforePin: Option[java.nio.file.Path] = None
+  private var before: Map[String, DataFrame] = {
+    val (m, pin) = snapshotAll(); beforePin = pin; m
+  }
 
   /** Runs one BEFORE→AFTER→diff→report→swap iteration. Writes the styled
     * HTML report to `outName` (empty = skip file), prints console diff lines,
     * returns per-table changed-key counts. */
   def iterate(outName: String = ""): IterationResult = {
-    val after = snapshotAll()
+    val (after, afterPin) = snapshotAll()
 
     // one-winner mode: the reference keeps one map entry per key, so its
     // loop's diff(A, A) = ∅ holds even for duplicate-PK tables — ours must too
@@ -92,6 +114,11 @@ final class DbDiffApp(
     } else None
 
     before = after // the swap, `main.go:83`
+    // every action on the retired snapshot has run by now (console lines,
+    // changed counts, report rows) — its pin directory is dead; delete it so
+    // a long-running loop holds at most two pinned snapshots on disk
+    beforePin.foreach(deleteRecursively)
+    beforePin = afterPin
     IterationResult(changed, reportPath)
   }
 }

@@ -42,7 +42,7 @@ object DbDiffConfig {
     var section: Option[String] = None
     var fields = Map.empty[(String, String), String]
     text.linesIterator.zipWithIndex.foreach { case (raw, i) =>
-      val line = raw.replaceFirst("#.*$", "")
+      val line = stripComment(raw)
       if (line.trim.nonEmpty) {
         if (line.contains('\t'))
           fail(i, raw, "tabs are not valid YAML indentation")
@@ -64,6 +64,22 @@ object DbDiffConfig {
     DbDiffConfig(DbConfig(
       dbType = f("type"), host = f("host"), port = f("port"), user = f("user"),
       password = f("password"), name = f("name"), schema = f("schema")))
+  }
+
+  /** YAML treats `#` as a comment only at line start or after whitespace,
+    * and never inside a quoted scalar — `password: "p#ss"` keeps its hash. */
+  private def stripComment(raw: String): String = {
+    var quote: Char = 0
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '#' && (i == 0 || raw.charAt(i - 1).isWhitespace))
+        return raw.substring(0, i)
+      i += 1
+    }
+    raw
   }
 
   private def unquote(v: String): String =
