@@ -38,6 +38,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           requireArity("qnormsq(arr)", args, 1)
           QuantizedVec.QuantizedNormSq(args.head, QuantizedVec.DefaultScale)
         }))
+    // Runtime-filter building blocks, exposed as user-callable SQL: Spark
+    // applies its internal bloom machinery only through the optimizer's
+    // InjectRuntimeFilter rule; registering the same expressions lets a
+    // query author build an explicit semi-join prune (build a filter over
+    // the small side's keys, test it before the exact join — false
+    // positives removed by the join, no false negatives by construction).
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+          "bloom_agg"),
+        (args: Seq[Expression]) => {
+          requireArity("bloom_agg(key, n_items)", args, 2)
+          val n = args(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+            case other => throw new IllegalArgumentException(
+              s"bloom_agg: n_items must be an integer literal, got $other")
+          }
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args.head)), n)
+            .toAggregateExpression()
+        }))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_contains"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+          "bloom_contains"),
+        (args: Seq[Expression]) => {
+          requireArity("bloom_contains(filter, key)", args, 2)
+          org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args.head,
+            new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args(1))))
+        }))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("kmv_distinct"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -83,6 +83,22 @@ object EventsQueries {
         .select(col("event_id"), col("user_id"), col("ts"), col("value"),
           col("__asof.view_id").as("view_id"), col("__asof.view_value").as("view_value"))
     }),
+    // Range join: events matched to OVERLAPPING value bands (each value
+    // hits 2-3 of the 125 bands [4i, 4i+10)) — a genuine inequality join,
+    // planned as a bucketized EQUI-join by [[RangeJoin.bucketized]]: no
+    // broadcast-nested-loop, no quadratic pair enumeration (scale notes on
+    // the operator). The band table is generated, not read, so the oracle
+    // derives the identical table with DuckDB's range().
+    "events_range_join" -> ((spark, sfDir) => {
+      val bands = spark.range(0, 125).toDF("band_id")
+        .withColumn("lo", col("band_id").cast("double") * 4.0)
+        .withColumn("hi", col("band_id").cast("double") * 4.0 + 10.0)
+      val ev = Tables.load(spark, sfDir, "events")
+      RangeJoin.bucketized(ev, bands, "value", "lo", "hi", 4.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(38,4)")).cast("double").as("sum_value"))
+    }),
     // Exact distributed quantiles per group — rank arithmetic over one
     // sort, no interpolation (both engines pick the value at rank
     // ceil(p·n), so the result is a real data value and engine-exact;
@@ -134,6 +150,14 @@ object EventsQueries {
         |SELECT c.event_id, c.user_id, c.ts, c.value, v.view_id, v.view_value
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND v.ts <= c.ts""".stripMargin,
+    "events_range_join" ->
+      """WITH bands AS (
+        |  SELECT i AS band_id, i * 4.0 AS lo, i * 4.0 + 10.0 AS hi
+        |  FROM range(125) t(i))
+        |SELECT band_id, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
+        |FROM bands b JOIN events e ON e.value >= b.lo AND e.value < b.hi
+        |GROUP BY band_id""".stripMargin,
     "events_value_quantiles" ->
       """WITH r AS (
         |  SELECT event_type, value,

@@ -87,6 +87,74 @@ object Multimodal {
     (u8(a(off)) << 24) | (u8(a(off + 1)) << 16) | (u8(a(off + 2)) << 8) | u8(a(off + 3))
   private def readLe32(a: Array[Byte], off: Int): Int =
     u8(a(off)) | (u8(a(off + 1)) << 8) | (u8(a(off + 2)) << 16) | (u8(a(off + 3)) << 24)
+  private def readLe16(a: Array[Byte], off: Int): Int =
+    u8(a(off)) | (u8(a(off + 1)) << 8)
+
+  // ---- audio: RIFF/WAVE (canonical 44-byte PCM header) ----
+
+  /** Typed feature row produced by the audio decode stage. */
+  final case class AudioFeature(
+      doc_id: Long, sample_rate: Long, n_channels: Long, bits_per_sample: Long,
+      n_samples: Long, duration_ms: Long, n_bytes: Long, fingerprint: String)
+
+  /** Fixture audio params from the id; the oracle uses the same formulas. */
+  def rateOf(id: Long): Int = (8000 + (id * 31) % 40000).toInt
+  def channelsOf(id: Long): Int = (1 + id % 2).toInt
+
+  /** A valid canonical 44-byte WAV header (RIFF + fmt + data chunks, PCM
+    * 16-bit, little-endian throughout) followed by the content bytes as the
+    * data chunk. */
+  def wavBytes(rate: Int, channels: Int, content: Array[Byte]): Array[Byte] = {
+    val blockAlign = channels * 2
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + content.length) ++
+      "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(channels) ++
+      le32(rate) ++ le32(rate * blockAlign) ++ le16(blockAlign) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(content.length) ++ content
+  }
+
+  /** Real WAV header decode: verify the RIFF/WAVE/fmt/data tags and the
+    * PCM byte-rate consistency, then derive sample count and duration from
+    * the parsed fields with integer (floor) arithmetic — the oracle
+    * reproduces both with `//` floor division and never sees the binary. */
+  def decodeWav(md: java.security.MessageDigest, id: Long, bytes: Array[Byte]): AudioFeature = {
+    require(bytes.length >= 44, s"payload too short for WAV: ${bytes.length}")
+    require(new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(bytes, 8, 4, "US-ASCII") == "WAVE", "WAV: bad RIFF/WAVE tags")
+    require(new String(bytes, 12, 4, "US-ASCII") == "fmt " && readLe32(bytes, 16) == 16,
+      "WAV: missing canonical fmt chunk")
+    require(readLe16(bytes, 20) == 1, "WAV: not PCM")
+    val channels = readLe16(bytes, 22)
+    val rate = readLe32(bytes, 24)
+    val blockAlign = readLe16(bytes, 32)
+    val bits = readLe16(bytes, 34)
+    require(blockAlign == channels * bits / 8, "WAV: inconsistent block align")
+    require(readLe32(bytes, 28) == rate * blockAlign, "WAV: inconsistent byte rate")
+    require(new String(bytes, 36, 4, "US-ASCII") == "data", "WAV: missing data chunk")
+    val dataLen = readLe32(bytes, 40)
+    require(dataLen == bytes.length - 44, "WAV: data length mismatch")
+    val nSamples = dataLen.toLong / blockAlign
+    val durationMs = nSamples * 1000L / rate
+    md.reset()
+    md.update(bytes, 44, dataLen)
+    val hex = md.digest().map("%02x".format(_)).mkString
+    AudioFeature(id, rate.toLong, channels.toLong, bits.toLong, nSamples, durationMs,
+      bytes.length.toLong, hex)
+  }
+
+  /** Audio synthesis + decode pipeline twin of [[synthesizeMedia]] /
+    * [[decodeFeatures]]: same narrow per-partition shape, WAV container. */
+  def audioFeatures(spark: SparkSession, docs: DataFrame): Dataset[AudioFeature] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, content) =>
+          decodeWav(md, id, wavBytes(rateOf(id), channelsOf(id), content))
+        }
+      }
+  }
 
   /** Real header decode: parse format + dimensions out of the payload bytes.
     * PNG: verify the 8-byte signature, the IHDR tag, and the chunk CRC-32,
@@ -153,6 +221,10 @@ object Multimodal {
         thumbDim(col("width"), col("width"), col("height")).as("thumb_w"),
         thumbDim(col("height"), col("width"), col("height")).as("thumb_h"))
     }),
+    // audio twin of mm_decode_features: WAV header parse, floor-derived
+    // sample count and duration
+    "mm_audio_features" -> ((spark, sfDir) =>
+      audioFeatures(spark, Tables.load(spark, sfDir, "documents")).toDF()),
     // metadata aggregation over the decoded features (typed Dataset → agg)
     "mm_feature_stats" -> ((spark, sfDir) =>
       features(spark, sfDir)
@@ -185,6 +257,17 @@ object Multimodal {
         |         + octet_length(encode(text)) AS n_bytes,
         |       16 + (doc_id * 7) % 480 AS width,
         |       16 + (doc_id * 13) % 360 AS height,
+        |       md5(text) AS fingerprint
+        |FROM documents""".stripMargin,
+    "mm_audio_features" ->
+      """SELECT doc_id,
+        |       8000 + (doc_id * 31) % 40000 AS sample_rate,
+        |       1 + doc_id % 2 AS n_channels,
+        |       CAST(16 AS BIGINT) AS bits_per_sample,
+        |       octet_length(encode(text)) // (2 * (1 + doc_id % 2)) AS n_samples,
+        |       (octet_length(encode(text)) // (2 * (1 + doc_id % 2)) * 1000)
+        |         // (8000 + (doc_id * 31) % 40000) AS duration_ms,
+        |       44 + octet_length(encode(text)) AS n_bytes,
         |       md5(text) AS fingerprint
         |FROM documents""".stripMargin,
     "mm_feature_stats" ->

@@ -294,6 +294,28 @@ object Relational {
       Tables.load(spark, sfDir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(countDistinct(col("o_custkey")).as("n_custs"), count(lit(1)).as("n_orders"))),
+    // Bloom-pruned semi join ([[graft.GraftExtensions]] `bloom_agg` /
+    // `bloom_contains` — Spark's own runtime-filter expressions, exposed to
+    // SQL): the filter built over the build side's keys is tested BEFORE
+    // the exact semi join, so at scale the probe side sheds non-matching
+    // rows at the scan (shuffling only survivors) instead of shuffling the
+    // full fact table into the join. Correctness does not depend on the
+    // bloom: no false negatives by construction, and the semi join removes
+    // false positives — so the oracle is the plain semi join.
+    "q_bloom_semi_join" -> ((spark, sfDir) => {
+      Tables.load(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
+      Tables.load(spark, sfDir, "orders").createOrReplaceTempView("orders")
+      spark.sql(
+        """SELECT l_returnflag, COUNT(*) AS n_items,
+          |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS total_price
+          |FROM lineitem
+          |WHERE bloom_contains(
+          |        (SELECT bloom_agg(o_orderkey, 100000) FROM orders
+          |         WHERE o_totalprice > 150000.0),
+          |        l_orderkey)
+          |  AND l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0)
+          |GROUP BY l_returnflag""".stripMargin)
+    }),
     "q_rollup" -> ((spark, sfDir) =>
       Tables.load(spark, sfDir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
@@ -504,6 +526,15 @@ object Relational {
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
         |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin,
+    // the bloom prune is invisible to the result (no false negatives; the
+    // exact semi join removes false positives) — the oracle is the plain
+    // semi join
+    "q_bloom_semi_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS total_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0)
+        |GROUP BY l_returnflag""".stripMargin,
     "q_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders

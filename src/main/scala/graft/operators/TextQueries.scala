@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.Hashing
+import graft.functions.{FreqSketch, Hashing}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -105,7 +105,31 @@ object TextQueries {
         .groupBy(col("token"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
-        .limit(50))
+        .limit(50)),
+    // Exact heavy hitters (terms with > 1/64 of all token occurrences)
+    // WITHOUT a full-corpus `GROUP BY term` shuffle: a Misra-Gries summary
+    // ([[graft.functions.FreqSketch]], fixed 128-counter state per partial)
+    // nominates a guaranteed-superset candidate array, candidates are
+    // re-counted exactly (only candidate-matching tokens shuffle — ≤ 128
+    // distinct keys), and the threshold applies to exact counts. The
+    // sketch's order-dependent internal counts never reach the output, so
+    // the result is the exact heavy-hitter set, hash-identical to the
+    // oracle's brute-force GROUP BY ... HAVING.
+    "text_heavy_hitters" -> ((spark, sfDir) => {
+      val words = Tables.load(spark, sfDir, "documents")
+        .select(explode(Hashing.tokens(col("text"))).as("word"))
+        .persist() // tokenized once: sketch pass + candidate count pass
+      val cands = words
+        .agg(FreqSketch.mgCandidates(col("word"), 127).as("c"))
+        .select(explode(col("c")).as("word"))
+      val total = words.agg(count(lit(1)).as("__total"))
+      words.join(broadcast(cands), Seq("word"), "left_semi")
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") * 64 > col("__total"))
+        .select(col("word"), col("cnt"))
+    })
   )
 
   private val toksE = Hashing.tokensSql("text")
@@ -155,6 +179,16 @@ object TextQueries {
     "text_top_terms" ->
       s"""SELECT token, COUNT(*) AS n
          |FROM (SELECT unnest($toksE) AS token FROM documents) t
-         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin
+         |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    // brute-force equivalent of the sketch-pruned heavy-hitter plan: the
+    // MG candidate stage is invisible to the result (guaranteed superset +
+    // exact re-count), so the oracle needs no sketch arithmetic at all
+    "text_heavy_hitters" ->
+      s"""WITH w AS (SELECT unnest($toksE) AS word FROM documents),
+         |t AS (SELECT COUNT(*) AS total FROM w)
+         |SELECT word, COUNT(*) AS cnt
+         |FROM w, t
+         |GROUP BY word, t.total
+         |HAVING COUNT(*) * 64 > t.total""".stripMargin
   )
 }

@@ -1,0 +1,96 @@
+package graft
+
+import graft.functions.FreqSketch
+import graft.operators.{Multimodal, RangeJoin}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-3 operators: bucketized range join, Misra-Gries heavy-hitter
+  * candidates, bloom-filter semi-join pruning, WAV header decode. */
+class Round3OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("bucketized range join == naive inequality join, without a nested-loop plan") {
+    // deterministic pseudo-random points and overlapping ranges
+    val points = spark.range(0, 2000)
+      .select(col("id"), ((col("id") * 7919 % 1000) / 2.0).as("p"))
+    val ranges = spark.range(0, 80)
+      .select(col("id").as("rid"), (col("id") * 6.0).as("lo"),
+        (col("id") * 6.0 + col("id") % 17 + 1.0).as("hi"))
+    val bucketized = RangeJoin.bucketized(points, ranges, "p", "lo", "hi", 8.0)
+      .select("id", "rid").as[(Long, Long)].collect().toSet
+    val naive = points.join(ranges, col("p") >= col("lo") && col("p") < col("hi"))
+      .select("id", "rid").as[(Long, Long)].collect().toSet
+    assert(bucketized == naive)
+    assert(naive.nonEmpty)
+    val plan = RangeJoin.bucketized(points, ranges, "p", "lo", "hi", 8.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      plan.take(2000))
+  }
+
+  test("MG candidates are a superset of items above the n/(k+1) threshold") {
+    // skewed stream: item i appears (40-i)^2 times, i in 0..39
+    val rows = (0 until 40).flatMap(i => Seq.fill((40 - i) * (40 - i))(s"item_$i"))
+    val df = spark.sparkContext.parallelize(rows, 16).toDF("w")
+    val k = 15
+    val cands = df.agg(FreqSketch.mgCandidates(col("w"), k).as("c"))
+      .select(explode(col("c")).as("w")).as[String].collect().toSet
+    assert(cands.size <= k)
+    val n = rows.size
+    val mustKeep = rows.groupBy(identity).collect {
+      case (w, occ) if occ.size.toLong * (k + 1) > n => w
+    }.toSet
+    assert(mustKeep.nonEmpty && mustKeep.subsetOf(cands), s"missing: ${mustKeep -- cands}")
+  }
+
+  test("text_heavy_hitters equals the brute-force GROUP BY/HAVING result") {
+    val hh = SparkEntry.queries("text_heavy_hitters")(spark, Sf)
+      .as[(String, Long)].collect().toMap
+    val words = Tables.load(spark, Sf, "documents")
+      .select(explode(graft.functions.Hashing.tokens(col("text"))).as("word"))
+    val total = words.count()
+    val brute = words.groupBy("word").count()
+      .filter(col("count") * 64 > total)
+      .as[(String, Long)].collect().toMap
+    assert(hh == brute && brute.nonEmpty)
+  }
+
+  test("bloom_agg/bloom_contains: no false negatives over the build side") {
+    val shared = spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      import s.implicits._
+      (1L to 5000L).toDF("k").createOrReplaceTempView("build")
+      // every build-side key must pass its own filter (bloom guarantees
+      // zero false negatives; false positives are allowed)
+      val misses = s.sql(
+        """SELECT COUNT(*) AS n FROM build
+          |WHERE NOT bloom_contains((SELECT bloom_agg(k, 10000) FROM build), k)"""
+          .stripMargin).collect().head.getLong(0)
+      assert(misses == 0L)
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
+
+  test("WAV decode parses synthesized headers and rejects corrupt ones") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val content = Array.fill[Byte](1001)(42)
+    val f = Multimodal.decodeWav(md, 7L, Multimodal.wavBytes(22050, 2, content))
+    assert(f.sample_rate == 22050 && f.n_channels == 2 && f.bits_per_sample == 16)
+    assert(f.n_samples == 1001 / 4 && f.duration_ms == (1001 / 4) * 1000L / 22050)
+    val corrupt = Multimodal.wavBytes(22050, 2, content)
+    corrupt(28) = (corrupt(28) ^ 1).toByte // break the byte-rate field
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(md, 7L, corrupt)
+    }
+  }
+}
