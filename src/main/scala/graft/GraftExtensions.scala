@@ -38,6 +38,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           requireArity("qnormsq(arr)", args, 1)
           QuantizedVec.QuantizedNormSq(args.head, QuantizedVec.DefaultScale)
         }))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("zorder2"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.ZOrder.ZOrder2].getName, "zorder2"),
+        (args: Seq[Expression]) => {
+          requireArity("zorder2(x, y, bits)", args, 3)
+          val bits = args(2) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"zorder2: bits must be an integer literal, got $other")
+          }
+          graft.functions.ZOrder.ZOrder2(args.head, args(1), bits)
+        }))
     // Runtime-filter building blocks, exposed as user-callable SQL: Spark
     // applies its internal bloom machinery only through the optimizer's
     // InjectRuntimeFilter rule; registering the same expressions lets a

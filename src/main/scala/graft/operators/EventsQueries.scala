@@ -99,6 +99,40 @@ object EventsQueries {
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(38,4)")).cast("double").as("sum_value"))
     }),
+    // Per-user time-interval join: every (click, view-from-the-same-user-
+    // within-the-preceding-6-hours) pair — the batch twin of the
+    // stream-stream join in [[graft.streaming.EventStreams.clickViewJoin]].
+    // Planned by [[RangeJoin.bucketized]] with user_id as an extra equi-key
+    // (bucket width = the interval length, so each view interval spans ≤ 2
+    // buckets): one (user, bucket)-keyed equi-join instead of a
+    // nested-loop over time predicates.
+    "events_interval_join" -> ((spark, sfDir) => {
+      val ev = Tables.load(spark, sfDir, "events")
+      val IntervalUs = 21600000000L // 6 hours
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("c_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"),
+          unix_micros(col("ts")).as("lo"),
+          (unix_micros(col("ts")) + IntervalUs).as("hi"))
+      RangeJoin.bucketized(clicks, views, "c_us", "lo", "hi",
+          IntervalUs.toDouble, extraKeys = Seq("user_id"))
+        .select(col("user_id"), col("click_id"), col("view_id"))
+    }),
+    // Z-order layout probe: the Morton value ([[graft.functions.ZOrder]])
+    // of (value band, hour-of-epoch) — the clustering key a lakehouse
+    // writer would range-partition + sort by so footer min/max stats prune
+    // on either dimension. The query surfaces the curve itself (top-100 by
+    // z-value) so the oracle pins the interleave arithmetic bit-for-bit.
+    "layout_zorder" -> ((spark, sfDir) => {
+      val ev = Tables.load(spark, sfDir, "events")
+      val zx = least(floor(col("value") / 2.0), lit(255.0)).cast("long")
+      val zy = (expr("unix_micros(ts) div 3600000000") % 256).cast("long")
+      ev.select(col("event_id"), zx.as("zx"), zy.as("zy"),
+          graft.functions.ZOrder.zorder2(zx, zy, 8).as("zval"))
+        .orderBy(col("zval"), col("event_id")).limit(100)
+    }),
     // Exact distributed quantiles per group — rank arithmetic over one
     // sort, no interpolation (both engines pick the value at rank
     // ceil(p·n), so the result is a real data value and engine-exact;
@@ -158,6 +192,26 @@ object EventsQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
         |FROM bands b JOIN events e ON e.value >= b.lo AND e.value < b.hi
         |GROUP BY band_id""".stripMargin,
+    "events_interval_join" ->
+      """WITH c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT user_id, event_id AS view_id, epoch_us(ts) AS v_us
+        |  FROM events WHERE event_type = 'view')
+        |SELECT c.user_id, click_id, view_id
+        |FROM c JOIN v ON c.user_id = v.user_id
+        |  AND c.c_us >= v.v_us AND c.c_us < v.v_us + 21600000000""".stripMargin,
+    "layout_zorder" -> {
+      val z = graft.functions.ZOrder.interleaveSql("zx", "zy", 8)
+      s"""WITH d AS (
+         |  SELECT event_id,
+         |         CAST(LEAST(floor(value / 2.0), 255.0) AS BIGINT) AS zx,
+         |         (epoch_us(ts) // 3600000000) % 256 AS zy
+         |  FROM events)
+         |SELECT event_id, zx, zy, $z AS zval
+         |FROM d ORDER BY zval, event_id LIMIT 100""".stripMargin
+    },
     "events_value_quantiles" ->
       """WITH r AS (
         |  SELECT event_type, value,

@@ -25,15 +25,20 @@ import org.apache.spark.sql.functions._
 object RangeJoin {
   /** Inner range join. `bucketWidth` should be on the order of the typical
     * range span: too small explodes ranges into many buckets, too large
-    * makes the residual filter discard most candidates. */
+    * makes the residual filter discard most candidates. `extraKeys` are
+    * additional equi-join columns (present on both sides, e.g. a user key
+    * for a per-user time-interval join) — they join alongside the bucket,
+    * so the shuffle co-locates on (key, bucket) and hot buckets spread
+    * across the key space. */
   def bucketized(points: DataFrame, ranges: DataFrame, pointCol: String,
-      loCol: String, hiCol: String, bucketWidth: Double): DataFrame = {
+      loCol: String, hiCol: String, bucketWidth: Double,
+      extraKeys: Seq[String] = Nil): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     def bucketOf(c: Column): Column = floor(c / bucketWidth).cast("long")
     val exploded = ranges.withColumn("__bucket",
       explode(sequence(bucketOf(col(loCol)), bucketOf(col(hiCol)))))
     points.withColumn("__bucket", bucketOf(col(pointCol)))
-      .join(exploded, Seq("__bucket"))
+      .join(exploded, "__bucket" +: extraKeys)
       .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("__bucket")
   }

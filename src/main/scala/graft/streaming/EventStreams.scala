@@ -53,6 +53,45 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream inner join: every (click, view) pair per user where the
+    * view happened within the 6 hours before the click — the streaming
+    * twin of the batch `events_interval_join` query (which the DuckDB
+    * oracle checks; the spec pins this one to it). Both sides carry
+    * watermarks and the join condition bounds event-time distance, so the
+    * state store evicts rows once the watermark passes — bounded state at
+    * any input size, the stream-stream analogue of the bucketized range
+    * join's bounded candidate sets. Inner joins emit on match (the
+    * watermark only gates state cleanup), so bounded inputs produce the
+    * complete pair set. */
+  def clickViewJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "10 minutes")
+    clicks.join(views,
+        col("c_user") === col("v_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") < col("v_ts") + expr("INTERVAL 6 HOURS"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"))
+  }
+
+  /** Convenience: run [[clickViewJoin]] over a bounded parquet-backed
+    * stream to completion (both sides read the same directory). */
+  def runClickViewJoinOnce(spark: SparkSession, eventsDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val q = clickViewJoin(stream)
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("graft_click_view").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table("graft_click_view")
+  }
+
   /** Convenience: run [[tumblingCounts]] over a bounded parquet-backed
     * stream to completion and return the result (used by tests/demos —
     * `availableNow` processes the whole input then stops). */

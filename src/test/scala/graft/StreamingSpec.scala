@@ -25,6 +25,19 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join == oracle-checked batch interval join") {
+    val batchEvents = Tables.load(spark, Sf, "events")
+    val batch = EventsQueries.queries("events_interval_join")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj_in")
+    batchEvents.write.mode("overwrite").parquet(dir.toString)
+    val streamed = EventStreams
+      .runClickViewJoinOnce(spark, dir.toString, batchEvents.schema)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("stateful streaming sessionization == batch sessionization") {
     val batch = EventsQueries.queries("events_sessionize")(spark, Sf)
       .collect()
