@@ -99,6 +99,17 @@ object EventsQueries {
         .agg(count(lit(1)).as("n_events"),
           sum(col("value").cast("decimal(38,4)")).cast("double").as("sum_value"))
     }),
+    // Semi-structured payloads: JSON path extraction out of the props
+    // column (codegen'd get_json_object — stays a narrow projection, so at
+    // scale the parse runs at scan parallelism and only the small
+    // aggregate shuffles).
+    "events_json_extract" -> ((spark, sfDir) =>
+      Tables.load(spark, sfDir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))),
     // Per-user time-interval join: every (click, view-from-the-same-user-
     // within-the-preceding-6-hours) pair — the batch twin of the
     // stream-stream join in [[graft.streaming.EventStreams.clickViewJoin]].
@@ -192,6 +203,11 @@ object EventsQueries {
         |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS sum_value
         |FROM bands b JOIN events e ON e.value >= b.lo AND e.value < b.hi
         |GROUP BY band_id""".stripMargin,
+    "events_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "events_interval_join" ->
       """WITH c AS (
         |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us

@@ -34,7 +34,18 @@ object PipelineQueries {
         .filter(col("n_tokens") >= MinTokens)          // quality gate
         .select(col("doc_id"), col("n_tokens"), col("n_copies"),
           col("__fp").as("fingerprint"))
-    })
+    }),
+    // Deterministic train/val split: route each document by a content-free
+    // hash of its id (md5-derived, engine-portable) — the standard
+    // reproducible-split primitive. Pure projection + tiny aggregate; at
+    // scale the split column also serves as a write partition key.
+    "pipeline_train_split" -> ((spark, sfDir) =>
+      graft.Tables.load(spark, sfDir, "documents")
+        .withColumn("split",
+          when(Hashing.hash64(col("doc_id").cast("string")) % 100 < 90, "train")
+            .otherwise("val"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -50,6 +61,13 @@ object PipelineQueries {
          |  FROM corpus)
          |SELECT doc_id, n_tokens, n_copies, fp AS fingerprint
          |FROM t
-         |WHERE doc_id = canonical_id AND n_tokens >= $MinTokens""".stripMargin
+         |WHERE doc_id = canonical_id AND n_tokens >= $MinTokens""".stripMargin,
+    "pipeline_train_split" ->
+      s"""SELECT CASE WHEN ${Hashing.hash64Sql("CAST(doc_id AS VARCHAR)")} % 100 < 90
+         |            THEN 'train' ELSE 'val' END AS split,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM documents
+         |GROUP BY 1""".stripMargin
   )
 }

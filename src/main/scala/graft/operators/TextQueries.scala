@@ -106,6 +106,65 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(50)),
+    // TF-IDF relevance: per-doc term frequency joined to the (small) global
+    // document-frequency table, top-3 terms per doc. The idf stays the
+    // exact rational tf·N/df — one IEEE division of exact integers, so both
+    // engines agree bit-for-bit where a log-based idf would drift in the
+    // last ulp. df is ≤ |vocabulary| rows → broadcast; only the tf
+    // aggregation shuffles the corpus.
+    "text_tfidf_top3" -> ((spark, sfDir) => {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(Hashing.tokens(col("text"))).as("word"))
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score").desc, col("word"))
+      tf.join(broadcast(dfreq), Seq("word"))
+        .crossJoin(broadcast(n))
+        .withColumn("score", (col("tf") * col("__n")).cast("double") / col("df"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("word"), col("tf"), col("df"), col("score"), col("rn"))
+    }),
+    // Repetition-based quality signal (Gopher-style): the fraction of
+    // 5-gram occurrences that are duplicates within the document — high
+    // dup_frac marks boilerplate/degenerate text. Narrow per-row array
+    // arithmetic, no shuffle.
+    "text_repetition" -> ((spark, sfDir) =>
+      Tables.load(spark, sfDir, "documents")
+        .withColumn("__toks", Hashing.tokens(col("text")))
+        .withColumn("__grams", when(size(col("__toks")) >= 5,
+          expr("transform(sequence(0, size(__toks)-5), i -> concat_ws(' ', slice(__toks, i+1, 5)))"))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+        .select(col("doc_id"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          size(col("__grams")).cast("long").as("n_grams"),
+          size(array_distinct(col("__grams"))).cast("long").as("n_distinct_grams"),
+          when(size(col("__grams")) > 0,
+            (size(col("__grams")) - size(array_distinct(col("__grams")))).cast("double")
+              / size(col("__grams")))
+            .otherwise(lit(0.0)).as("dup_frac"))),
+    // PII scrubbing: the fixture corpus carries no PII, so the query
+    // INJECTS synthetic contact strings derived from doc_id (the same
+    // construction runs in the oracle — the Mutations pattern), then
+    // detects and redacts them. Patterns stay in the Java∩RE2 common
+    // subset; the redacted text is fingerprinted so a scrubber bug fails
+    // the hash gate.
+    "text_pii_scrub" -> ((spark, sfDir) => {
+      val EmailPat = "[a-z0-9.]+@[a-z0-9.]+"
+      val PhonePat = "555-[0-9]+"
+      Tables.load(spark, sfDir, "documents")
+        .withColumn("__t", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example call 555-"), (col("doc_id") * 7 % 10000).cast("string")))
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(__t, '$EmailPat', 0)")).cast("long").as("n_emails"),
+          size(expr(s"regexp_extract_all(__t, '$PhonePat', 0)")).cast("long").as("n_phones"),
+          md5(regexp_replace(regexp_replace(col("__t"), EmailPat, "<EMAIL>"),
+            PhonePat, "<PHONE>")).as("redacted_fp"))
+    }),
     // Exact heavy hitters (terms with > 1/64 of all token occurrences)
     // WITHOUT a full-corpus `GROUP BY term` shuffle: a Misra-Gries summary
     // ([[graft.functions.FreqSketch]], fixed 128-counter state per partial)
@@ -180,6 +239,43 @@ object TextQueries {
       s"""SELECT token, COUNT(*) AS n
          |FROM (SELECT unnest($toksE) AS token FROM documents) t
          |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "text_tfidf_top3" ->
+      s"""WITH w AS (SELECT doc_id, unnest($toksE) AS word FROM documents),
+         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
+         |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+         |n AS (SELECT COUNT(*) AS n FROM documents)
+         |SELECT doc_id, word, tf, df, score, rn FROM (
+         |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+         |         CAST(tf.tf * n.n AS DOUBLE) / df.df AS score,
+         |         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+         |           ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.word) AS rn
+         |  FROM tf JOIN df USING (word), n) t
+         |WHERE rn <= 3""".stripMargin,
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toksE AS toks FROM documents),
+         |g AS (SELECT doc_id, len(toks) AS n_tokens,
+         |  CASE WHEN len(toks) >= 5
+         |       THEN list_transform(range(len(toks)-4),
+         |              i -> array_to_string(toks[i+1:i+5], ' '))
+         |       ELSE [] END AS grams
+         |  FROM t)
+         |SELECT doc_id, n_tokens, len(grams) AS n_grams,
+         |  len(list_distinct(grams)) AS n_distinct_grams,
+         |  CASE WHEN len(grams) > 0
+         |       THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
+         |       ELSE 0.0 END AS dup_frac
+         |FROM g""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH t AS (
+        |  SELECT doc_id, text || ' contact user' || doc_id ||
+        |         '@mail.example call 555-' || (doc_id * 7 % 10000) AS tt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(tt, '[a-z0-9.]+@[a-z0-9.]+')) AS n_emails,
+        |  len(regexp_extract_all(tt, '555-[0-9]+')) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(tt, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |      '555-[0-9]+', '<PHONE>', 'g')) AS redacted_fp
+        |FROM t""".stripMargin,
     // brute-force equivalent of the sketch-pruned heavy-hitter plan: the
     // MG candidate stage is invisible to the result (guaranteed superset +
     // exact re-count), so the oracle needs no sketch arithmetic at all
