@@ -31,7 +31,9 @@ object SparkEntry {
     "events_sessionize", "events_tumbling",
     "text_stats", "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
     "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_near_dup", "mm_decode_features",
-    "sketch_kmv_groups", "pipeline_clean_corpus", "events_asof_join")
+    "sketch_kmv_groups", "pipeline_clean_corpus", "events_asof_join",
+    "events_range_join", "events_interval_join", "text_heavy_hitters",
+    "text_tfidf_top3", "q_bloom_semi_join", "mm_audio_features")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -147,25 +147,14 @@ object DedupQueries {
     }),
     "dedup_simhash" -> ((spark, sfDir) =>
       simhashSigs(corpus(spark, sfDir))),
-    "dedup_simhash_pairs" -> ((spark, sfDir) => {
-      val sigs = simhashSigs(corpus(spark, sfDir))
-      val chunks = sigs.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(c =>
-          struct(lit(c).as("chunk"),
-            shiftright(col("simhash"), 15 * c).bitwiseAND(32767).as("ckey"))): _*)).as("__c"))
-        .select(col("doc_id"), col("simhash"),
-          col("__c.chunk").as("chunk"), col("__c.ckey").as("ckey"))
-        .persist() // both join sides scan it: one signature pass, not two
-      val a = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
-        col("chunk"), col("ckey"))
-      val b = chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
-        col("chunk"), col("ckey"))
-      a.join(b, Seq("chunk", "ckey")).filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-    }),
+    "dedup_simhash_pairs" -> ((spark, sfDir) => simhashPairs(spark, sfDir)),
+    // near-dup CLUSTERS from the pair table: connected components by
+    // distributed min-label propagation ([[GraphOps]] — iterative, one
+    // join+agg shuffle per round, driver holds only the convergence count)
+    "dedup_components" -> ((spark, sfDir) =>
+      GraphOps.connectedComponents(
+        simhashPairs(spark, sfDir)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))),
     "dedup_ngram_jaccard" -> ((spark, sfDir) => {
       val sh = shingles(corpus(spark, sfDir)).persist()
       val probes = sh.filter(col("doc_id") % 100 === 0)
@@ -177,6 +166,29 @@ object DedupQueries {
       jaccard(cand, sh, 0.2)
     })
   )
+
+  /** SimHash banded candidate pairs with Hamming distance ≤ 3 — shared by
+    * `dedup_simhash_pairs` (the pair list itself) and `dedup_components`
+    * (clusters over it). */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigs = simhashSigs(corpus(spark, sfDir))
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("simhash"), 15 * c).bitwiseAND(32767).as("ckey"))): _*)).as("__c"))
+      .select(col("doc_id"), col("simhash"),
+        col("__c.chunk").as("chunk"), col("__c.ckey").as("ckey"))
+      .persist() // both join sides scan it: one signature pass, not two
+    val a = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+      col("chunk"), col("ckey"))
+    val b = chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+      col("chunk"), col("ckey"))
+    a.join(b, Seq("chunk", "ckey")).filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+  }
 
   // ---- oracle SQL ----------------------------------------------------
 
@@ -237,6 +249,22 @@ object DedupQueries {
   private def withSql(ctes: Seq[(String, String)], select: String): String =
     "WITH " + ctes.map { case (n, q) => s"$n AS (\n$q\n)" }.mkString(",\n") + "\n" + select
 
+  private def withRecursiveSql(ctes: Seq[(String, String)], select: String): String =
+    "WITH RECURSIVE " + ctes.map { case (n, q) => s"$n AS (\n$q\n)" }.mkString(",\n") +
+      "\n" + select
+
+  private val chunksCte: (String, String) =
+    "chunks" -> (0 until 4).map(c =>
+      s"SELECT doc_id, simhash, $c AS chunk, (simhash >> ${15 * c}) & 32767 AS ckey FROM simsigs")
+      .mkString("\nUNION ALL\n")
+
+  private val simhashPairsSelect: String =
+    """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM chunks a JOIN chunks b
+      |  ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> withSql(Seq("corpus" -> corpusSql),
       """SELECT doc_id,
@@ -260,15 +288,25 @@ object DedupQueries {
       jaccardSql + "WHERE jaccard >= 0.4"),
     "dedup_simhash" -> withSql(Seq("corpus" -> corpusSql) ++ simhashCtes,
       "SELECT doc_id, simhash FROM simsigs"),
-    "dedup_simhash_pairs" -> withSql(Seq("corpus" -> corpusSql) ++ simhashCtes ++ Seq(
-      "chunks" -> (0 until 4).map(c =>
-        s"SELECT doc_id, simhash, $c AS chunk, (simhash >> ${15 * c}) & 32767 AS ckey FROM simsigs")
-        .mkString("\nUNION ALL\n")),
-      """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-        |FROM chunks a JOIN chunks b
-        |  ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin),
+    "dedup_simhash_pairs" -> withSql(
+      Seq("corpus" -> corpusSql) ++ simhashCtes :+ chunksCte, simhashPairsSelect),
+    // transitive closure of the pair graph: DuckDB's recursive CTE walks
+    // min labels to a fixpoint — brute force, but exactly the semantics the
+    // engine's distributed label propagation must reproduce
+    "dedup_components" -> withRecursiveSql(
+      Seq("corpus" -> corpusSql) ++ simhashCtes ++ Seq(
+        chunksCte,
+        "pairs" -> simhashPairsSelect,
+        "edges" ->
+          """SELECT doc_a AS src, doc_b AS dst FROM pairs
+            |UNION ALL
+            |SELECT doc_b AS src, doc_a AS dst FROM pairs""".stripMargin,
+        "verts" -> "SELECT DISTINCT src AS id FROM edges",
+        "reach" ->
+          """SELECT id, id AS label FROM verts
+            |UNION
+            |SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id""".stripMargin),
+      "SELECT id AS doc_id, MIN(label) AS component_id FROM reach GROUP BY id"),
     "dedup_ngram_jaccard" -> withSql(
       corpusCtes ++ Seq(
         "cand" ->

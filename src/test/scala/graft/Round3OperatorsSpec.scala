@@ -81,6 +81,20 @@ class Round3OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("connected components: chains, cliques, and singleton-free output") {
+    import graft.operators.GraphOps
+    // two components: a 6-vertex chain 10-11-...-15 (needs several
+    // propagation rounds) and a triangle 20-21-22; vertex 99 isolated (no
+    // edges → absent from output)
+    val edges = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (20L, 21L), (21L, 22L), (20L, 22L)).toDF("src", "dst")
+    val cc = GraphOps.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert((10L to 15L).forall(cc(_) == 10L))
+    assert((20L to 22L).forall(cc(_) == 20L))
+    assert(cc.size == 9)
+  }
+
   test("WAV decode parses synthesized headers and rejects corrupt ones") {
     val md = java.security.MessageDigest.getInstance("MD5")
     val content = Array.fill[Byte](1001)(42)
