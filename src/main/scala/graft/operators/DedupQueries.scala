@@ -87,11 +87,21 @@ object DedupQueries {
       .select(col("doc_id"), col("__b.band").as("band"), col("__b.bkey").as("bkey"))
   }
 
-  /** Exact Jaccard for a candidate-pair set via shingle-set intersection. */
+  /** Exact Jaccard for a candidate-pair set via shingle-set intersection.
+    *
+    * Only shingles of docs that appear in some candidate pair participate —
+    * a broadcast semi-join prunes the shingle frame BEFORE the three
+    * verify legs, so the intersection join shuffles the candidates'
+    * shingles, not the corpus's. (Per-doc shingle counts are unchanged by
+    * the pruning: they're grouped per doc, and every doc that reaches the
+    * output survives the semi-join.) */
   def jaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val sa = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val sb = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi").persist()
+    val counts = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val sa = shc.select(col("doc_id").as("doc_a"), col("shingle"))
+    val sb = shc.select(col("doc_id").as("doc_b"), col("shingle"))
     val inter = cand
       .join(sa, "doc_a").join(sb, Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))

@@ -88,6 +88,19 @@ object DiffOracle {
     withSql(ctes, select)
   }
 
+  /** Normalized one-winner rendering of an after-mutation snapshot — the
+    * expected output of `applyDiff(before, diffOneWinner(before, after))`. */
+  def normalizedOneWinnerSql(t: TableDef, afterSql: String, pk: Seq[String]): String = {
+    val ord = t.cols.map(c => s"$c DESC").mkString(", ")
+    withSql(Seq(
+      "ar" -> afterSql,
+      "n0" -> normalizedSelect("ar", t, pk)),
+      s"""SELECT ${t.cols.mkString(", ")}, __key FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY __key ORDER BY $ord) AS __rn
+         |  FROM n0) w
+         |WHERE __rn = 1""".stripMargin)
+  }
+
   /** Oracle for diff(A, A) — empty result (property: diff is reflexive-empty). */
   def identitySql(t: TableDef): String =
     diffSql(t, s"SELECT * FROM ${t.name}", t.pk)

@@ -63,6 +63,16 @@ object DiffQueries {
         SnapshotDiff.diffOneWinner(
           Tables.load(spark, sfDir, t.name), Tables.load(spark, sfDir, t.name), t.pk)
       }),
+      // MERGE roundtrip: applying a table's one-winner diff back onto its
+      // before snapshot reconstructs the after snapshot exactly — the
+      // write-back operator, oracle-pinned against the independently
+      // normalized after table.
+      "diff_apply_roundtrip" -> ((spark, sfDir) => {
+        val t = Tables.orders
+        val before = Tables.load(spark, sfDir, t.name)
+        val d = SnapshotDiff.diffOneWinner(before, after(spark, sfDir, t), t.pk)
+        SnapshotDiff.applyDiff(before, d, t.pk)
+      }),
       // P1+P2+P3 normalization exposed directly.
       "snapshot_normalize_customer" -> ((spark, sfDir) =>
         Normalize.withKey(Tables.load(spark, sfDir, "customer"), Tables.customer.pk)),
@@ -100,6 +110,8 @@ object DiffQueries {
         DiffOracle.reportSql(Tables.diffable.map(t => t -> Mutations.afterSql(t.name))),
       "snapshot_normalize_customer" ->
         DiffOracle.normalizedSelect("customer", Tables.customer, Tables.customer.pk),
+      "diff_apply_roundtrip" -> DiffOracle.normalizedOneWinnerSql(
+        Tables.orders, Mutations.afterSql("orders"), Tables.orders.pk),
       "catalog_tables" -> {
         val rows = Tables.all
           .map(t => s"('${t.name}', '${t.pk.mkString(",")}', ${t.cols.length})")

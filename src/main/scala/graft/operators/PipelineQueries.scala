@@ -45,7 +45,20 @@ object PipelineQueries {
           when(Hashing.hash64(col("doc_id").cast("string")) % 100 < 90, "train")
             .otherwise("val"))
         .groupBy(col("split"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars")))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))),
+    // Deterministic stratified sampling: fixed-size per-stratum sample,
+    // ranked by a content-free hash (reservoir sampling without the
+    // order-dependence — reruns, retries, and the oracle all agree). One
+    // window shuffle on the stratum key.
+    "pipeline_stratified_sample" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("__h"), col("doc_id"))
+      graft.Tables.load(spark, sfDir, "documents")
+        .withColumn("__h", Hashing.hashHex(col("doc_id").cast("string")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("lang"), col("rn"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -68,6 +81,13 @@ object PipelineQueries {
          |  COUNT(*) AS n_docs,
          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
          |FROM documents
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1""".stripMargin,
+    "pipeline_stratified_sample" ->
+      """SELECT doc_id, lang, rn FROM (
+        |  SELECT doc_id, lang,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 5""".stripMargin
   )
 }

@@ -142,6 +142,26 @@ object SnapshotDiff {
       oneRowPerKey(Normalize.withKey(before, pk)),
       oneRowPerKey(Normalize.withKey(after, pk)))
 
+  /** MERGE (the write-back direction the reference lacks): reconstruct the
+    * after snapshot from `before` + a [[diffOneWinner]] diff. Keys marked
+    * DELETED or UPDATED drop their before row (one anti-join), then the
+    * AFTER-side rows (INSERTED + UPDATED) union in. Operates in the
+    * normalized one-row-per-key domain and returns the normalized after
+    * frame — so `applyDiff(A, diffOneWinner(A, B)) == oneRowPerKey(
+    * normalize(B))` exactly, which the roundtrip oracle and property spec
+    * pin. Scale shape: one key-hashed anti-join plus a union — the same
+    * single-shuffle-per-side budget as the diff itself. */
+  def applyDiff(before: DataFrame, diffed: DataFrame, pk: Seq[String]): DataFrame = {
+    val bn = oneRowPerKey(Normalize.withKey(before, pk))
+    val cols = bn.columns.filterNot(_ == Normalize.KeyCol).toIndexedSeq
+    val gone = diffed.filter(col("diff_status").isin(Deleted, Updated))
+      .select(col(Normalize.KeyCol)).distinct()
+    val kept = bn.join(gone, Seq(Normalize.KeyCol), "left_anti")
+    val incoming = diffed.filter(col("side") === "AFTER")
+      .select(cols.map(col) :+ col(Normalize.KeyCol): _*)
+    kept.select(cols.map(col) :+ col(Normalize.KeyCol): _*).unionByName(incoming)
+  }
+
   /** Report aggregate: per-status logical change counts for one table's
     * diff (UPDATED emits two physical rows per key — count keys once). */
   def report(diffed: DataFrame): DataFrame =

@@ -95,6 +95,22 @@ class Round3OperatorsSpec extends SparkTestBase {
     assert(cc.size == 9)
   }
 
+  test("applyDiff roundtrip reconstructs the after snapshot, even with duplicate keys") {
+    import graft.operators.{DiffQueries, Normalize, SnapshotDiff}
+    val t = Tables.lineitem // the fixture table with real duplicate PKs
+    val before = Tables.load(spark, Sf, t.name)
+    val after = DiffQueries.after(spark, Sf, t)
+    val d = SnapshotDiff.diffOneWinner(before, after, t.pk)
+    val rebuilt = SnapshotDiff.applyDiff(before, d, t.pk)
+      .collect().map(_.toSeq).toSet
+    val expectedDf = SnapshotDiff.oneRowPerKey(Normalize.withKey(after, t.pk))
+    val expected = expectedDf
+      .select(expectedDf.columns.filterNot(_ == Normalize.KeyCol).map(col)
+        :+ col(Normalize.KeyCol): _*)
+      .collect().map(_.toSeq).toSet
+    assert(rebuilt == expected && rebuilt.nonEmpty)
+  }
+
   test("WAV decode parses synthesized headers and rejects corrupt ones") {
     val md = java.security.MessageDigest.getInstance("MD5")
     val content = Array.fill[Byte](1001)(42)
