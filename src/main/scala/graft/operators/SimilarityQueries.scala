@@ -55,6 +55,20 @@ object SimilarityQueries {
       QuantizedVec.qnormsq(col("embedding")).as("nsq"))
 
   val queries: Map[String, Q] = Map(
+    // Per-label centroid of the embedding column: posexplode → one
+    // (label, pos)-keyed aggregation of quantized components — the vector
+    // averaging every IVF/clustering stage needs, in exact integer
+    // arithmetic (sums are longs; the floored mean uses an offset so floor
+    // division agrees across engines for negative components).
+    "ann_label_centroids" -> ((spark, sfDir) =>
+      Tables.load(spark, sfDir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("label"), col("pos").cast("long").as("pos"),
+          expr("CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)").as("q"))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
+        .withColumn("centroid_q",
+          expr("(sum_q + 1000000000L * n) div n - 1000000000L"))),
     "ann_cosine_topk" -> ((spark, sfDir) => {
       val emb = normed(Tables.load(spark, sfDir, "embeddings"))
       val probes = emb.filter(col("vec_id") % 100 === 0)
@@ -177,6 +191,18 @@ object SimilarityQueries {
     "norms" -> "SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS nsq FROM qn GROUP BY vec_id"
 
   val oracleSql: Map[String, String] = Map(
+    "ann_label_centroids" ->
+      """WITH q AS (
+        |  SELECT label, unnest(list_transform(range(len(embedding)),
+        |    i -> {'pos': i,
+        |          'q': CAST(floor(CAST(embedding[i+1] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)}
+        |    )) AS s
+        |  FROM embeddings)
+        |SELECT label, s.pos AS pos, COUNT(*) AS n,
+        |  CAST(SUM(s.q) AS BIGINT) AS sum_q,
+        |  (CAST(SUM(s.q) AS BIGINT) + 1000000000 * COUNT(*)) // COUNT(*)
+        |    - 1000000000 AS centroid_q
+        |FROM q GROUP BY label, s.pos""".stripMargin,
     "ann_cosine_topk" ->
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
          |${qnCte._1} AS (${qnCte._2}),

@@ -106,6 +106,22 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token"))
         .limit(50)),
+    // Context-window chunking: overlapping 64-token chunks at stride 48 —
+    // the stage that turns documents into training-context rows. Pure
+    // per-row array arithmetic (sequence → slice), no shuffle; each chunk
+    // carries its fingerprint for downstream chunk-level dedup.
+    "text_chunks" -> ((spark, sfDir) =>
+      Tables.load(spark, sfDir, "documents")
+        .withColumn("__toks", Hashing.tokens(col("text")))
+        .select(col("doc_id"),
+          explode(expr("sequence(0, greatest(size(__toks) - 1, 0), 48)")).as("start"),
+          col("__toks"))
+        .select(col("doc_id"),
+          expr("start div 48").cast("long").as("chunk_id"),
+          expr("slice(__toks, start + 1, 64)").as("__chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("__chunk")).cast("long").as("n_chunk_tokens"),
+          md5(concat_ws(" ", col("__chunk"))).as("chunk_fp"))),
     // TF-IDF relevance: per-doc term frequency joined to the (small) global
     // document-frequency table, top-3 terms per doc. The idf stays the
     // exact rational tf·N/df — one IEEE division of exact integers, so both
@@ -239,6 +255,17 @@ object TextQueries {
       s"""SELECT token, COUNT(*) AS n
          |FROM (SELECT unnest($toksE) AS token FROM documents) t
          |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
+    "text_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $toksE AS toks FROM documents),
+         |s AS (SELECT doc_id, toks,
+         |        unnest(range(0, greatest(len(toks), 1), 48)) AS start
+         |      FROM t),
+         |c AS (SELECT doc_id, start // 48 AS chunk_id,
+         |        toks[start+1:start+64] AS chunk
+         |      FROM s)
+         |SELECT doc_id, chunk_id, len(chunk) AS n_chunk_tokens,
+         |  md5(array_to_string(chunk, ' ')) AS chunk_fp
+         |FROM c""".stripMargin,
     "text_tfidf_top3" ->
       s"""WITH w AS (SELECT doc_id, unnest($toksE) AS word FROM documents),
          |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),

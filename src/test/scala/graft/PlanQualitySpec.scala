@@ -62,6 +62,21 @@ class PlanQualitySpec extends SparkTestBase {
       .foreach(j => assert(!p.contains(j), s"unexpected $j in fused report plan"))
   }
 
+  test("range/interval joins: equi-join plans, never nested-loop") {
+    Seq("events_range_join", "events_interval_join").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q planned a nested loop:\n${p.take(2000)}")
+    }
+  }
+
+  // the single-row count frame legitimately cross-joins (that is how a
+  // scalar subquery plans); the df join itself must be a broadcast HASH join
+  test("text_tfidf_top3: document-frequency side broadcasts as a hash join") {
+    val p = plan("text_tfidf_top3")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("text_stats: scan reads only doc_id and text") {
     val p = plan("text_stats")
     val scan = p.linesIterator.find(_.contains("FileScan")).getOrElse("")

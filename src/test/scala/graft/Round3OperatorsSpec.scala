@@ -75,6 +75,15 @@ class Round3OperatorsSpec extends SparkTestBase {
           |WHERE NOT bloom_contains((SELECT bloom_agg(k, 10000) FROM build), k)"""
           .stripMargin).collect().head.getLong(0)
       assert(misses == 0L)
+      // plan shape of the real query: the might_contain filter must sit on
+      // the probe side BELOW the exact semi join (prune before shuffle)
+      val df = SparkEntry.queries("q_bloom_semi_join")(s, Sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      val filterLine = p.linesIterator.indexWhere(_.contains("might_contain"))
+      val joinLine = p.linesIterator.indexWhere(_.contains("LeftSemi"))
+      assert(filterLine > joinLine && joinLine >= 0,
+        s"expected might_contain below the semi join:\n${p.take(3000)}")
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
