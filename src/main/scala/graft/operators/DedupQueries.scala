@@ -174,6 +174,33 @@ object DedupQueries {
         .filter(col("doc_a") =!= col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
       jaccard(cand, sh, 0.2)
+    }),
+    // Chunk-level overlap dedup (exact-substring dedup, chunk-fingerprint
+    // form): documents sharing any 64-token chunk fingerprint (the same
+    // chunking `text_chunks` feeds training) pair up with their shared-chunk
+    // count. Fingerprints seen in >64 docs are dropped BEFORE the self-join
+    // — the boilerplate cap that bounds bucket fan-out at 100 TB exactly
+    // like the LSH band-bucket cap; everything is equi-join, never
+    // all-pairs. The (doc, fp) frame feeds the cap count and both join
+    // sides → persisted so the corpus is tokenized once.
+    "dedup_chunk_overlap" -> ((spark, sfDir) => {
+      val chunks = corpus(spark, sfDir)
+        .withColumn("__toks", Hashing.tokens(col("text")))
+        .select(col("doc_id"),
+          explode(expr("sequence(0, greatest(size(__toks) - 1, 0), 48)")).as("start"),
+          col("__toks"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", expr("slice(__toks, start + 1, 64)"))).as("chunk_fp"))
+        .distinct()
+        .persist()
+      val keep = chunks.groupBy(col("chunk_fp")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") <= 64).select(col("chunk_fp"))
+      val cf = chunks.join(keep, "chunk_fp")
+      val a = cf.select(col("doc_id").as("doc_a"), col("chunk_fp"))
+      val b = cf.select(col("doc_id").as("doc_b"), col("chunk_fp"))
+      a.join(b, "chunk_fp").filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared_chunks"))
     })
   )
 
@@ -317,6 +344,23 @@ object DedupQueries {
             |UNION
             |SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id""".stripMargin),
       "SELECT id AS doc_id, MIN(label) AS component_id FROM reach GROUP BY id"),
+    "dedup_chunk_overlap" -> withSql(Seq(
+      "corpus" -> corpusSql,
+      "t" -> s"SELECT doc_id, $toksE AS toks FROM corpus",
+      "s" ->
+        """SELECT doc_id, toks,
+          |  unnest(range(0, greatest(len(toks), 1), 48)) AS start
+          |FROM t""".stripMargin,
+      "cf" ->
+        """SELECT DISTINCT doc_id,
+          |  md5(array_to_string(toks[start+1:start+64], ' ')) AS chunk_fp
+          |FROM s""".stripMargin,
+      "ok" -> "SELECT chunk_fp FROM cf GROUP BY chunk_fp HAVING COUNT(*) <= 64"),
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_chunks
+        |FROM (SELECT cf.* FROM cf JOIN ok USING (chunk_fp)) a
+        |JOIN (SELECT cf.* FROM cf JOIN ok USING (chunk_fp)) b
+        |  ON a.chunk_fp = b.chunk_fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin),
     "dedup_ngram_jaccard" -> withSql(
       corpusCtes ++ Seq(
         "cand" ->

@@ -58,8 +58,27 @@ object PipelineQueries {
         .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 5)
         .select(col("doc_id"), col("lang"), col("rn"))
+    }),
+    // Sequence packing (concat-then-chunk): assign each document's first
+    // token to a fixed 2048-token training sequence by a running token
+    // count WITHIN each source shard — packing is per-shard, so no global
+    // sort exists anywhere in the plan; a 1000-executor job packs every
+    // shard independently after one shuffle on the shard key. A document
+    // whose tokens straddle a boundary spans two sequences (standard
+    // concat-then-chunk semantics); seq_offset is where it starts.
+    "pipeline_pack_sequences" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      graft.Tables.load(spark, sfDir, "documents")
+        .withColumn("n_tokens", size(Hashing.tokens(col("text"))).cast("long"))
+        .withColumn("__cum", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          expr(s"(__cum - n_tokens) div $SeqLen").as("seq_id"),
+          ((col("__cum") - col("n_tokens")) % SeqLen).as("seq_offset"))
     })
   )
+
+  val SeqLen = 2048
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_clean_corpus" ->
@@ -88,6 +107,20 @@ object PipelineQueries {
         |         ROW_NUMBER() OVER (PARTITION BY lang
         |           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id) AS rn
         |  FROM documents) t
-        |WHERE rn <= 5""".stripMargin
+        |WHERE rn <= 5""".stripMargin,
+    "pipeline_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(${Hashing.tokensSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens,
+         |  CAST((cum - n_tokens) // $SeqLen AS BIGINT) AS seq_id,
+         |  CAST((cum - n_tokens) % $SeqLen AS BIGINT) AS seq_offset
+         |FROM c""".stripMargin
   )
 }

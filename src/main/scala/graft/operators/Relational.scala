@@ -77,6 +77,18 @@ object Relational {
         .as("revenue"))
   }
 
+  /** Shared-text RANGE-frame window (value-based frame, not ROWS): every
+    * order counts its band-mates within $10k below it. RANGE frames are
+    * tie-inclusive — all peers at the same o_totalprice share one frame —
+    * so the result is deterministic without a unique-key tiebreaker. */
+  val qWindowRangeSql: String =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  COUNT(*) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+      |                 RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS n_in_band,
+      |  CAST(MIN(o_totalprice) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+      |                 RANGE BETWEEN 10000.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS band_min
+      |FROM orders""".stripMargin
+
   /** Shared-text SQL passthrough (TPC-H Q6-style): the engine's `spark.sql`
     * surface; the oracle runs the identical text. */
   val q6Sql: String =
@@ -474,7 +486,120 @@ object Relational {
         .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
           col("o_orderdate"), col("o_totalprice"))
         .agg(sum(dec4(col("l_quantity"))).cast("double").as("sum_qty"))
-    })
+    }),
+    // TPC-H Q2 shape: min-cost supplier per part — the correlated MIN
+    // subquery decorrelated into a per-part aggregate joined back on
+    // (partkey, min_cost). Unit cost is one IEEE division of the same two
+    // source doubles in both engines, and MIN over doubles is exact and
+    // order-free, so the equality re-join is engine-portable. Both sides
+    // of the min-join shuffle on l_partkey only; supplier/nation broadcast.
+    // The final total order is unique ((s_name, p_partkey) is a key), so
+    // LIMIT 100 cuts identically in both engines.
+    "q2_min_cost_supp" -> ((spark, sfDir) => {
+      val p = Tables.load(spark, sfDir, "part").filter(col("p_size") <= 5)
+        .select(col("p_partkey"), col("p_name"))
+      val l = Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_extendedprice") / col("l_quantity")).as("unit_cost"))
+      val offers = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val minc = offers.groupBy(col("p_partkey").as("mp_key"))
+        .agg(min(col("unit_cost")).as("min_cost"))
+      val s = Tables.load(spark, sfDir, "supplier")
+      val n = Tables.load(spark, sfDir, "nation")
+      offers
+        .join(minc, col("p_partkey") === col("mp_key") &&
+          col("unit_cost") === col("min_cost"))
+        .select(col("p_partkey"), col("p_name"), col("l_suppkey"), col("min_cost"))
+        .distinct()
+        .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_name"), col("n_name"),
+          col("s_acctbal"), col("min_cost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+    // TPC-H Q11 shape: per-group value share against a global scalar
+    // threshold (HAVING > fraction-of-total). Both sums are the exact
+    // decimal aggregate cast to double once; the threshold multiply is the
+    // same IEEE operation in both engines. The total is a one-row frame
+    // cross-joined in lazily — never a driver-side action.
+    "q11_value_share" -> ((spark, sfDir) => {
+      val value = dec6(col("l_extendedprice") * col("l_quantity"))
+      val l = Tables.load(spark, sfDir, "lineitem")
+      val perPart = l.groupBy(col("l_partkey"))
+        .agg(sum(value).cast("double").as("value"))
+      val total = l.agg(sum(value).cast("double").as("__tot"))
+      perPart.crossJoin(broadcast(total))
+        .filter(col("value") > col("__tot") * 0.0002)
+        .select(col("l_partkey"), col("value"))
+    }),
+    // TPC-H Q16 shape: supplier diversity per part attribute with a NOT IN
+    // exclusion (negative-balance suppliers stand in for the complaints
+    // LIKE filter). The part↔supplier bridge is the distinct lineitem pair
+    // set — one shuffle on (partkey, suppkey); the exclusion list and the
+    // filtered part dimension broadcast.
+    "q16_supplier_cnt" -> ((spark, sfDir) => {
+      val bad = Tables.load(spark, sfDir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+      val ps = Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val p = Tables.load(spark, sfDir, "part")
+        .filter(col("p_size").isin(1, 4, 7, 10, 13))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      ps.join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+    // TPC-H Q22 shape: substring-derived country code + uncorrelated AVG
+    // scalar + NOT EXISTS anti join + group agg. The code is the last two
+    // characters of c_name (the fixture has no phone column); the scalar
+    // threshold stays a lazy broadcast one-row frame.
+    "q22_country_balance" -> ((spark, sfDir) => {
+      val codes = Seq("01", "13", "25", "37", "49")
+      val c = Tables.load(spark, sfDir, "customer")
+        .withColumn("cntrycode", expr("right(c_name, 2)"))
+        .filter(col("cntrycode").isin(codes: _*))
+      val thr = c.filter(col("c_acctbal") > 0.0)
+        .agg(avg(dec4(col("c_acctbal"))).cast("double").as("__thr"))
+      val o = Tables.load(spark, sfDir, "orders")
+      c.crossJoin(broadcast(thr))
+        .filter(col("c_acctbal") > col("__thr"))
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec4(col("c_acctbal"))).cast("double").as("totacctbal"))
+    }),
+    // value-based RANGE window frame (shared SQL text, like q6)
+    "q_window_range" -> ((spark, sfDir) => {
+      Tables.load(spark, sfDir, "orders").createOrReplaceTempView("orders")
+      spark.sql(qWindowRangeSql)
+    }),
+    // navigation + distribution window functions in one pass: lag/lead,
+    // ntile, percent_rank over a unique (date, key) ordering. percent_rank
+    // divides the same two integers in both engines → identical doubles.
+    "q_window_leadlag" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.load(spark, sfDir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          percent_rank().over(w).as("pct_rank"))
+    }),
+    // relational pivot: one wide row per priority with per-status counts.
+    // Values are pinned (no collect-distinct pass); count cells for absent
+    // combinations coalesce to 0 to match the oracle's conditional counts.
+    "q_pivot_status" -> ((spark, sfDir) =>
+      Tables.load(spark, sfDir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p")))
   )
 
   private val decSum4 = (c: String) => s"CAST(SUM(CAST($c AS DECIMAL(38,4))) AS DOUBLE)"
@@ -723,6 +848,66 @@ object Relational {
          |WHERE o_orderkey IN (
          |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
          |  HAVING ${decSum4("l_quantity")} > 100.0)
-         |GROUP BY 1, 2, 3, 4, 5""".stripMargin
+         |GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+    "q2_min_cost_supp" ->
+      """SELECT o.p_partkey, o.p_name, s_name, n_name, s_acctbal, o.min_cost
+        |FROM (
+        |  SELECT DISTINCT l.l_partkey AS p_partkey, p.p_name, l.l_suppkey,
+        |         mc.min_cost
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size <= 5
+        |  JOIN (SELECT l2.l_partkey,
+        |               MIN(l2.l_extendedprice / l2.l_quantity) AS min_cost
+        |        FROM lineitem l2
+        |        JOIN part p2 ON l2.l_partkey = p2.p_partkey AND p2.p_size <= 5
+        |        GROUP BY l2.l_partkey) mc
+        |    ON mc.l_partkey = l.l_partkey
+        |   AND l.l_extendedprice / l.l_quantity = mc.min_cost) o
+        |JOIN supplier ON o.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_acctbal DESC, n_name, s_name, o.p_partkey LIMIT 100""".stripMargin,
+    "q11_value_share" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |         CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS value
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT l_partkey, value FROM pv
+        |WHERE value > (SELECT CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        |               FROM lineitem) * 0.0002""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_size IN (1, 4, 7, 10, 13)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q22_country_balance" ->
+      s"""SELECT cntrycode, COUNT(*) AS numcust,
+         |  ${decSum4("c_acctbal")} AS totacctbal
+         |FROM (SELECT right(c_name, 2) AS cntrycode, c_acctbal, c_custkey
+         |      FROM customer) c
+         |WHERE cntrycode IN ('01', '13', '25', '37', '49')
+         |  AND c_acctbal > (
+         |    SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE)
+         |    FROM customer
+         |    WHERE c_acctbal > 0.0
+         |      AND right(c_name, 2) IN ('01', '13', '25', '37', '49'))
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         |GROUP BY cntrycode""".stripMargin,
+    "q_window_range" -> qWindowRangeSql,
+    "q_window_leadlag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  LAG(o_totalprice, 1) OVER w AS prev_price,
+        |  LEAD(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  PERCENT_RANK() OVER w AS pct_rank
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_pivot_status" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+        |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin
   )
 }
