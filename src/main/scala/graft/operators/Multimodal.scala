@@ -225,6 +225,22 @@ object Multimodal {
     // sample count and duration
     "mm_audio_features" -> ((spark, sfDir) =>
       audioFeatures(spark, Tables.load(spark, sfDir, "documents")).toDF()),
+    // Frame sampling (the video-pipeline stage, exercised over the parsed
+    // WAV timeline): explode each media row into up to 8 sampled frames at
+    // one per 50 ms, each carrying its timestamp, sample index, and byte
+    // offset into the payload — all derived from the REAL header parse
+    // (sample_rate / n_channels / duration_ms), while the oracle predicts
+    // them from the synthesis formulas alone. 1:N row generation is a
+    // narrow explode: no shuffle, scales with the input splits.
+    "mm_frame_sample" -> ((spark, sfDir) => {
+      val f = audioFeatures(spark, Tables.load(spark, sfDir, "documents")).toDF()
+      f.select(col("doc_id"), col("sample_rate"), col("n_channels"),
+          explode(expr("sequence(0L, least(duration_ms div 50, 7L))")).as("frame_idx"))
+        .withColumn("ts_ms", col("frame_idx") * 50)
+        .withColumn("sample_idx", expr("(ts_ms * sample_rate) div 1000"))
+        .select(col("doc_id"), col("frame_idx"), col("ts_ms"), col("sample_idx"),
+          (lit(44L) + col("sample_idx") * 2L * col("n_channels")).as("byte_offset"))
+    }),
     // metadata aggregation over the decoded features (typed Dataset → agg)
     "mm_feature_stats" -> ((spark, sfDir) =>
       features(spark, sfDir)
@@ -270,6 +286,24 @@ object Multimodal {
         |       44 + octet_length(encode(text)) AS n_bytes,
         |       md5(text) AS fingerprint
         |FROM documents""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |         8000 + (doc_id * 31) % 40000 AS sample_rate,
+        |         1 + doc_id % 2 AS n_channels,
+        |         (octet_length(encode(text)) // (2 * (1 + doc_id % 2)) * 1000)
+        |           // (8000 + (doc_id * 31) % 40000) AS duration_ms
+        |  FROM documents),
+        |fr AS (
+        |  SELECT doc_id, sample_rate, n_channels,
+        |         unnest(range(0, least(duration_ms // 50, 7) + 1)) AS frame_idx
+        |  FROM a)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(frame_idx * 50 AS BIGINT) AS ts_ms,
+        |  CAST((frame_idx * 50 * sample_rate) // 1000 AS BIGINT) AS sample_idx,
+        |  CAST(44 + ((frame_idx * 50 * sample_rate) // 1000) * 2 * n_channels AS BIGINT)
+        |    AS byte_offset
+        |FROM fr""".stripMargin,
     "mm_feature_stats" ->
       """SELECT format, COUNT(*) AS n, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
         |       MAX(width) AS max_width, MAX(height) AS max_height
