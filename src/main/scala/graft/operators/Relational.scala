@@ -588,6 +588,17 @@ object Relational {
           ntile(4).over(w).cast("long").as("quartile"),
           percent_rank().over(w).as("pct_rank"))
     }),
+    // unpivot (stack): the wide→long inverse of q_pivot_status — four
+    // lineitem measures become (measure, value) rows in one narrow
+    // generator pass (no shuffle until the per-measure rollup), then a
+    // 4-group decimal aggregate.
+    "q_unpivot_measures" -> ((spark, sfDir) =>
+      Tables.load(spark, sfDir, "lineitem")
+        .select(expr("stack(4, 'quantity', l_quantity, 'extendedprice', l_extendedprice, " +
+          "'discount', l_discount, 'tax', l_tax) AS (measure, value)"))
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec4(col("value"))).cast("double").as("total"))),
     // relational pivot: one wide row per priority with per-status counts.
     // Values are pinned (no collect-distinct pass); count cells for absent
     // combinations coalesce to 0 to match the oracle's conditional counts.
@@ -903,6 +914,14 @@ object Relational {
         |  PERCENT_RANK() OVER w AS pct_rank
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_unpivot_measures" ->
+      s"""SELECT measure, COUNT(*) AS n, ${decSum4("value")} AS total
+         |FROM (
+         |  SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+         |  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+         |  UNION ALL SELECT 'discount', l_discount FROM lineitem
+         |  UNION ALL SELECT 'tax', l_tax FROM lineitem) t
+         |GROUP BY measure""".stripMargin,
     "q_pivot_status" ->
       """SELECT o_orderpriority,
         |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
