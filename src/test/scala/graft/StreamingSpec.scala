@@ -38,6 +38,38 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("watermark drops late data: a row below the watermark never lands in its window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val df = input.toDS().toDF("ts_us", "event_type", "value")
+      .select(timestamp_micros(col("ts_us")).as("ts"), col("event_type"), col("value"))
+    val q = EventStreams.tumblingCounts(df)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("graft_late").start()
+    val base = 1700000100L * 1000000L // epoch micros, aligned to the 5-min grid
+    def at(min: Long) = base + min * 60L * 1000000L
+    try {
+      // batch 1: three on-time events in the first 5-min window, plus one
+      // far-future event that advances the watermark to +50 min
+      input.addData((at(0), "click", 1.0), (at(1), "click", 1.0),
+        (at(2), "click", 1.0), (at(60), "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: one LATE event for the first window (watermark is now far
+      // past it) plus a nudge that keeps the stream moving
+      input.addData((at(1), "click", 1.0), (at(61), "click", 1.0))
+      q.processAllAvailable()
+      input.addData((at(90), "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("graft_late")
+      .select("bucket_start", "n_events").collect()
+      .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    val firstWindow = rows.keys.min
+    // the late row was dropped: the first finalized window counts 3, not 4
+    assert(rows(firstWindow) == 3L, rows.toString)
+    assert(!rows.valuesIterator.contains(4L), rows.toString)
+  }
+
   test("stateful streaming sessionization == batch sessionization") {
     val batch = EventsQueries.queries("events_sessionize")(spark, Sf)
       .collect()
