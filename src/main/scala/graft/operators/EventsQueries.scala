@@ -41,6 +41,16 @@ object EventsQueries {
           sum(col("value").cast("decimal(38,4)")).cast("double").as("total_value"))
         .select(col("window.start").as("bucket_start"), col("event_type"),
           col("n_events"), col("total_value"))),
+    // sliding windows: each event lands in length/slide = 2 overlapping
+    // buckets — Spark's window() expands rows before one hash aggregate;
+    // the oracle replicates the same two bucket starts per event
+    "events_sliding" -> ((spark, sfDir) =>
+      Tables.load(spark, sfDir, "events")
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(38,4)")).cast("double").as("total_value"))
+        .select(col("window.start").as("bucket_start"), col("event_type"),
+          col("n_events"), col("total_value"))),
     "events_sessionize" -> ((spark, sfDir) =>
       sessionize(Tables.load(spark, sfDir, "events"))
         .select(col("user_id"), col("event_id"), col("session_id"))),
@@ -178,6 +188,16 @@ object EventsQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY bucket_start, event_type""".stripMargin,
+    "events_sliding" ->
+      """WITH b AS (
+        |  SELECT event_type, value,
+        |         unnest([time_bucket(INTERVAL '5 minutes', ts),
+        |                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+        |           AS bucket_start
+        |  FROM events)
+        |SELECT bucket_start, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+        |FROM b GROUP BY bucket_start, event_type""".stripMargin,
     "events_sessionize" ->
       s"SELECT user_id, event_id, session_id FROM ($sessionizeSql) s",
     "events_session_stats" ->
