@@ -41,6 +41,42 @@ object EventsQueries {
           sum(col("value").cast("decimal(38,4)")).cast("double").as("total_value"))
         .select(col("window.start").as("bucket_start"), col("event_type"),
           col("n_events"), col("total_value"))),
+    // Ordered funnel (view → click → purchase): each stage keeps the first
+    // qualifying event STRICTLY AFTER the previous stage's time. Every
+    // join/aggregate keys on user_id, so the whole funnel is co-partitioned
+    // after one shuffle (AQE reuses the exchange); nothing touches the
+    // driver. MIN over timestamps is exact and order-free.
+    "events_funnel" -> ((spark, sfDir) => {
+      val e = Tables.load(spark, sfDir, "events")
+      def firstAfter(etype: String, prev: DataFrame, prevCol: String, outCol: String) =
+        e.filter(col("event_type") === etype)
+          .join(prev, "user_id")
+          .filter(col("ts") > col(prevCol))
+          .groupBy(col("user_id")).agg(min(col("ts")).as(outCol))
+      val tv = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+      val tc = firstAfter("click", tv, "t_view", "t_click")
+      val tp = firstAfter("purchase", tc, "t_click", "t_purchase")
+      tv.agg(count(lit(1)).as("n_users")).select(lit("view").as("stage"), col("n_users"))
+        .unionByName(tc.agg(count(lit(1)).as("n_users"))
+          .select(lit("view>click").as("stage"), col("n_users")))
+        .unionByName(tp.agg(count(lit(1)).as("n_users"))
+          .select(lit("view>click>purchase").as("stage"), col("n_users")))
+    }),
+    // Weekly cohort retention: cohort = a user's first active week (integer
+    // week index from a fixed origin — no engine-specific week-truncation
+    // semantics), then distinct active users per (cohort, offset). Two
+    // keyed aggregations and one user-keyed join; all exact integers.
+    "events_retention" -> ((spark, sfDir) => {
+      val e = Tables.load(spark, sfDir, "events")
+        .select(col("user_id"),
+          expr("CAST(datediff(ts, DATE'2024-01-01') div 7 AS BIGINT)").as("wk"))
+        .distinct()
+      val cohort = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      e.join(cohort, "user_id")
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
     // sliding windows: each event lands in length/slide = 2 overlapping
     // buckets — Spark's window() expands rows before one hash aggregate;
     // the oracle replicates the same two bucket starts per event
@@ -188,6 +224,30 @@ object EventsQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY bucket_start, event_type""".stripMargin,
+    "events_funnel" ->
+      """WITH tv AS (
+        |  SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |tc AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_click
+        |  FROM events e JOIN tv ON e.user_id = tv.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > tv.t_view GROUP BY e.user_id),
+        |tp AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_purchase
+        |  FROM events e JOIN tc ON e.user_id = tc.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > tc.t_click GROUP BY e.user_id)
+        |SELECT 'view' AS stage, COUNT(*) AS n_users FROM tv
+        |UNION ALL SELECT 'view>click', COUNT(*) FROM tc
+        |UNION ALL SELECT 'view>click>purchase', COUNT(*) FROM tp""".stripMargin,
+    "events_retention" ->
+      """WITH a AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(datediff('day', DATE '2024-01-01', ts) // 7 AS BIGINT) AS wk
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(wk) AS cohort_wk FROM a GROUP BY user_id)
+        |SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset, COUNT(*) AS n_users
+        |FROM a JOIN c ON a.user_id = c.user_id
+        |GROUP BY 1, 2""".stripMargin,
     "events_sliding" ->
       """WITH b AS (
         |  SELECT event_type, value,

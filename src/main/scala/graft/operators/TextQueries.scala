@@ -122,6 +122,27 @@ object TextQueries {
         .select(col("doc_id"), col("chunk_id"),
           size(col("__chunk")).cast("long").as("n_chunk_tokens"),
           md5(concat_ws(" ", col("__chunk"))).as("chunk_fp"))),
+    // n-gram LM fluency proxy (count-based): a document's mean corpus
+    // frequency over its bigram occurrences — text built from common
+    // bigrams scores high, gibberish scores near 1. The "language model"
+    // is the corpus's own bigram count table (one aggregation); scoring is
+    // an equi-join back onto the occurrences and a per-doc aggregate. The
+    // score stays the exact rational sum_freq/n_bigrams (one IEEE division
+    // of exact integers) — no log smoothing to drift in the last ulp.
+    // Docs with <2 tokens have no bigrams and drop out, as in the oracle.
+    "text_lm_fluency" -> ((spark, sfDir) => {
+      val grams = Tables.load(spark, sfDir, "documents")
+        .withColumn("__toks", Hashing.tokens(col("text")))
+        .filter(size(col("__toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(__toks) - 2), " +
+            "i -> concat_ws(' ', __toks[i], __toks[i+1]))")).as("bg"))
+      val lm = grams.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      grams.join(lm, "bg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("sum_freq"))
+        .withColumn("fluency", col("sum_freq").cast("double") / col("n_bigrams"))
+    }),
     // TF-IDF relevance: per-doc term frequency joined to the (small) global
     // document-frequency table, top-3 terms per doc. The idf stays the
     // exact rational tf·N/df — one IEEE division of exact integers, so both
@@ -266,6 +287,18 @@ object TextQueries {
          |SELECT doc_id, chunk_id, len(chunk) AS n_chunk_tokens,
          |  md5(array_to_string(chunk, ' ')) AS chunk_fp
          |FROM c""".stripMargin,
+    "text_lm_fluency" ->
+      s"""WITH t AS (SELECT doc_id, $toksE AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+         |           i -> concat_ws(' ', toks[i+1], toks[i+2]))) AS bg
+         |  FROM t WHERE len(toks) >= 2),
+         |lm AS (SELECT bg, COUNT(*) AS c FROM g GROUP BY bg)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(c) AS BIGINT) AS sum_freq,
+         |  CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / COUNT(*) AS fluency
+         |FROM g JOIN lm USING (bg)
+         |GROUP BY doc_id""".stripMargin,
     "text_tfidf_top3" ->
       s"""WITH w AS (SELECT doc_id, unnest($toksE) AS word FROM documents),
          |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),
