@@ -101,6 +101,29 @@ object DiffOracle {
          |WHERE __rn = 1""".stripMargin)
   }
 
+  /** Oracle for [[SnapshotDiff.scd2]]: validity-interval rows derived from
+    * the classified one-winner join — unchanged keys stay open at version
+    * 0, deleted/updated keys close their before row at [0, 1), and
+    * inserted/updated keys open their after row at [1, NULL). */
+  def scd2Sql(t: TableDef, afterSql: String, pk: Seq[String]): String = {
+    val p = t.name + "_s"
+    val (ctes, _) = diffParts(t, afterSql, pk, p, oneWinner = true)
+    // drop the diff's `_out` emission; SCD2 emits its own interval rows
+    val keep = ctes.filterNot(_._1 == s"${p}_out")
+    val bCols = t.cols.map(c => s"b_$c AS $c").mkString(", ")
+    val aCols = t.cols.map(c => s"a_$c AS $c").mkString(", ")
+    withSql(keep,
+      s"""SELECT __key, $bCols, CAST(0 AS BIGINT) AS valid_from,
+         |       CAST(NULL AS BIGINT) AS valid_to
+         |FROM ${p}_cls WHERE diff_status = 'NOT_MODIFIED'
+         |UNION ALL
+         |SELECT __key, $bCols, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+         |FROM ${p}_cls WHERE diff_status IN ('DELETED', 'UPDATED')
+         |UNION ALL
+         |SELECT __key, $aCols, CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+         |FROM ${p}_cls WHERE diff_status IN ('INSERTED', 'UPDATED')""".stripMargin)
+  }
+
   /** Oracle for diff(A, A) — empty result (property: diff is reflexive-empty). */
   def identitySql(t: TableDef): String =
     diffSql(t, s"SELECT * FROM ${t.name}", t.pk)

@@ -73,6 +73,12 @@ object DiffQueries {
         val d = SnapshotDiff.diffOneWinner(before, after(spark, sfDir, t), t.pk)
         SnapshotDiff.applyDiff(before, d, t.pk)
       }),
+      // SCD2 history build over the diff: validity intervals per key
+      // (temporal-warehouse output; see SnapshotDiff.scd2).
+      "diff_scd2_orders" -> ((spark, sfDir) => {
+        val t = Tables.orders
+        SnapshotDiff.scd2(Tables.load(spark, sfDir, t.name), after(spark, sfDir, t), t.pk)
+      }),
       // P1+P2+P3 normalization exposed directly.
       "snapshot_normalize_customer" -> ((spark, sfDir) =>
         Normalize.withKey(Tables.load(spark, sfDir, "customer"), Tables.customer.pk)),
@@ -111,6 +117,8 @@ object DiffQueries {
       "snapshot_normalize_customer" ->
         DiffOracle.normalizedSelect("customer", Tables.customer, Tables.customer.pk),
       "diff_apply_roundtrip" -> DiffOracle.normalizedOneWinnerSql(
+        Tables.orders, Mutations.afterSql("orders"), Tables.orders.pk),
+      "diff_scd2_orders" -> DiffOracle.scd2Sql(
         Tables.orders, Mutations.afterSql("orders"), Tables.orders.pk),
       "catalog_tables" -> {
         val rows = Tables.all

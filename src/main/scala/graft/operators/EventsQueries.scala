@@ -41,6 +41,27 @@ object EventsQueries {
           sum(col("value").cast("decimal(38,4)")).cast("double").as("total_value"))
         .select(col("window.start").as("bucket_start"), col("event_type"),
           col("n_events"), col("total_value"))),
+    // Statistical outlier detection: per-type z-scores from EXACT moments —
+    // count/sum/sum-of-squares go through decimal (order-independent), so
+    // mean and stddev are the same IEEE doubles in both engines and the
+    // |z| > 3 classification is deterministic. One aggregation + one
+    // broadcast join of the 5-row stats frame back onto the scan.
+    "events_zscore_outliers" -> ((spark, sfDir) => {
+      val e = Tables.load(spark, sfDir, "events")
+      val dec8 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,8)")
+      val st = e.groupBy(col("event_type")).agg(
+          count(lit(1)).as("n"),
+          sum(dec8(col("value"))).cast("double").as("s1"),
+          sum(dec8(col("value") * col("value"))).cast("double").as("s2"))
+        .select(col("event_type"), col("n"),
+          (col("s1") / col("n")).as("mean_value"),
+          sqrt(col("s2") / col("n") -
+            (col("s1") / col("n")) * (col("s1") / col("n"))).as("std_value"))
+      e.join(broadcast(st), "event_type")
+        .filter(abs((col("value") - col("mean_value")) / col("std_value")) > lit(3.0))
+        .groupBy(col("event_type"), col("n"), col("mean_value"), col("std_value"))
+        .agg(count(lit(1)).as("n_outliers"))
+    }),
     // Ordered funnel (view → click → purchase): each stage keeps the first
     // qualifying event STRICTLY AFTER the previous stage's time. Every
     // join/aggregate keys on user_id, so the whole funnel is co-partitioned
@@ -224,6 +245,21 @@ object EventsQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY bucket_start, event_type""".stripMargin,
+    "events_zscore_outliers" ->
+      """WITH st AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(38,8))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY event_type),
+        |m AS (
+        |  SELECT event_type, n, s1 / n AS mean_value,
+        |         sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std_value
+        |  FROM st)
+        |SELECT m.event_type, m.n, m.mean_value, m.std_value,
+        |       COUNT(*) AS n_outliers
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |WHERE abs((e.value - m.mean_value) / m.std_value) > 3.0
+        |GROUP BY 1, 2, 3, 4""".stripMargin,
     "events_funnel" ->
       """WITH tv AS (
         |  SELECT user_id, MIN(ts) AS t_view FROM events

@@ -142,6 +142,39 @@ object SnapshotDiff {
       oneRowPerKey(Normalize.withKey(before, pk)),
       oneRowPerKey(Normalize.withKey(after, pk)))
 
+  /** SCD2 history build: turn a (before, after) snapshot pair into
+    * slowly-changing-dimension validity intervals — the temporal-warehouse
+    * consumer of the diff. Version 0 = before, version 1 = after:
+    * unchanged keys keep one open row [0, NULL); deleted and updated keys
+    * close their before row at [0, 1); inserted and updated keys open
+    * their after row at [1, NULL). Single pass over the same one
+    * full-outer join as the diff (the classify branches explode in place
+    * — no re-join per branch), so the scale budget is identical:
+    * one shuffle per side. */
+  def scd2(before: DataFrame, after: DataFrame, pk: Seq[String]): DataFrame = {
+    val bn = oneRowPerKey(Normalize.withKey(before, pk))
+    val an = oneRowPerKey(Normalize.withKey(after, pk))
+    val cols = bn.columns.filterNot(_ == Normalize.KeyCol).toIndexedSeq
+    val j = classifyNormalized(bn, an)
+    val status = col("diff_status")
+    def ver(prefix: String, from: Long, to: Option[Long]): Column =
+      struct(cols.map(c => col(s"$prefix$c").as(c)) :+
+        lit(from).as("valid_from") :+
+        to.map(v => lit(v)).getOrElse(lit(null)).cast("long").as("valid_to"): _*)
+    val bOpen = ver("__b_", 0L, None)
+    val bClosed = ver("__b_", 0L, Some(1L))
+    val aOpen = ver("__a_", 1L, None)
+    val rows = when(status === NotModified, array(bOpen))
+      .when(status === Deleted, array(bClosed))
+      .when(status === Updated, array(bClosed, aOpen))
+      .otherwise(array(aOpen)) // INSERTED
+    j.select(col(Normalize.KeyCol), explode(rows).as("__r"))
+      .select(col(Normalize.KeyCol) +:
+        cols.map(c => col(s"__r.$c").as(c)) :+
+        col("__r.valid_from").as("valid_from") :+
+        col("__r.valid_to").as("valid_to"): _*)
+  }
+
   /** MERGE (the write-back direction the reference lacks): reconstruct the
     * after snapshot from `before` + a [[diffOneWinner]] diff. Keys marked
     * DELETED or UPDATED drop their before row (one anti-join), then the
