@@ -90,6 +90,31 @@ class RelationalExtrasSpec extends SparkTestBase {
     assert(nearHits > 0)
   }
 
+  test("scd2: open rows reconstruct the after snapshot; closed+open partition the keys") {
+    import graft.operators.{DiffQueries, Normalize, SnapshotDiff}
+    val t = Tables.orders
+    val before = Tables.load(spark, Sf, t.name)
+    val after = DiffQueries.after(spark, Sf, t)
+    val hist = SnapshotDiff.scd2(before, after, t.pk)
+    val dataCols = hist.columns.filterNot(c =>
+      c == Normalize.KeyCol || c == "valid_from" || c == "valid_to")
+    // current rows (valid_to IS NULL) == the normalized one-winner after
+    val current = hist.filter(col("valid_to").isNull)
+      .select(dataCols.map(col): _*).collect().map(_.toSeq).toSet
+    val an = SnapshotDiff.oneRowPerKey(Normalize.withKey(after, t.pk))
+    val expected = an.select(dataCols.map(col): _*).collect().map(_.toSeq).toSet
+    assert(current == expected && current.nonEmpty)
+    // rows starting at version 0 == the normalized one-winner before
+    val v0 = hist.filter(col("valid_from") === 0)
+      .select(dataCols.map(col): _*).collect().map(_.toSeq).toSet
+    val bn = SnapshotDiff.oneRowPerKey(Normalize.withKey(before, t.pk))
+    assert(v0 == bn.select(dataCols.map(col): _*).collect().map(_.toSeq).toSet)
+    // no key carries two open rows
+    val dupOpen = hist.filter(col("valid_to").isNull)
+      .groupBy(col(Normalize.KeyCol)).count().filter(col("count") > 1).count()
+    assert(dupOpen == 0)
+  }
+
   test("q_window_range: band counts include value ties, single window exchange") {
     val df = SparkEntry.queries("q_window_range")(spark, Sf)
     val rows = df.as[(Long, String, Double, Long, Double)].collect()
