@@ -34,7 +34,8 @@ object SparkEntry {
     "sketch_kmv_groups", "pipeline_clean_corpus", "events_asof_join",
     "events_range_join", "events_interval_join", "text_heavy_hitters",
     "text_tfidf_top3", "q_bloom_semi_join", "mm_audio_features",
-    "q2_min_cost_supp", "dedup_chunk_overlap", "pipeline_pack_sequences")
+    "q2_min_cost_supp", "dedup_chunk_overlap", "pipeline_pack_sequences",
+    "events_funnel", "diff_scd2_orders")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
