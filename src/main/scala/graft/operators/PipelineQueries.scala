@@ -59,6 +59,32 @@ object PipelineQueries {
         .filter(col("rn") <= 5)
         .select(col("doc_id"), col("lang"), col("rn"))
     }),
+    // Benchmark decontamination: flag training documents that share any
+    // 8-gram with the held-out benchmark set (every original doc with
+    // doc_id % 100 == 0 plays the benchmark; the dup-extended corpus
+    // guarantees real collisions). Grams travel as md5 fingerprints — the
+    // join key is 32 bytes, never raw text; the benchmark gram set is ~1%
+    // of the corpus, broadcastable at any SF where the eval set stays
+    // small relative to training data. Output = contaminated train docs
+    // with how many benchmark docs they collide with.
+    "pipeline_decontaminate" -> ((spark, sfDir) => {
+      val grams = DedupQueries.corpus(spark, sfDir)
+        .withColumn("__toks", Hashing.tokens(col("text")))
+        .filter(size(col("__toks")) >= 8)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(__toks) - 8), " +
+            "i -> concat_ws(' ', slice(__toks, i + 1, 8)))")).as("g"))
+        .select(col("doc_id"), md5(col("g")).as("gfp"))
+        .distinct()
+        .persist() // feeds both sides of the contamination join
+      val isBench = col("doc_id") < 100000 && col("doc_id") % 100 === 0
+      val bench = grams.filter(isBench)
+        .select(col("doc_id").as("bench_id"), col("gfp"))
+      grams.filter(!isBench).join(broadcast(bench), "gfp")
+        .select(col("doc_id"), col("bench_id")).distinct()
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_benchmark_hits"))
+    }),
     // Sequence packing (concat-then-chunk): assign each document's first
     // token to a fixed 2048-token training sequence by a running token
     // count WITHIN each source shard — packing is per-shard, so no global
@@ -108,6 +134,23 @@ object PipelineQueries {
         |           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 5""".stripMargin,
+    "pipeline_decontaminate" ->
+      s"""WITH corpus AS (
+         |${DedupQueries.corpusSql}
+         |),
+         |t AS (SELECT doc_id, ${Hashing.tokensSql("text")} AS toks FROM corpus),
+         |g AS (
+         |  SELECT DISTINCT doc_id, md5(array_to_string(toks[s+1:s+8], ' ')) AS gfp
+         |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 7)) AS s
+         |        FROM t WHERE len(toks) >= 8) q),
+         |bench AS (
+         |  SELECT doc_id AS bench_id, gfp FROM g
+         |  WHERE doc_id < 100000 AND doc_id % 100 = 0)
+         |SELECT doc_id, COUNT(*) AS n_benchmark_hits FROM (
+         |  SELECT DISTINCT tr.doc_id, b.bench_id
+         |  FROM g tr JOIN bench b USING (gfp)
+         |  WHERE NOT (tr.doc_id < 100000 AND tr.doc_id % 100 = 0)) p
+         |GROUP BY doc_id""".stripMargin,
     "pipeline_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,

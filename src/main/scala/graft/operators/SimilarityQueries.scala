@@ -83,6 +83,29 @@ object SimilarityQueries {
       scored.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= TopK)
     }),
+    // Filtered vector search (the vector-database "metadata predicate +
+    // ANN" shape): the label predicate restricts the corpus BEFORE any
+    // scoring, so it pushes into the parquet scan and the scored candidate
+    // set shrinks with the filter's selectivity. Scoring/top-k are the
+    // exact baseline's broadcast-probe + codegen QuantizedDot.
+    "ann_filtered_topk" -> ((spark, sfDir) => {
+      val raw = Tables.load(spark, sfDir, "embeddings")
+      val corpusF = raw.filter(col("label") % 3 === 0)
+        .select(col("vec_id"), col("label"), col("embedding"),
+          QuantizedVec.qnormsq(col("embedding")).as("nsq"))
+      val probes = normed(raw).filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+          col("nsq").as("p_nsq"))
+      val scored = broadcast(probes)
+        .join(corpusF, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("label"),
+          QuantizedVec.qcosine(col("p_emb"), col("embedding"),
+            col("p_nsq"), col("nsq")).as("cos"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+    }),
     // IVF-style ANN: the 100 TB path next to the brute-force baseline.
     // Index build = one deterministic centroid per `label` cluster (the
     // quantized per-dimension mean — in production this is an offline
@@ -219,6 +242,27 @@ object SimilarityQueries {
          |  FROM dots JOIN norms na ON na.vec_id = probe_id
          |            JOIN norms nb ON nb.vec_id = neighbor_id)
          |SELECT probe_id, neighbor_id, cos, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                               ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) t WHERE rank <= $TopK""".stripMargin,
+    "ann_filtered_topk" ->
+      s"""WITH corpus AS (SELECT vec_id, label, embedding FROM embeddings),
+         |qn AS (
+         |  SELECT vec_id, label, i - 1 AS d, $qv AS qv
+         |  FROM corpus, range(1, ${Dim + 1}) r(i)),
+         |norms AS (SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS nsq FROM qn GROUP BY vec_id),
+         |dots AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, MIN(b.label) AS label,
+         |         CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
+         |  FROM qn a JOIN qn b ON a.d = b.d AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 100 = 0 AND b.label % 3 = 0
+         |  GROUP BY a.vec_id, b.vec_id),
+         |scored AS (
+         |  SELECT probe_id, neighbor_id, label,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
+         |  FROM dots JOIN norms na ON na.vec_id = probe_id
+         |            JOIN norms nb ON nb.vec_id = neighbor_id)
+         |SELECT probe_id, neighbor_id, label, cos, rank FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
          |                               ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored) t WHERE rank <= $TopK""".stripMargin,
