@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the cross-engine determinism engineering: results must be
+  * bit-identical regardless of how the input is partitioned (different
+  * partition counts change Spark's partial-aggregation grouping and task
+  * ordering — exactly the degrees of freedom the decimal casts,
+  * integer-quantized arithmetic, and unique tiebreakers exist to
+  * neutralize). A regression that re-introduces order-dependent floating
+  * aggregation fails here before it flakes the oracle gate. */
+class DeterminismSpec extends SparkTestBase {
+
+  private def resultSet(name: String): Set[Seq[Any]] =
+    SparkEntry.queries(name)(spark, Sf).collect().map(_.toSeq).toSet
+
+  private def repartitioned(parts: Int)(name: String): Set[Seq[Any]] = {
+    // route the same query through a session-level shuffle-partition change:
+    // partial aggregation trees and merge orders differ, results must not
+    val old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try resultSet(name)
+    finally spark.conf.set("spark.sql.shuffle.partitions", old)
+  }
+
+  test("decimal-summed aggregates are shuffle-partitioning-invariant") {
+    Seq("q1_pricing_summary", "q5_region_volume", "events_zscore_outliers").foreach { q =>
+      val a = repartitioned(2)(q)
+      val b = repartitioned(17)(q)
+      assert(a == b && a.nonEmpty, q)
+    }
+  }
+
+  test("hash-derived signatures and scores are shuffle-partitioning-invariant") {
+    Seq("dedup_simhash", "ann_cosine_topk", "text_lm_fluency").foreach { q =>
+      val a = repartitioned(2)(q)
+      val b = repartitioned(17)(q)
+      assert(a == b && a.nonEmpty, q)
+    }
+  }
+
+  test("window/top-k tiebreakers make rank output partitioning-invariant") {
+    Seq("q_window_topn", "q3_topk_revenue", "pipeline_stratified_sample").foreach { q =>
+      val a = repartitioned(2)(q)
+      val b = repartitioned(17)(q)
+      assert(a == b && a.nonEmpty, q)
+    }
+  }
+}
