@@ -36,6 +36,15 @@ object BucketedSnapshots {
   def diff(spark: SparkSession, beforeTable: String, afterTable: String): DataFrame =
     SnapshotDiff.diffNormalized(spark.table(beforeTable), spark.table(afterTable))
 
+  /** SCD2 history over two bucketed snapshot tables — the one-winner
+    * aggregations and the full-outer join all consume the bucketed
+    * layout's hash distribution, so the whole history build plans with
+    * zero Exchange (asserted by `BucketedDiffSpec`). */
+  def scd2(spark: SparkSession, beforeTable: String, afterTable: String): DataFrame =
+    SnapshotDiff.scd2Normalized(
+      SnapshotDiff.oneRowPerKey(spark.table(beforeTable)),
+      SnapshotDiff.oneRowPerKey(spark.table(afterTable)))
+
   /** Per-status report over two bucketed snapshot tables. */
   def statusCounts(spark: SparkSession, beforeTable: String, afterTable: String): DataFrame =
     SnapshotDiff.classifyNormalized(spark.table(beforeTable), spark.table(afterTable))

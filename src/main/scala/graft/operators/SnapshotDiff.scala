@@ -151,9 +151,15 @@ object SnapshotDiff {
     * full-outer join as the diff (the classify branches explode in place
     * — no re-join per branch), so the scale budget is identical:
     * one shuffle per side. */
-  def scd2(before: DataFrame, after: DataFrame, pk: Seq[String]): DataFrame = {
-    val bn = oneRowPerKey(Normalize.withKey(before, pk))
-    val an = oneRowPerKey(Normalize.withKey(after, pk))
+  def scd2(before: DataFrame, after: DataFrame, pk: Seq[String]): DataFrame =
+    scd2Normalized(
+      oneRowPerKey(Normalize.withKey(before, pk)),
+      oneRowPerKey(Normalize.withKey(after, pk)))
+
+  /** [[scd2]] over already one-winner'd normalized snapshots — used by the
+    * bucketed store, where both inputs arrive hash-distributed on `__key`
+    * and the whole history build plans with zero Exchange. */
+  def scd2Normalized(bn: DataFrame, an: DataFrame): DataFrame = {
     val cols = bn.columns.filterNot(_ == Normalize.KeyCol).toIndexedSeq
     val j = classifyNormalized(bn, an)
     val status = col("diff_status")

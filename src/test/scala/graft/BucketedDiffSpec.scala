@@ -28,6 +28,13 @@ class BucketedDiffSpec extends SparkTestBase {
     val fromPlain = SnapshotDiff.statusCounts(before, after, t.pk)
     assert(counts.collect().map(key).sorted.toSeq == fromPlain.collect().map(key).sorted.toSeq)
 
+    // SCD2 over the bucketed store: same history, still zero Exchange
+    val hist = BucketedSnapshots.scd2(spark, "snap_before", "snap_after")
+    val plainHist = SnapshotDiff.scd2(before, after, t.pk)
+    assert(hist.collect().map(key).sorted.toSeq == plainHist.collect().map(key).sorted.toSeq)
+    val histPlan = hist.queryExecution.executedPlan.toString
+    assert(!histPlan.contains("Exchange"), s"expected shuffle-free SCD2 plan, got:\n$histPlan")
+
     spark.sql("DROP TABLE IF EXISTS snap_before")
     spark.sql("DROP TABLE IF EXISTS snap_after")
   }
