@@ -181,6 +181,43 @@ object SnapshotDiff {
         col("__r.valid_to").as("valid_to"): _*)
   }
 
+  /** Multi-version SCD2: fold a whole ORDERED sequence of snapshots into
+    * validity intervals in ONE declarative plan (not an iterative driver
+    * loop): union all normalized versions tagged with their ordinal, then
+    * per key detect run starts (value changed vs the previous version, or
+    * the key was absent in between) with a lag window, and aggregate each
+    * run to [first_version, end). A run that survives to the last version
+    * stays open (valid_to NULL); a key deleted and re-inserted produces
+    * two disjoint intervals. Scale shape: one union-wide shuffle on
+    * `__key` shared by the window and the run aggregation — cost is
+    * independent of the number of versions beyond the data volume itself.
+    * Consistency with the pairwise [[scd2]] is pinned by spec. */
+  def scd2Chain(snapshots: Seq[DataFrame], pk: Seq[String]): DataFrame = {
+    require(snapshots.size >= 2, "scd2Chain needs at least two snapshots")
+    val normed = snapshots.map(s => oneRowPerKey(Normalize.withKey(s, pk)))
+    val cols = normed.head.columns.filterNot(_ == Normalize.KeyCol).toIndexedSeq
+    val n = normed.size
+    val tagged = normed.zipWithIndex
+      .map { case (df, i) => df.withColumn("__v", lit(i.toLong)) }
+      .reduce(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(Normalize.KeyCol)).orderBy(col("__v"))
+    val run = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val rowStruct = struct(cols.map(col): _*)
+    val prevRow = lag(rowStruct, 1).over(w)
+    val prevV = lag(col("__v"), 1).over(w)
+    val isStart = prevRow.isNull || prevV =!= col("__v") - 1 || prevRow =!= rowStruct
+    tagged
+      .withColumn("__start", when(isStart, 1L).otherwise(0L))
+      .withColumn("__run", sum(col("__start")).over(run))
+      .groupBy(col(Normalize.KeyCol) +: col("__run") +: cols.map(col): _*)
+      .agg(min(col("__v")).as("valid_from"), max(col("__v")).as("__last_v"))
+      .select(col(Normalize.KeyCol) +: cols.map(col) :+
+        col("valid_from") :+
+        when(col("__last_v") === (n - 1).toLong, lit(null).cast("long"))
+          .otherwise(col("__last_v") + 1L).as("valid_to"): _*)
+  }
+
   /** MERGE (the write-back direction the reference lacks): reconstruct the
     * after snapshot from `before` + a [[diffOneWinner]] diff. Keys marked
     * DELETED or UPDATED drop their before row (one anti-join), then the
