@@ -8,6 +8,21 @@ import org.apache.spark.sql.functions._
   * recall against the exact top-k must stay useful. */
 class IvfRecallSpec extends SparkTestBase {
 
+  test("persisted IVF index: query path reproduces the inline ann_ivf_topk exactly") {
+    import graft.operators.SimilarityQueries
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+    try {
+      SimilarityQueries.buildIvfIndex(spark, Sf, dir)
+      val fromIndex = SimilarityQueries.queryIvfIndex(spark, Sf, dir)
+        .collect().map(_.toSeq).toSet
+      val inline = SparkEntry.queries("ann_ivf_topk")(spark, Sf)
+        .collect().map(_.toSeq).toSet
+      assert(fromIndex == inline && fromIndex.nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("ann_ivf_topk plans with no broadcast nested-loop join") {
     val df = SimilarityQueries.queries("ann_ivf_topk")(spark, Sf)
     val plan = df.queryExecution.executedPlan.toString
