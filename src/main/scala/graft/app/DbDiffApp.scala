@@ -65,9 +65,13 @@ final class DbDiffApp(
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.exists(p))
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+    if (java.nio.file.Files.exists(p)) {
+      // Files.walk holds open directory handles — close the stream before
+      // deleting, or the long-running loop leaks one fd per iteration
+      val s = java.nio.file.Files.walk(p)
+      val all = try s.iterator().asScala.toSeq finally s.close()
+      all.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   /** Total record count across tables — the reference prints this per

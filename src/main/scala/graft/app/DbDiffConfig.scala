@@ -73,8 +73,13 @@ object DbDiffConfig {
     var i = 0
     while (i < raw.length) {
       val c = raw.charAt(i)
+      // a quote opens a quoted scalar only at the start of a value (after
+      // whitespace or ':'); a mid-word apostrophe (`dont'tell`) is plain
+      // text in YAML and must not swallow a trailing comment
+      val opensQuote = (c == '"' || c == '\'') &&
+        (i == 0 || raw.charAt(i - 1).isWhitespace || raw.charAt(i - 1) == ':')
       if (quote != 0) { if (c == quote) quote = 0 }
-      else if (c == '"' || c == '\'') quote = c
+      else if (opensQuote) quote = c
       else if (c == '#' && (i == 0 || raw.charAt(i - 1).isWhitespace))
         return raw.substring(0, i)
       i += 1

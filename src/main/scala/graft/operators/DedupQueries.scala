@@ -96,9 +96,14 @@ object DedupQueries {
     * the pruning: they're grouped per doc, and every doc that reaches the
     * output survives the semi-join.) */
   def jaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    // no broadcast() hint: the candidate-doc set scales with the corpus's
+    // dup rate (only per-bucket fan-out is bounded), so forcing a driver
+    // collect here would become the bottleneck the prune exists to remove;
+    // under the threshold Spark broadcasts on its own, above it the
+    // semi-join shuffles — both correct
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val shc = sh.join(broadcast(candDocs), Seq("doc_id"), "left_semi").persist()
+    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi").persist()
     val counts = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val sa = shc.select(col("doc_id").as("doc_a"), col("shingle"))
     val sb = shc.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -184,13 +189,10 @@ object DedupQueries {
     // all-pairs. The (doc, fp) frame feeds the cap count and both join
     // sides → persisted so the corpus is tokenized once.
     "dedup_chunk_overlap" -> ((spark, sfDir) => {
-      val chunks = corpus(spark, sfDir)
-        .withColumn("__toks", Hashing.tokens(col("text")))
-        .select(col("doc_id"),
-          explode(expr("sequence(0, greatest(size(__toks) - 1, 0), 48)")).as("start"),
-          col("__toks"))
-        .select(col("doc_id"),
-          md5(concat_ws(" ", expr("slice(__toks, start + 1, 64)"))).as("chunk_fp"))
+      // the SAME chunker as text_chunks (TextQueries.chunkFingerprints) —
+      // chunk-level dedup provably operates on the chunks fed to training
+      val chunks = TextQueries.chunkFingerprints(corpus(spark, sfDir))
+        .select(col("doc_id"), col("chunk_fp"))
         .distinct()
         .persist()
       val keep = chunks.groupBy(col("chunk_fp")).agg(count(lit(1)).as("__n"))
@@ -344,23 +346,17 @@ object DedupQueries {
             |UNION
             |SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id""".stripMargin),
       "SELECT id AS doc_id, MIN(label) AS component_id FROM reach GROUP BY id"),
-    "dedup_chunk_overlap" -> withSql(Seq(
-      "corpus" -> corpusSql,
-      "t" -> s"SELECT doc_id, $toksE AS toks FROM corpus",
-      "s" ->
-        """SELECT doc_id, toks,
-          |  unnest(range(0, greatest(len(toks), 1), 48)) AS start
-          |FROM t""".stripMargin,
-      "cf" ->
-        """SELECT DISTINCT doc_id,
-          |  md5(array_to_string(toks[start+1:start+64], ' ')) AS chunk_fp
-          |FROM s""".stripMargin,
-      "ok" -> "SELECT chunk_fp FROM cf GROUP BY chunk_fp HAVING COUNT(*) <= 64"),
-      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_chunks
-        |FROM (SELECT cf.* FROM cf JOIN ok USING (chunk_fp)) a
-        |JOIN (SELECT cf.* FROM cf JOIN ok USING (chunk_fp)) b
-        |  ON a.chunk_fp = b.chunk_fp AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2""".stripMargin),
+    "dedup_chunk_overlap" -> {
+      val (chunkCtes, chunkSelect) = TextQueries.chunkCtes("corpus")
+      withSql(Seq("corpus" -> corpusSql) ++ chunkCtes ++ Seq(
+        "cf" -> s"SELECT DISTINCT doc_id, chunk_fp FROM (\n$chunkSelect\n) ckall",
+        "ok" -> "SELECT chunk_fp FROM cf GROUP BY chunk_fp HAVING COUNT(*) <= 64"),
+        """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_chunks
+          |FROM (SELECT cf.* FROM cf JOIN ok USING (chunk_fp)) a
+          |JOIN (SELECT cf.* FROM cf JOIN ok USING (chunk_fp)) b
+          |  ON a.chunk_fp = b.chunk_fp AND a.doc_id < b.doc_id
+          |GROUP BY 1, 2""".stripMargin)
+    },
     "dedup_ngram_jaccard" -> withSql(
       corpusCtes ++ Seq(
         "cand" ->

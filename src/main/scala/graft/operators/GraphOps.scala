@@ -49,7 +49,14 @@ object GraphOps {
         .join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
         .filter(col("label") =!= col("__old")).count()
       labels.unpersist()
-      labels = next
+      // persist caches data but NOT lineage: by round k the logical plan
+      // nests k join+agg layers and Catalyst re-analyzes the whole tree
+      // each round (O(k²) planning, eventual stack depth). localCheckpoint
+      // truncates the lineage every few rounds so planning cost stays flat
+      // for high-diameter graphs.
+      labels =
+        if ((iter + 1) % 5 == 0) { val cp = next.localCheckpoint(true); next.unpersist(); cp }
+        else next
       converged = changed == 0
       iter += 1
     }

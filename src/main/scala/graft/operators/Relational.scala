@@ -169,8 +169,12 @@ object Relational {
     "q_scalar_subquery_anti" -> ((spark, sfDir) => {
       val c = Tables.load(spark, sfDir, "customer")
       val o = Tables.load(spark, sfDir, "orders")
+      // exact decimal SUM cast to double, then ONE IEEE division — avg()
+      // over decimals rounds to the decimal result scale in Spark but
+      // computes in full double precision in DuckDB, a ~1e-9 threshold gap
+      // that flips rows landing between the two
       val threshold = c.filter(col("c_acctbal") > 0.0)
-        .agg(avg(dec4(col("c_acctbal"))).cast("double").as("__thr"))
+        .agg((sum(dec4(col("c_acctbal"))).cast("double") / count(lit(1))).as("__thr"))
       c.crossJoin(broadcast(threshold))
         .filter(col("c_acctbal") > col("__thr"))
         .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
@@ -560,8 +564,9 @@ object Relational {
       val c = Tables.load(spark, sfDir, "customer")
         .withColumn("cntrycode", expr("right(c_name, 2)"))
         .filter(col("cntrycode").isin(codes: _*))
+      // sum/count, not avg: see q_scalar_subquery_anti's threshold note
       val thr = c.filter(col("c_acctbal") > 0.0)
-        .agg(avg(dec4(col("c_acctbal"))).cast("double").as("__thr"))
+        .agg((sum(dec4(col("c_acctbal"))).cast("double") / count(lit(1))).as("__thr"))
       val o = Tables.load(spark, sfDir, "orders")
       c.crossJoin(broadcast(thr))
         .filter(col("c_acctbal") > col("__thr"))
@@ -691,7 +696,8 @@ object Relational {
     "q_scalar_subquery_anti" ->
       s"""SELECT c_mktsegment, COUNT(*) AS n, ${decSum4("c_acctbal")} AS total_bal
          |FROM customer
-         |WHERE c_acctbal > (SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE)
+         |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE)
+         |                     / COUNT(*)
          |                   FROM customer WHERE c_acctbal > 0.0)
          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
          |GROUP BY c_mktsegment""".stripMargin,
@@ -899,7 +905,7 @@ object Relational {
          |      FROM customer) c
          |WHERE cntrycode IN ('01', '13', '25', '37', '49')
          |  AND c_acctbal > (
-         |    SELECT CAST(AVG(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE)
+         |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*)
          |    FROM customer
          |    WHERE c_acctbal > 0.0
          |      AND right(c_name, 2) IN ('01', '13', '25', '37', '49'))

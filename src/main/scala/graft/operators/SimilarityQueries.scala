@@ -62,30 +62,73 @@ object SimilarityQueries {
         floor(col("v").cast("double") * QuantizedVec.DefaultScale + 0.5)
           .cast("long").as("qv"))
 
-  /** Offline IVF index build: write the tiny centroid table (+norms) and
-    * the per-vector cluster assignment to `dir` as parquet — the index
-    * lifecycle a production vector store uses (build once offline; every
-    * later query routes against the centroid table and touches only its
-    * NProbe clusters' vectors). The build is the same relational plan the
-    * inline `ann_ivf_topk` uses; [[queryIvfIndex]] reproduces its results
-    * from the persisted index, pinned by spec. */
-  def buildIvfIndex(spark: SparkSession, sfDir: String, dir: String): Unit = {
-    val qn = quantizedComponents(Tables.load(spark, sfDir, "embeddings")).persist()
+  // ---- shared IVF stages (one definition; the inline query, the offline
+  // build, and the persisted-index query path all consume these, so the
+  // centroid arithmetic and tiebreaks cannot drift apart) ---------------
+
+  /** Per-label quantized-mean centroid table and its norms. */
+  private def centroids(qn: DataFrame): (DataFrame, DataFrame) = {
     val cq = qn.groupBy(col("label"), col("d"))
       .agg(floor(sum(col("qv")).cast("double") / count(lit(1))).cast("long").as("qc"))
     val cnorms = cq.groupBy(col("label")).agg(sum(col("qc") * col("qc")).as("cnsq"))
-    val norms = qn.groupBy(col("vec_id")).agg(sum(col("qv") * col("qv")).as("nsq"))
-    val ascore = qn.drop("label")
-      .join(broadcast(cq), "d")
+    (cq, cnorms)
+  }
+
+  private def vecNorms(comp: DataFrame): DataFrame =
+    comp.groupBy(col("vec_id")).agg(sum(col("qv") * col("qv")).as("nsq"))
+
+  /** Vector-vs-centroid cosine scores: components × the BROADCAST centroid
+    * table (tiny by construction) — one equi-join on d. */
+  private def centroidScores(comp: DataFrame, norms: DataFrame,
+      cq: DataFrame, cnorms: DataFrame): DataFrame =
+    comp.join(broadcast(cq), "d")
       .groupBy(col("vec_id"), col("label")).agg(sum(col("qv") * col("qc")).as("dot"))
       .join(norms, "vec_id").join(broadcast(cnorms), "label")
       .select(col("vec_id"), col("label"),
         (col("dot").cast("double") /
           (sqrt(col("nsq").cast("double")) * sqrt(col("cnsq").cast("double")))).as("ccos"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("label"))
-    val assigned = ascore.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1).select(col("vec_id"), col("label"))
+
+  /** Top-k clusters per vector by centroid cosine (label-asc tiebreak). */
+  private def topClusters(ascore: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("label"))
+    ascore.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).select(col("vec_id"), col("label"))
+  }
+
+  /** Exact codegen rerank of (probe_id, neighbor_id) candidates + top-k. */
+  private def topkRerank(cand: DataFrame, emb: DataFrame): DataFrame = {
+    val scored = cand
+      .join(emb.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nsq").as("p_nsq")), "probe_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+        col("nsq").as("n_nsq")), "neighbor_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        QuantizedVec.qcosine(col("p_emb"), col("n_emb"),
+          col("p_nsq"), col("n_nsq")).as("cos"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+  }
+
+  private def ivfCandidates(probeClusters: DataFrame, assigned: DataFrame): DataFrame =
+    probeClusters
+      .join(assigned.select(col("vec_id").as("neighbor_id"), col("label")), "label")
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"))
+
+  /** Offline IVF index build: write the tiny centroid table (+norms) and
+    * the per-vector cluster assignment to `dir` as parquet — the index
+    * lifecycle a production vector store uses (build once offline; every
+    * later query routes against the centroid table and touches only its
+    * NProbe clusters' vectors). Exactly the shared stages the inline
+    * `ann_ivf_topk` runs; [[queryIvfIndex]] reproduces its results from
+    * the persisted index, pinned by spec. */
+  def buildIvfIndex(spark: SparkSession, sfDir: String, dir: String): Unit = {
+    val qn = quantizedComponents(Tables.load(spark, sfDir, "embeddings")).persist()
+    val (cq, cnorms) = centroids(qn)
+    val norms = vecNorms(qn)
+    val assigned = topClusters(centroidScores(qn.drop("label"), norms, cq, cnorms), 1)
     cq.write.mode("overwrite").parquet(s"$dir/centroids")
     cnorms.write.mode("overwrite").parquet(s"$dir/centroid_norms")
     assigned.write.mode("overwrite").parquet(s"$dir/assignment")
@@ -102,37 +145,10 @@ object SimilarityQueries {
     val cq = spark.read.parquet(s"$dir/centroids")
     val cnorms = spark.read.parquet(s"$dir/centroid_norms")
     val assigned = spark.read.parquet(s"$dir/assignment")
-    val probesRaw = raw.filter(col("vec_id") % 100 === 0)
-    val pqn = quantizedComponents(probesRaw).drop("label")
-    val pnorms = pqn.groupBy(col("vec_id")).agg(sum(col("qv") * col("qv")).as("nsq"))
-    val pscore = pqn.join(broadcast(cq), "d")
-      .groupBy(col("vec_id"), col("label")).agg(sum(col("qv") * col("qc")).as("dot"))
-      .join(pnorms, "vec_id").join(broadcast(cnorms), "label")
-      .select(col("vec_id"), col("label"),
-        (col("dot").cast("double") /
-          (sqrt(col("nsq").cast("double")) * sqrt(col("cnsq").cast("double")))).as("ccos"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("label"))
-    val probeClusters = pscore.withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") <= NProbe)
+    val pqn = quantizedComponents(raw.filter(col("vec_id") % 100 === 0)).drop("label")
+    val probeClusters = topClusters(centroidScores(pqn, vecNorms(pqn), cq, cnorms), NProbe)
       .select(col("vec_id").as("probe_id"), col("label"))
-    val emb = normed(raw)
-    val cand = probeClusters
-      .join(assigned.select(col("vec_id").as("neighbor_id"), col("label")), "label")
-      .filter(col("neighbor_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("neighbor_id"))
-    val scored = cand
-      .join(emb.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-        col("nsq").as("p_nsq")), "probe_id")
-      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
-        col("nsq").as("n_nsq")), "neighbor_id")
-      .select(col("probe_id"), col("neighbor_id"),
-        QuantizedVec.qcosine(col("p_emb"), col("n_emb"),
-          col("p_nsq"), col("n_nsq")).as("cos"))
-    val w = Window.partitionBy(col("probe_id"))
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
+    topkRerank(ivfCandidates(probeClusters, assigned), normed(raw))
   }
 
   val queries: Map[String, Q] = Map(
@@ -199,56 +215,21 @@ object SimilarityQueries {
     // exact baseline is pinned by IvfRecallSpec.
     "ann_ivf_topk" -> ((spark, sfDir) => {
       val raw = Tables.load(spark, sfDir, "embeddings")
-      // quantized components (vec_id, d, qv) — shared by build + rerank
-      val qn = raw.select(col("vec_id"), col("label"),
-          posexplode(col("embedding")).as(Seq("d", "v")))
-        .select(col("vec_id"), col("label"), col("d"),
-          floor(col("v").cast("double") * QuantizedVec.DefaultScale + 0.5)
-            .cast("long").as("qv"))
-        .persist() // feeds centroid build, assignment, and both rerank legs
+      // quantized components feed centroid build, assignment, and routing
+      val qn = quantizedComponents(raw).persist()
       // --- index build: per-label quantized mean, exact in both engines
       // (sum < 2^53 so the double division is correctly rounded IEEE)
-      val cq = qn.groupBy(col("label"), col("d"))
-        .agg(floor(sum(col("qv")).cast("double") / count(lit(1))).cast("long").as("qc"))
-      val cnorms = cq.groupBy(col("label")).agg(sum(col("qc") * col("qc")).as("cnsq"))
-      val norms = qn.groupBy(col("vec_id")).agg(sum(col("qv") * col("qv")).as("nsq"))
-      // --- assignment: nearest centroid per vector, via the d equi-join
+      val (cq, cnorms) = centroids(qn)
+      val norms = vecNorms(qn)
+      // --- assignment scores: nearest centroids via the d equi-join
       // (relational index build — the per-query hot path never does this)
-      val ascore = qn.drop("label")
-        .join(broadcast(cq), "d")
-        .groupBy(col("vec_id"), col("label")).agg(sum(col("qv") * col("qc")).as("dot"))
-        .join(norms, "vec_id").join(broadcast(cnorms), "label")
-        .select(col("vec_id"), col("label"),
-          (col("dot").cast("double") /
-            (sqrt(col("nsq").cast("double")) * sqrt(col("cnsq").cast("double")))).as("ccos"))
+      val ascore = centroidScores(qn.drop("label"), norms, cq, cnorms)
         .persist() // consumed twice (assignment + probe routing): score once
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("ccos").desc, col("label"))
-      val assigned = ascore.withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") === 1).select(col("vec_id"), col("label"))
-      // --- probe routing: top-NProbe clusters per probe
-      val probeClusters = ascore.filter(col("vec_id") % 100 === 0)
-        .withColumn("rn", row_number().over(wAssign))
-        .filter(col("rn") <= NProbe)
+      val assigned = topClusters(ascore, 1)
+      val probeClusters = topClusters(ascore.filter(col("vec_id") % 100 === 0), NProbe)
         .select(col("vec_id").as("probe_id"), col("label"))
       // --- candidate gen (label equi-join) + exact codegen rerank
-      val emb = normed(raw)
-      val cand = probeClusters
-        .join(assigned.select(col("vec_id").as("neighbor_id"), col("label")), "label")
-        .filter(col("neighbor_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("neighbor_id"))
-      val scored = cand
-        .join(emb.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-          col("nsq").as("p_nsq")), "probe_id")
-        .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
-          col("nsq").as("n_nsq")), "neighbor_id")
-        .select(col("probe_id"), col("neighbor_id"),
-          QuantizedVec.qcosine(col("p_emb"), col("n_emb"),
-            col("p_nsq"), col("n_nsq")).as("cos"))
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= TopK)
+      topkRerank(ivfCandidates(probeClusters, assigned), normed(raw))
     }),
     "ann_lsh_near_dup" -> ((spark, sfDir) => {
       import spark.implicits._

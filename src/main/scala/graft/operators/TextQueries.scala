@@ -42,6 +42,44 @@ object TextQueries {
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
+  /** Shared context-window chunker (ChunkLen-token chunks at stride
+    * ChunkStride): ONE definition feeds both `text_chunks` (the training
+    * contexts) and `dedup_chunk_overlap` (chunk-level dedup), so the
+    * chunks being deduped are provably the chunks being trained on —
+    * a stride/length change can't desynchronize them. */
+  val ChunkLen = 64
+  val ChunkStride = 48
+
+  def chunkFingerprints(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__toks", Hashing.tokens(col("text")))
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, greatest(size(__toks) - 1, 0), $ChunkStride)"))
+          .as("start"),
+        col("__toks"))
+      .select(col("doc_id"),
+        expr(s"start div $ChunkStride").cast("long").as("chunk_id"),
+        expr(s"slice(__toks, start + 1, $ChunkLen)").as("__chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("__chunk"))).as("chunk_fp"))
+
+  /** Oracle twin of [[chunkFingerprints]]: CTEs + final SELECT over `src`. */
+  def chunkCtes(src: String, p: String = "ck"): (Seq[(String, String)], String) = (
+    Seq(
+      s"${p}_t" -> s"SELECT doc_id, ${Hashing.tokensSql("text")} AS toks FROM $src",
+      s"${p}_s" ->
+        s"""SELECT doc_id, toks,
+           |  unnest(range(0, greatest(len(toks), 1), $ChunkStride)) AS start
+           |FROM ${p}_t""".stripMargin,
+      s"${p}_c" ->
+        s"""SELECT doc_id, start // $ChunkStride AS chunk_id,
+           |  toks[start+1:start+$ChunkLen] AS chunk
+           |FROM ${p}_s""".stripMargin),
+    s"""SELECT doc_id, chunk_id, len(chunk) AS n_chunk_tokens,
+       |  md5(array_to_string(chunk, ' ')) AS chunk_fp
+       |FROM ${p}_c""".stripMargin)
+
   val queries: Map[String, Q] = Map(
     "text_stats" -> ((spark, sfDir) => {
       val toks = Hashing.tokens(col("text"))
@@ -111,17 +149,7 @@ object TextQueries {
     // per-row array arithmetic (sequence → slice), no shuffle; each chunk
     // carries its fingerprint for downstream chunk-level dedup.
     "text_chunks" -> ((spark, sfDir) =>
-      Tables.load(spark, sfDir, "documents")
-        .withColumn("__toks", Hashing.tokens(col("text")))
-        .select(col("doc_id"),
-          explode(expr("sequence(0, greatest(size(__toks) - 1, 0), 48)")).as("start"),
-          col("__toks"))
-        .select(col("doc_id"),
-          expr("start div 48").cast("long").as("chunk_id"),
-          expr("slice(__toks, start + 1, 64)").as("__chunk"))
-        .select(col("doc_id"), col("chunk_id"),
-          size(col("__chunk")).cast("long").as("n_chunk_tokens"),
-          md5(concat_ws(" ", col("__chunk"))).as("chunk_fp"))),
+      chunkFingerprints(Tables.load(spark, sfDir, "documents"))),
     // n-gram LM fluency proxy (count-based): a document's mean corpus
     // frequency over its bigram occurrences — text built from common
     // bigrams scores high, gibberish scores near 1. The "language model"
@@ -137,6 +165,7 @@ object TextQueries {
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(__toks) - 2), " +
             "i -> concat_ws(' ', __toks[i], __toks[i+1]))")).as("bg"))
+        .persist() // feeds the LM count table AND the scoring join probe
       val lm = grams.groupBy(col("bg")).agg(count(lit(1)).as("c"))
       grams.join(lm, "bg")
         .groupBy(col("doc_id"))
@@ -154,6 +183,7 @@ object TextQueries {
       val tf = docs
         .select(col("doc_id"), explode(Hashing.tokens(col("text"))).as("word"))
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+        .persist() // feeds the df aggregation AND the scoring join
       val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("__n"))
       val w = org.apache.spark.sql.expressions.Window
@@ -276,17 +306,11 @@ object TextQueries {
       s"""SELECT token, COUNT(*) AS n
          |FROM (SELECT unnest($toksE) AS token FROM documents) t
          |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin,
-    "text_chunks" ->
-      s"""WITH t AS (SELECT doc_id, $toksE AS toks FROM documents),
-         |s AS (SELECT doc_id, toks,
-         |        unnest(range(0, greatest(len(toks), 1), 48)) AS start
-         |      FROM t),
-         |c AS (SELECT doc_id, start // 48 AS chunk_id,
-         |        toks[start+1:start+64] AS chunk
-         |      FROM s)
-         |SELECT doc_id, chunk_id, len(chunk) AS n_chunk_tokens,
-         |  md5(array_to_string(chunk, ' ')) AS chunk_fp
-         |FROM c""".stripMargin,
+    "text_chunks" -> {
+      val (ctes, select) = chunkCtes("documents")
+      "WITH " + ctes.map { case (n, q) => s"$n AS (\n$q\n)" }.mkString(",\n") +
+        "\n" + select
+    },
     "text_lm_fluency" ->
       s"""WITH t AS (SELECT doc_id, $toksE AS toks FROM documents),
          |g AS (

@@ -26,8 +26,12 @@ class RelationalExtrasSpec extends SparkTestBase {
       .filter(col("unit_cost") === col("mc"))
       .select(col("l_partkey"), col("l_suppkey"), col("mc")).distinct()
     val s = Tables.load(spark, Sf, "supplier")
+    val n = Tables.load(spark, Sf, "nation")
+    // identical total order to the query under test (incl. n_name), so the
+    // two LIMIT 100 cuts select the same rows even on acctbal ties
     val viaWindow = offers.join(s, col("l_suppkey") === col("s_suppkey"))
-      .orderBy(col("s_acctbal").desc, col("s_name"), col("l_partkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("l_partkey"))
       .limit(100)
       .select("l_partkey", "s_name", "mc")
       .as[(Long, String, Double)].collect().toSet
