@@ -38,6 +38,20 @@ class DbDiffAppSpec extends SparkTestBase {
     }
   }
 
+  test("S1: comments, quoted hashes, and mid-word apostrophes parse like YAML") {
+    val c = DbDiffConfig.parse(
+      """db:
+        |  type: postgresql # trailing comment stripped
+        |  password: "p#ss"
+        |  user: dont'tell # comment after a mid-word apostrophe
+        |  name: 'o#brien'
+        |""".stripMargin)
+    assert(c.db.dbType == "postgresql")
+    assert(c.db.password == "p#ss")   // '#' inside quotes kept
+    assert(c.db.user == "dont'tell")  // apostrophe is plain text, comment gone
+    assert(c.db.name == "o#brien")    // single-quoted '#' kept
+  }
+
   test("S9: timestamped default filename; explicit name passes through") {
     val t = LocalDateTime.of(2026, 8, 12, 13, 4, 5)
     assert(ReportSink.generateOutFilename(ReportSink.DefaultOutputName, t)
