@@ -41,6 +41,30 @@ object EventsQueries {
           sum(col("value").cast("decimal(38,4)")).cast("double").as("total_value"))
         .select(col("window.start").as("bucket_start"), col("event_type"),
           col("n_events"), col("total_value"))),
+    // Sequence-pattern matching with NEGATION (MATCH_RECOGNIZE's
+    // "A then B with no C between" shape): users whose first signup is
+    // followed by a purchase with no error in the gap. Each pattern edge
+    // is a conditional-min aggregate keyed on user_id — same
+    // co-partitioned join chain as the funnel, no per-user array
+    // materialization, no driver state.
+    "events_pattern_match" -> ((spark, sfDir) => {
+      val e = Tables.load(spark, sfDir, "events")
+      val su = e.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+      val er = e.filter(col("event_type") === "error")
+        .join(su, "user_id").filter(col("ts") > col("t_signup"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t_err"))
+      val win = su.join(er, Seq("user_id"), "left_outer")
+      val clean = e.filter(col("event_type") === "purchase")
+        .join(win, "user_id")
+        .filter(col("ts") > col("t_signup") &&
+          (col("t_err").isNull || col("ts") < col("t_err")))
+        .select(col("user_id")).distinct()
+      su.agg(count(lit(1)).as("n_users"))
+        .select(lit("signup").as("stage"), col("n_users"))
+        .unionByName(clean.agg(count(lit(1)).as("n_users"))
+          .select(lit("signup>purchase_no_error").as("stage"), col("n_users")))
+    }),
     // Statistical outlier detection: per-type z-scores from EXACT moments —
     // count/sum/sum-of-squares go through decimal (order-independent), so
     // mean and stddev are the same IEEE doubles in both engines and the
@@ -245,6 +269,25 @@ object EventsQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY bucket_start, event_type""".stripMargin,
+    "events_pattern_match" ->
+      """WITH su AS (
+        |  SELECT user_id, MIN(ts) AS t_signup FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |er AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t_err
+        |  FROM events e JOIN su ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'error' AND e.ts > su.t_signup
+        |  GROUP BY e.user_id),
+        |win AS (
+        |  SELECT su.user_id, t_signup, t_err
+        |  FROM su LEFT JOIN er ON su.user_id = er.user_id),
+        |clean AS (
+        |  SELECT DISTINCT e.user_id
+        |  FROM events e JOIN win ON e.user_id = win.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > win.t_signup
+        |    AND (win.t_err IS NULL OR e.ts < win.t_err))
+        |SELECT 'signup' AS stage, COUNT(*) AS n_users FROM su
+        |UNION ALL SELECT 'signup>purchase_no_error', COUNT(*) FROM clean""".stripMargin,
     "events_zscore_outliers" ->
       """WITH st AS (
         |  SELECT event_type, COUNT(*) AS n,
