@@ -593,6 +593,22 @@ object Relational {
           ntile(4).over(w).cast("long").as("quartile"),
           percent_rank().over(w).as("pct_rank"))
     }),
+    // Relational DIVISION (customers ÷ priorities): customers that have
+    // placed orders under EVERY priority in the divisor domain — the
+    // classic ∀-quantified operator, decomposed as count-matching
+    // (distinct divisor values per dividend == |domain|), which is what
+    // the doubly-nested NOT EXISTS formulation rewrites to. The domain
+    // size is a lazy one-row broadcast; one distinct + one aggregate.
+    "q_division_priorities" -> ((spark, sfDir) => {
+      val o = Tables.load(spark, sfDir, "orders")
+      val total = o.select(col("o_orderpriority")).distinct()
+        .agg(count(lit(1)).as("__n"))
+      o.select(col("o_custkey"), col("o_orderpriority")).distinct()
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_priorities"))
+        .crossJoin(broadcast(total))
+        .filter(col("n_priorities") === col("__n"))
+        .select(col("o_custkey"), col("n_priorities"))
+    }),
     // unpivot (stack): the wide→long inverse of q_pivot_status — four
     // lineitem measures become (measure, value) rows in one narrow
     // generator pass (no shuffle until the per-measure rollup), then a
@@ -920,6 +936,12 @@ object Relational {
         |  PERCENT_RANK() OVER w AS pct_rank
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_division_priorities" ->
+      """SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_priorities
+        |FROM orders
+        |GROUP BY o_custkey
+        |HAVING COUNT(DISTINCT o_orderpriority) = (
+        |  SELECT COUNT(DISTINCT o_orderpriority) FROM orders)""".stripMargin,
     "q_unpivot_measures" ->
       s"""SELECT measure, COUNT(*) AS n, ${decSum4("value")} AS total
          |FROM (
