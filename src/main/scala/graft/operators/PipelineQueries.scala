@@ -59,6 +59,23 @@ object PipelineQueries {
         .filter(col("rn") <= 5)
         .select(col("doc_id"), col("lang"), col("rn"))
     }),
+    // Data-mixture re-weighting: every source shard gets a deterministic
+    // keep-rate (its mixture weight — here hash-derived per source, in
+    // production the tuned web/books/code proportions), and documents are
+    // kept by the same content-free hash-threshold routing the train/val
+    // split uses, so the two stages compose. Pure projection + one
+    // aggregate; the report shows target vs achieved per-mille per source.
+    "pipeline_source_mixture" -> ((spark, sfDir) => {
+      val hs = pmod(Hashing.hash64(col("source")), lit(5L))
+      val thresh = (hs + 1L) * 100L // target keep rate in per-mille
+      val hd = pmod(Hashing.hash64(col("doc_id").cast("string")), lit(1000L))
+      graft.Tables.load(spark, sfDir, "documents")
+        .withColumn("__keep", hd < thresh)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+          max(thresh).as("target_permille"))
+    }),
     // Benchmark decontamination: flag training documents that share any
     // 8-gram with the held-out benchmark set (every original doc with
     // doc_id % 100 == 0 plays the benchmark; the dup-extended corpus
@@ -134,6 +151,15 @@ object PipelineQueries {
         |           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 5""".stripMargin,
+    "pipeline_source_mixture" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN ${Hashing.hash64Sql("CAST(doc_id AS VARCHAR)")} % 1000
+         |                     < (1 + ${Hashing.hash64Sql("source")} % 5) * 100
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(MAX((1 + ${Hashing.hash64Sql("source")} % 5) * 100) AS BIGINT)
+         |    AS target_permille
+         |FROM documents
+         |GROUP BY source""".stripMargin,
     "pipeline_decontaminate" ->
       s"""WITH corpus AS (
          |${DedupQueries.corpusSql}
