@@ -53,6 +53,44 @@ object EventStreams {
       }
   }
 
+  final case class PEv(user_id: Long, event_type: String, ts_us: Long)
+  final case class PatternState(tSignup: Long, tErr: Long, converted: Boolean)
+
+  /** Streaming CEP twin of the batch `events_pattern_match` query: a
+    * per-user state machine tracking "signup, then purchase with no error
+    * between", emitting each user exactly once at their first clean
+    * conversion. State is O(1) per user (two timestamps + a flag); with
+    * event-time-ordered input the emissions equal the batch operator's
+    * clean-conversion set, which the DuckDB oracle checks — pinned by
+    * `StreamingSpec`. */
+  def patternMatch(events: Dataset[PEv]): Dataset[Long] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[PEv], state: GroupState[PatternState]) =>
+          var st = state.getOption
+            .getOrElse(PatternState(Long.MaxValue, Long.MaxValue, converted = false))
+          val out = scala.collection.mutable.Buffer[Long]()
+          evs.toSeq.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+            e.event_type match {
+              case "signup" =>
+                if (e.ts_us < st.tSignup) st = st.copy(tSignup = e.ts_us)
+              case "error" =>
+                if (e.ts_us > st.tSignup && e.ts_us < st.tErr) st = st.copy(tErr = e.ts_us)
+              case "purchase" =>
+                if (!st.converted && e.ts_us > st.tSignup && e.ts_us < st.tErr) {
+                  st = st.copy(converted = true)
+                  out += user
+                }
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Stream-stream inner join: every (click, view) pair per user where the
     * view happened within the 6 hours before the click — the streaming
     * twin of the batch `events_interval_join` query (which the DuckDB

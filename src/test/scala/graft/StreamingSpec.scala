@@ -70,6 +70,38 @@ class StreamingSpec extends SparkTestBase {
     assert(!rows.valuesIterator.contains(4L), rows.toString)
   }
 
+  test("streaming CEP pattern match emits exactly the batch clean-conversion set") {
+    // batch truth: users counted by the oracle-checked events_pattern_match
+    val e = Tables.load(spark, Sf, "events")
+    val su = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+    val er = e.filter(col("event_type") === "error")
+      .join(su, "user_id").filter(col("ts") > col("t_signup"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_err"))
+    val batchClean = e.filter(col("event_type") === "purchase")
+      .join(su.join(er, Seq("user_id"), "left_outer"), "user_id")
+      .filter(col("ts") > col("t_signup") &&
+        (col("t_err").isNull || col("ts") < col("t_err")))
+      .select("user_id").distinct().as[Long].collect().toSet
+
+    val evs = e.select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+      .as[EventStreams.PEv].collect().sortBy(v => (v.ts_us, v.user_id))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.PEv]
+    val q = EventStreams.patternMatch(input.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("graft_cep").start()
+    val (first, second) = evs.splitAt(evs.length / 2)
+    input.addData(first.toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(second.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("graft_cep").as[Long].collect()
+    assert(streamed.length == streamed.distinct.length) // emit-once per user
+    assert(streamed.toSet == batchClean && batchClean.nonEmpty)
+  }
+
   test("stateful streaming sessionization == batch sessionization") {
     val batch = EventsQueries.queries("events_sessionize")(spark, Sf)
       .collect()
