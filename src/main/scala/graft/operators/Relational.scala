@@ -593,6 +593,15 @@ object Relational {
           ntile(4).over(w).cast("long").as("quartile"),
           percent_rank().over(w).as("pct_rank"))
     }),
+    // Collect/array aggregation: the per-group value-set as a SORTED array
+    // (collect_set is unordered and partitioning-dependent — sort_array
+    // restores determinism), rendered to one string for exact cross-engine
+    // comparison.
+    "q_collect_priority_sets" -> ((spark, sfDir) =>
+      Tables.load(spark, sfDir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(concat_ws(",", sort_array(collect_set(col("o_orderpriority")))).as("priorities"),
+          count(lit(1)).as("n_orders"))),
     // Relational DIVISION (customers ÷ priorities): customers that have
     // placed orders under EVERY priority in the divisor domain — the
     // classic ∀-quantified operator, decomposed as count-matching
@@ -936,6 +945,11 @@ object Relational {
         |  PERCENT_RANK() OVER w AS pct_rank
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_collect_priority_sets" ->
+      """SELECT o_custkey,
+        |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_custkey""".stripMargin,
     "q_division_priorities" ->
       """SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_priorities
         |FROM orders
