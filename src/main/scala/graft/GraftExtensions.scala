@@ -84,6 +84,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args.head,
             new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args(1))))
         }))
+    // Custom TABLE function (the fourth extension point, next to scalar
+    // expressions, aggregates, and SQL-name injection): a frame-timeline
+    // generator usable directly in FROM —
+    //   SELECT * FROM graft_frames(duration_ms, step_ms, cap)
+    // producing (frame_idx, ts_ms) rows. Plans as a native Range + Project
+    // (the same operator Spark's own range() TVF uses), so it parallelizes
+    // and codegens like any relational source.
+    e.injectTableFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_frames"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "org.apache.spark.sql.catalyst.plans.logical.Range", "graft_frames"),
+        (args: Seq[Expression]) => {
+          requireArity("graft_frames(duration_ms, step_ms, cap)", args, 3)
+          def longLit(e: Expression, what: String): Long = e match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+            case other => throw new IllegalArgumentException(
+              s"graft_frames: $what must be an integer literal, got $other")
+          }
+          val duration = longLit(args.head, "duration_ms")
+          val step = longLit(args(1), "step_ms")
+          val cap = longLit(args(2), "cap")
+          require(step > 0 && cap > 0, "graft_frames: step_ms and cap must be positive")
+          val n = math.min(duration / step + 1, cap)
+          val range = org.apache.spark.sql.catalyst.plans.logical.Range(0L, n, 1L, None)
+          val id = range.output.head
+          org.apache.spark.sql.catalyst.plans.logical.Project(Seq(
+            org.apache.spark.sql.catalyst.expressions.Alias(id, "frame_idx")(),
+            org.apache.spark.sql.catalyst.expressions.Alias(
+              org.apache.spark.sql.catalyst.expressions.Multiply(id,
+                org.apache.spark.sql.catalyst.expressions.Literal(step)), "ts_ms")()),
+            range)
+        }))
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("kmv_distinct"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

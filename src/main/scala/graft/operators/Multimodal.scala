@@ -241,6 +241,16 @@ object Multimodal {
         .select(col("doc_id"), col("frame_idx"), col("ts_ms"), col("sample_idx"),
           (lit(44L) + col("sample_idx") * 2L * col("n_channels")).as("byte_offset"))
     }),
+    // the graft_frames TABLE function ([[graft.GraftExtensions]]) joined
+    // against a real table from plain SQL — exercises the injected TVF
+    // end-to-end through the oracle gate
+    "mm_frames_tvf" -> ((spark, sfDir) => {
+      Tables.load(spark, sfDir, "documents").createOrReplaceTempView("documents")
+      spark.sql(
+        """SELECT d.doc_id, f.frame_idx, f.ts_ms
+          |FROM documents d CROSS JOIN graft_frames(200, 50, 4) f
+          |WHERE d.doc_id < 10""".stripMargin)
+    }),
     // metadata aggregation over the decoded features (typed Dataset → agg)
     "mm_feature_stats" -> ((spark, sfDir) =>
       features(spark, sfDir)
@@ -304,6 +314,11 @@ object Multimodal {
         |  CAST(44 + ((frame_idx * 50 * sample_rate) // 1000) * 2 * n_channels AS BIGINT)
         |    AS byte_offset
         |FROM fr""".stripMargin,
+    "mm_frames_tvf" ->
+      """SELECT d.doc_id, CAST(f.i AS BIGINT) AS frame_idx,
+        |  CAST(f.i * 50 AS BIGINT) AS ts_ms
+        |FROM documents d CROSS JOIN range(0, 4) f(i)
+        |WHERE d.doc_id < 10""".stripMargin,
     "mm_feature_stats" ->
       """SELECT format, COUNT(*) AS n, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
         |       MAX(width) AS max_width, MAX(height) AS max_height
