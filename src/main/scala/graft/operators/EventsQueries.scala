@@ -250,6 +250,31 @@ object EventsQueries {
         .withColumn("__n", count(lit(1)).over(n))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"), pick(0.5), pick(0.9), pick(0.99))
+    }),
+    // Winsorized statistics (outlier-robust cleaning): clip every value to
+    // the exact P05/P95 rank cutoffs (the same rank-arithmetic machinery
+    // as events_value_quantiles — real data values, engine-exact), then
+    // decimal-exact moments over the clipped column. The cutoffs frame is
+    // 5 rows → broadcast back onto the scan.
+    "events_winsorized_stats" -> ((spark, sfDir) => {
+      val e = Tables.load(spark, sfDir, "events")
+      val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+      val n = Window.partitionBy(col("event_type"))
+      def pick(p: Double, as: String) =
+        max(when(col("__rn") === greatest(lit(1L), ceil(lit(p) * col("__n")).cast("long")),
+          col("value"))).as(as)
+      val cuts = e
+        .withColumn("__rn", row_number().over(w).cast("long"))
+        .withColumn("__n", count(lit(1)).over(n))
+        .groupBy(col("event_type"))
+        .agg(pick(0.05, "lo"), pick(0.95, "hi"))
+      val clipped = greatest(least(col("value"), col("hi")), col("lo"))
+      e.join(broadcast(cuts), "event_type")
+        .groupBy(col("event_type"), col("lo"), col("hi"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(clipped.cast("decimal(38,8)")).cast("double").as("winsorized_sum"),
+          sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
+            .otherwise(0L)).as("n_clipped"))
     })
   )
 
@@ -387,6 +412,24 @@ object EventsQueries {
          |SELECT event_id, zx, zy, $z AS zval
          |FROM d ORDER BY zval, event_id LIMIT 100""".stripMargin
     },
+    "events_winsorized_stats" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |cuts AS (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.05 * n) AS BIGINT)) THEN value END) AS lo,
+        |    MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.95 * n) AS BIGINT)) THEN value END) AS hi
+        |  FROM r GROUP BY event_type)
+        |SELECT e.event_type, c.lo, c.hi, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(GREATEST(LEAST(e.value, c.hi), c.lo) AS DECIMAL(38,8))) AS DOUBLE)
+        |    AS winsorized_sum,
+        |  CAST(SUM(CASE WHEN e.value < c.lo OR e.value > c.hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped
+        |FROM events e JOIN cuts c ON e.event_type = c.event_type
+        |GROUP BY 1, 2, 3""".stripMargin,
     "events_value_quantiles" ->
       """WITH r AS (
         |  SELECT event_type, value,

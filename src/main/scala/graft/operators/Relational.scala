@@ -593,6 +593,18 @@ object Relational {
           ntile(4).over(w).cast("long").as("quartile"),
           percent_rank().over(w).as("pct_rank"))
     }),
+    // NULL-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    // each other instead of vanishing — the semantics a plain '=' join
+    // silently loses. NULLs are synthesized via nullif since the fixture
+    // is NULL-free; the 'missing' bucket existing at all IS the test.
+    "q_null_safe_join" -> ((spark, sfDir) => {
+      val a = Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), expr("nullif(o_orderstatus, 'P')").as("k"))
+      val d = a.select(col("k").as("k2")).distinct()
+        .withColumn("label", coalesce(col("k2"), lit("missing")))
+      a.join(broadcast(d), col("k") <=> col("k2"))
+        .groupBy(col("label")).agg(count(lit(1)).as("n_orders"))
+    }),
     // Collect/array aggregation: the per-group value-set as a SORTED array
     // (collect_set is unordered and partitioning-dependent — sort_array
     // restores determinism), rendered to one string for exact cross-engine
@@ -945,6 +957,13 @@ object Relational {
         |  PERCENT_RANK() OVER w AS pct_rank
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_null_safe_join" ->
+      """WITH a AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS k FROM orders),
+        |d AS (SELECT k2, COALESCE(k2, 'missing') AS label
+        |      FROM (SELECT DISTINCT k AS k2 FROM a) t)
+        |SELECT label, COUNT(*) AS n_orders
+        |FROM a JOIN d ON a.k IS NOT DISTINCT FROM d.k2
+        |GROUP BY label""".stripMargin,
     "q_collect_priority_sets" ->
       """SELECT o_custkey,
         |  array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities,
