@@ -180,6 +180,22 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b")).distinct()
       jaccard(cand, sh, 0.2)
     }),
+    // Edit-distance verification of near-dup candidates: the banded
+    // SimHash pairs (bounded candidate set — never all-pairs) re-checked
+    // by levenshtein over a fixed 80-char prefix. Edit distance is O(n²)
+    // per pair, so the prefix cap bounds per-pair cost and the candidate
+    // generator bounds pair count — the standard cheap-filter → exact-
+    // verify cascade. Integer distances are engine-exact.
+    "dedup_edit_distance" -> ((spark, sfDir) => {
+      val c = corpus(spark, sfDir)
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("prefix"))
+      simhashPairs(spark, sfDir)
+        .join(c.select(col("doc_id").as("doc_a"), col("prefix").as("pa")), "doc_a")
+        .join(c.select(col("doc_id").as("doc_b"), col("prefix").as("pb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("hamming"),
+          levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
+        .filter(col("edit_dist") <= 20)
+    }),
     // Chunk-level overlap dedup (exact-substring dedup, chunk-fingerprint
     // form): documents sharing any 64-token chunk fingerprint (the same
     // chunking `text_chunks` feeds training) pair up with their shared-chunk
@@ -346,6 +362,16 @@ object DedupQueries {
             |UNION
             |SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id""".stripMargin),
       "SELECT id AS doc_id, MIN(label) AS component_id FROM reach GROUP BY id"),
+    "dedup_edit_distance" -> withSql(
+      Seq("corpus" -> corpusSql) ++ simhashCtes :+ chunksCte :+
+        ("pairs" -> simhashPairsSelect) :+
+        ("pref" -> "SELECT doc_id, substr(text, 1, 80) AS prefix FROM corpus"),
+      """SELECT p.doc_a, p.doc_b, p.hamming,
+        |  CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS edit_dist
+        |FROM pairs p
+        |JOIN pref a ON a.doc_id = p.doc_a
+        |JOIN pref b ON b.doc_id = p.doc_b
+        |WHERE levenshtein(a.prefix, b.prefix) <= 20""".stripMargin),
     "dedup_chunk_overlap" -> {
       val (chunkCtes, chunkSelect) = TextQueries.chunkCtes("corpus")
       withSql(Seq("corpus" -> corpusSql) ++ chunkCtes ++ Seq(

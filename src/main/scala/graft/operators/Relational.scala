@@ -593,6 +593,18 @@ object Relational {
           ntile(4).over(w).cast("long").as("quartile"),
           percent_rank().over(w).as("pct_rank"))
     }),
+    // first_value/last_value window frame over the full partition (rows
+    // between unbounded preceding and unbounded following) with unique
+    // tiebreaks — the remaining navigation-function pair.
+    "q_window_firstlast" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(spark, sfDir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("last_price"))
+    }),
     // NULL-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
     // each other instead of vanishing — the semantics a plain '=' join
     // silently loses. NULLs are synthesized via nullif since the fixture
@@ -957,6 +969,13 @@ object Relational {
         |  PERCENT_RANK() OVER w AS pct_rank
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_window_firstlast" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  FIRST_VALUE(o_totalprice) OVER w AS first_price,
+        |  LAST_VALUE(o_totalprice) OVER w AS last_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     "q_null_safe_join" ->
       """WITH a AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS k FROM orders),
         |d AS (SELECT k2, COALESCE(k2, 'missing') AS label
