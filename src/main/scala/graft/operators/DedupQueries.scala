@@ -196,6 +196,47 @@ object DedupQueries {
           levenshtein(col("pa"), col("pb")).cast("long").as("edit_dist"))
         .filter(col("edit_dist") <= 20)
     }),
+    // Prefix-filtering set-similarity join (the SSJoin/PPJoin family): the
+    // scale path for ALL-PAIRS Jaccard — no probe subset, yet never a join
+    // on every shingle. Shingles get a global total order (frequency, then
+    // shingle); any pair with Jaccard >= 0.5 must share a shingle within
+    // each side's first floor(n/2)+1 shingles in that order, so candidate
+    // generation self-joins ONLY those prefix shingles — the rarest ones by
+    // construction, so bucket fan-out stays bounded exactly where a join on
+    // all shingles explodes on stopword-like ones. t = 0.5 keeps the
+    // prefix-length arithmetic in exact integer division for both engines.
+    "dedup_prefix_jaccard" -> ((spark, sfDir) => {
+      val sh = shingles(corpus(spark, sfDir)).persist()
+      val gf = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gf"))
+      val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("gf"), col("shingle"))
+      val wN = Window.partitionBy(col("doc_id"))
+      val prefix = sh.join(gf, "shingle")
+        .withColumn("__rn", row_number().over(wOrd).cast("long"))
+        .withColumn("__n", count(lit(1)).over(wN))
+        .filter(expr("__rn <= __n div 2 + 1"))
+        .select(col("doc_id"), col("shingle"))
+      val a = prefix.select(col("doc_id").as("doc_a"), col("shingle"))
+      val b = prefix.select(col("doc_id").as("doc_b"), col("shingle"))
+      val cand = a.join(b, "shingle").filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      jaccard(cand, sh, 0.5)
+    }),
+    // Canonical-survivor selection — the dedup pipeline's actual OUTPUT:
+    // every doc mapped to its cluster's canonical (the component's min
+    // doc_id, which min-label propagation already computes as the label),
+    // docs outside any near-dup cluster canonical to themselves. One
+    // left join of the corpus against the component frame; the kept
+    // corpus is `WHERE kept`.
+    "dedup_survivors" -> ((spark, sfDir) => {
+      val comps = GraphOps.connectedComponents(
+        simhashPairs(spark, sfDir)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      corpus(spark, sfDir).select(col("doc_id"))
+        .join(comps, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("component_id"), col("doc_id")).as("canonical_id"),
+          (coalesce(col("component_id"), col("doc_id")) === col("doc_id")).as("kept"))
+    }),
     // Chunk-level overlap dedup (exact-substring dedup, chunk-fingerprint
     // form): documents sharing any 64-token chunk fingerprint (the same
     // chunking `text_chunks` feeds training) pair up with their shared-chunk
@@ -362,6 +403,47 @@ object DedupQueries {
             |UNION
             |SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id""".stripMargin),
       "SELECT id AS doc_id, MIN(label) AS component_id FROM reach GROUP BY id"),
+    "dedup_prefix_jaccard" -> withSql(
+      corpusCtes ++ Seq(
+        "gf" -> "SELECT shingle, COUNT(*) AS gf FROM shing GROUP BY shingle",
+        "pref" ->
+          """SELECT doc_id, shingle FROM (
+            |  SELECT s.doc_id, s.shingle,
+            |    ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY g.gf, s.shingle) AS rn,
+            |    COUNT(*) OVER (PARTITION BY s.doc_id) AS n
+            |  FROM shing s JOIN gf g ON g.shingle = s.shingle) t
+            |WHERE rn <= n // 2 + 1""".stripMargin,
+        "cand" ->
+          """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            |FROM pref a JOIN pref b
+            |  ON a.shingle = b.shingle AND a.doc_id < b.doc_id""".stripMargin,
+        "counts" -> "SELECT doc_id, COUNT(*) AS n_sh FROM shing GROUP BY doc_id",
+        "inter" ->
+          """SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+            |FROM cand c
+            |JOIN shing sa ON sa.doc_id = c.doc_a
+            |JOIN shing sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+            |GROUP BY c.doc_a, c.doc_b""".stripMargin),
+      jaccardSql + "WHERE jaccard >= 0.5"),
+    "dedup_survivors" -> withRecursiveSql(
+      Seq("corpus" -> corpusSql) ++ simhashCtes ++ Seq(
+        chunksCte,
+        "pairs" -> simhashPairsSelect,
+        "edges" ->
+          """SELECT doc_a AS src, doc_b AS dst FROM pairs
+            |UNION ALL
+            |SELECT doc_b AS src, doc_a AS dst FROM pairs""".stripMargin,
+        "verts" -> "SELECT DISTINCT src AS id FROM edges",
+        "reach" ->
+          """SELECT id, id AS label FROM verts
+            |UNION
+            |SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id""".stripMargin,
+        "comps" ->
+          "SELECT id AS doc_id, MIN(label) AS component_id FROM reach GROUP BY id"),
+      """SELECT c.doc_id,
+        |  COALESCE(k.component_id, c.doc_id) AS canonical_id,
+        |  COALESCE(k.component_id, c.doc_id) = c.doc_id AS kept
+        |FROM corpus c LEFT JOIN comps k ON k.doc_id = c.doc_id""".stripMargin),
     "dedup_edit_distance" -> withSql(
       Seq("corpus" -> corpusSql) ++ simhashCtes :+ chunksCte :+
         ("pairs" -> simhashPairsSelect) :+

@@ -251,6 +251,44 @@ object EventsQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"), pick(0.5), pick(0.9), pick(0.99))
     }),
+    // Sparse→dense time-series gap filling: a per-user DAILY grid spanning
+    // each user's active range (sequence + explode — rows generated at
+    // executor parallelism, never on the driver), left-joined against the
+    // observed daily totals, missing days carried forward by a running
+    // last-non-null window. Grid size is Σ per-user spans, not
+    // users × global-range; every shuffle (daily agg, grid join, fill
+    // window) is keyed on user_id so AQE reuses one co-partitioning.
+    "events_gapfill" -> ((spark, sfDir) => {
+      val daily = Tables.load(spark, sfDir, "events")
+        .select(col("user_id"),
+          expr("CAST(datediff(ts, DATE'2024-01-01') AS BIGINT)").as("day"),
+          col("value"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("value").cast("decimal(38,4)")).cast("double").as("day_value"))
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+        .select(col("user_id"),
+          explode(sequence(col("__d0"), col("__d1"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left_outer")
+        .withColumn("filled_value", last(col("day_value"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("day"), col("filled_value"),
+          col("day_value").isNotNull.as("is_observed"))
+    }),
+    // Fixed-width value histogram per event type: bucket identity is exact
+    // integer floor-division, bucket stats are count/min/max/distinct —
+    // no floating summation anywhere, so every cell is engine-exact. One
+    // hash aggregate; the expand for the distinct count is the only
+    // second pass.
+    "events_histogram" -> ((spark, sfDir) =>
+      Tables.load(spark, sfDir, "events")
+        .groupBy(col("event_type"),
+          floor(col("value") / 50.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          countDistinct(col("user_id")).as("n_users"))),
     // Winsorized statistics (outlier-robust cleaning): clip every value to
     // the exact P05/P95 rank cutoffs (the same rank-arithmetic machinery
     // as events_value_quantiles — real data values, engine-exact), then
@@ -412,6 +450,26 @@ object EventsQueries {
          |SELECT event_id, zx, zy, $z AS zval
          |FROM d ORDER BY zval, event_id LIMIT 100""".stripMargin
     },
+    "events_gapfill" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(datediff('day', DATE '2024-01-01', ts) AS BIGINT) AS day,
+        |         CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id),
+        |grid AS (
+        |  SELECT user_id, unnest(range(d0, d1 + 1)) AS day FROM span)
+        |SELECT g.user_id, g.day,
+        |  LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+        |  d.day_value IS NOT NULL AS is_observed
+        |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day""".stripMargin,
+    "events_histogram" ->
+      """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+        |  COUNT(*) AS n_events, MIN(value) AS min_value, MAX(value) AS max_value,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "events_winsorized_stats" ->
       """WITH r AS (
         |  SELECT event_type, value,

@@ -81,6 +81,18 @@ object TextQueries {
        |FROM ${p}_c""".stripMargin)
 
   val queries: Map[String, Q] = Map(
+    // Canonical text normalization — the first stage of every training
+    // pipeline: lowercase, non-alphanumerics to spaces, whitespace
+    // collapse, trim. Pure codegen'd projection (no shuffle, runs at scan
+    // parallelism); the md5 fingerprint of the normalized form is the key
+    // normalization-aware exact dedup would group on.
+    "text_normalize" -> ((spark, sfDir) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), norm.as("norm_text"), md5(norm).as("norm_fp"),
+          size(split(norm, " ")).cast("long").as("n_tokens"))
+    }),
     "text_stats" -> ((spark, sfDir) => {
       val toks = Hashing.tokens(col("text"))
       Tables.load(spark, sfDir, "documents")
@@ -261,6 +273,15 @@ object TextQueries {
   private val toksE = Hashing.tokensSql("text")
 
   val oracleSql: Map[String, String] = Map(
+    "text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |         ' +', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text, md5(norm_text) AS norm_fp,
+        |  CAST(len(string_split(norm_text, ' ')) AS BIGINT) AS n_tokens
+        |FROM n""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id,
          |  length(text) AS n_chars,
