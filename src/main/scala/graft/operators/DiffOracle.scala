@@ -88,6 +88,25 @@ object DiffOracle {
     withSql(ctes, select)
   }
 
+  /** Oracle for the per-column drift report: which columns change how often
+    * across a table's UPDATED rows (one split+unnest over the classified
+    * diff, then a count per column name). */
+  def driftSql(t: TableDef, afterSql: String, pk: Seq[String]): String = {
+    val p = t.name + "_dr"
+    val (ctes, _) = diffParts(t, afterSql, pk, p)
+    val keep = ctes.filterNot(_._1 == s"${p}_out")
+    withSql(keep ++ Seq(
+      s"${p}_upd" ->
+        s"SELECT modified_columns FROM ${p}_cls WHERE diff_status = 'UPDATED'",
+      s"${p}_tot" -> s"SELECT COUNT(*) AS n_updated_rows FROM ${p}_upd",
+      s"${p}_cc" ->
+        s"SELECT unnest(string_split(modified_columns, ',')) AS col_name FROM ${p}_upd"),
+      s"""SELECT col_name, COUNT(*) AS n_changed, n_updated_rows,
+         |  CAST(COUNT(*) AS DOUBLE) / n_updated_rows AS change_rate
+         |FROM ${p}_cc CROSS JOIN ${p}_tot
+         |GROUP BY col_name, n_updated_rows""".stripMargin)
+  }
+
   /** Normalized one-winner rendering of an after-mutation snapshot — the
     * expected output of `applyDiff(before, diffOneWinner(before, after))`. */
   def normalizedOneWinnerSql(t: TableDef, afterSql: String, pk: Seq[String]): String = {

@@ -79,6 +79,25 @@ object DiffQueries {
         val t = Tables.orders
         SnapshotDiff.scd2(Tables.load(spark, sfDir, t.name), after(spark, sfDir, t), t.pk)
       }),
+      // Per-column drift report over the diff — "which columns changed, how
+      // often": explode the modified-columns list of UPDATED rows, count
+      // per column, rate against the updated-row total. The scalar total
+      // stays lazy via crossJoin(broadcast(agg)) — no driver-side action at
+      // plan-construction time.
+      "diff_column_drift" -> ((spark, sfDir) => {
+        val t = Tables.orders
+        val d = SnapshotDiff.diff(
+          Tables.load(spark, sfDir, t.name), after(spark, sfDir, t), t.pk)
+        val upd = d
+          .filter(col("diff_status") === "UPDATED" && col("side") === "BEFORE")
+          .select(col("modified_columns"))
+        val tot = upd.agg(count(lit(1)).as("n_updated_rows"))
+        upd.select(explode(split(col("modified_columns"), ",")).as("col_name"))
+          .groupBy(col("col_name")).agg(count(lit(1)).as("n_changed"))
+          .crossJoin(broadcast(tot))
+          .withColumn("change_rate",
+            col("n_changed").cast("double") / col("n_updated_rows"))
+      }),
       // P1+P2+P3 normalization exposed directly.
       "snapshot_normalize_customer" -> ((spark, sfDir) =>
         Normalize.withKey(Tables.load(spark, sfDir, "customer"), Tables.customer.pk)),
@@ -119,6 +138,8 @@ object DiffQueries {
       "diff_apply_roundtrip" -> DiffOracle.normalizedOneWinnerSql(
         Tables.orders, Mutations.afterSql("orders"), Tables.orders.pk),
       "diff_scd2_orders" -> DiffOracle.scd2Sql(
+        Tables.orders, Mutations.afterSql("orders"), Tables.orders.pk),
+      "diff_column_drift" -> DiffOracle.driftSql(
         Tables.orders, Mutations.afterSql("orders"), Tables.orders.pk),
       "catalog_tables" -> {
         val rows = Tables.all

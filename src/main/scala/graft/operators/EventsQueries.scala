@@ -251,6 +251,47 @@ object EventsQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"), pick(0.5), pick(0.9), pick(0.99))
     }),
+    // RFM (recency/frequency/monetary) user segmentation: one keyed
+    // aggregate collapses events to a per-user frame, then ntile(5) scores
+    // over that frame. The global-ordered windows sort only the AGGREGATED
+    // user table (orders of magnitude smaller than the event log — the
+    // scale cost lives in the first aggregate, which is one shuffle);
+    // every ordering carries user_id as the unique tiebreaker so both
+    // engines assign identical ntile buckets.
+    "events_rfm" -> ((spark, sfDir) => {
+      val e = Tables.load(spark, sfDir, "events")
+      val per = e.groupBy(col("user_id")).agg(
+        max(unix_micros(col("ts"))).as("last_us"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(38,4)")).cast("double").as("monetary"))
+      val tot = e.agg(max(unix_micros(col("ts"))).as("__gmax"))
+      def score(c: String) =
+        ntile(5).over(Window.orderBy(col(c).desc, col("user_id"))).cast("long")
+      per.crossJoin(broadcast(tot))
+        .withColumn("recency_days",
+          expr("CAST((__gmax - last_us) div 86400000000 AS BIGINT)"))
+        .withColumn("r_score", score("last_us"))
+        .withColumn("f_score", score("frequency"))
+        .withColumn("m_score", score("monetary"))
+        .select(col("user_id"), col("recency_days"), col("frequency"),
+          col("monetary"), col("r_score"), col("f_score"), col("m_score"))
+    }),
+    // First-order Markov transition matrix over each user's event-type
+    // sequence: lag(1) per user (one user-keyed sort window), then a count
+    // per (prev, next) pair and a row-normalized probability via a window
+    // over the tiny transition frame. All counts are exact integers; p is
+    // one IEEE division of the same integers in both engines.
+    "events_markov_transitions" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val t = Tables.load(spark, sfDir, "events")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .select(col("prev_type"), col("event_type").as("next_type"))
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+      t.withColumn("p", col("n_transitions").cast("double") /
+        sum(col("n_transitions")).over(Window.partitionBy(col("prev_type"))))
+    }),
     // Sparse→dense time-series gap filling: a per-user DAILY grid spanning
     // each user's active range (sequence + explode — rows generated at
     // executor parallelism, never on the driver), left-joined against the
@@ -450,6 +491,32 @@ object EventsQueries {
          |SELECT event_id, zx, zy, $z AS zval
          |FROM d ORDER BY zval, event_id LIMIT 100""".stripMargin
     },
+    "events_rfm" ->
+      """WITH per AS (
+        |  SELECT user_id, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS frequency,
+        |         CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS monetary
+        |  FROM events GROUP BY user_id),
+        |tot AS (SELECT MAX(epoch_us(ts)) AS gmax FROM events)
+        |SELECT user_id,
+        |  CAST((gmax - last_us) // 86400000000 AS BIGINT) AS recency_days,
+        |  frequency, monetary,
+        |  CAST(NTILE(5) OVER (ORDER BY last_us DESC, user_id) AS BIGINT) AS r_score,
+        |  CAST(NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS BIGINT) AS f_score,
+        |  CAST(NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS BIGINT) AS m_score
+        |FROM per CROSS JOIN tot""".stripMargin,
+    "events_markov_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |           AS prev_type
+        |  FROM events),
+        |t AS (
+        |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+        |  FROM s WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n_transitions,
+        |  CAST(n_transitions AS DOUBLE) /
+        |    SUM(n_transitions) OVER (PARTITION BY prev_type) AS p
+        |FROM t""".stripMargin,
     "events_gapfill" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(datediff('day', DATE '2024-01-01', ts) AS BIGINT) AS day,

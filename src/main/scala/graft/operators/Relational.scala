@@ -605,6 +605,26 @@ object Relational {
           first(col("o_totalprice")).over(w).as("first_price"),
           last(col("o_totalprice")).over(w).as("last_price"))
     }),
+    // Referential-integrity audit: orphan counts across every FK edge of
+    // the schema in one result frame. Each edge is a left-anti join where
+    // the parent key side is dimension-sized → Spark broadcasts it and
+    // the probe runs map-side at scan parallelism; the fact-to-fact edge
+    // (lineitem→orders) shuffles once on the key like any large join.
+    "q_orphan_check" -> ((spark, sfDir) => {
+      def orphans(child: String, ckey: String, parent: String, pkey: String) = {
+        val c = Tables.load(spark, sfDir, child)
+        val p = Tables.load(spark, sfDir, parent)
+        c.join(p, c(ckey) === p(pkey), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(s"$child.$ckey").as("fk_edge"), col("n_orphans"))
+      }
+      orphans("orders", "o_custkey", "customer", "c_custkey")
+        .unionByName(orphans("lineitem", "l_orderkey", "orders", "o_orderkey"))
+        .unionByName(orphans("lineitem", "l_partkey", "part", "p_partkey"))
+        .unionByName(orphans("lineitem", "l_suppkey", "supplier", "s_suppkey"))
+        .unionByName(orphans("customer", "c_nationkey", "nation", "n_nationkey"))
+        .unionByName(orphans("supplier", "s_nationkey", "nation", "n_nationkey"))
+    }),
     // NULL-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys match
     // each other instead of vanishing — the semantics a plain '=' join
     // silently loses. NULLs are synthesized via nullif since the fixture
@@ -976,6 +996,25 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q_orphan_check" ->
+      """SELECT 'orders.o_custkey' AS fk_edge, COUNT(*) AS n_orphans
+        |FROM orders o WHERE NOT EXISTS (
+        |  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'lineitem.l_orderkey', COUNT(*) FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey', COUNT(*) FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey', COUNT(*) FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+        |UNION ALL
+        |SELECT 'customer.c_nationkey', COUNT(*) FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+        |UNION ALL
+        |SELECT 'supplier.s_nationkey', COUNT(*) FROM supplier s
+        |WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)""".stripMargin,
     "q_null_safe_join" ->
       """WITH a AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS k FROM orders),
         |d AS (SELECT k2, COALESCE(k2, 'missing') AS label

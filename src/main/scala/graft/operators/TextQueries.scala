@@ -93,6 +93,24 @@ object TextQueries {
         .select(col("doc_id"), norm.as("norm_text"), md5(norm).as("norm_fp"),
           size(split(norm, " ")).cast("long").as("n_tokens"))
     }),
+    // Inverted index (3-word shingle → sorted doc-id posting list): the
+    // retrieval structure behind search and RAG corpus serving, built on
+    // the SAME shingles the dedup pipeline hashes ([[DedupQueries
+    // .shingles]]). The df range filter is computed FIRST and joined back,
+    // so posting arrays only ever materialize for terms inside the cap —
+    // boilerplate shingles (df > 20) are dropped before any collect_set
+    // state exists, the same bounded-fan-out discipline as the LSH band
+    // and chunk-overlap caps.
+    "text_inverted_index" -> ((spark, sfDir) => {
+      val dt = DedupQueries.shingles(Tables.load(spark, sfDir, "documents"))
+        .persist()
+      val kept = dt.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 20))
+      dt.join(kept, "shingle")
+        .groupBy(col("shingle"), col("df"))
+        .agg(expr("array_join(transform(sort_array(collect_set(doc_id))," +
+          " x -> cast(x AS string)), ',')").as("postings"))
+    }),
     "text_stats" -> ((spark, sfDir) => {
       val toks = Hashing.tokens(col("text"))
       Tables.load(spark, sfDir, "documents")
@@ -273,6 +291,19 @@ object TextQueries {
   private val toksE = Hashing.tokensSql("text")
 
   val oracleSql: Map[String, String] = Map(
+    "text_inverted_index" ->
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |      range(0, greatest(len(toks) - 2, 0)),
+         |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingle
+         |  FROM (SELECT doc_id, $toksE AS toks FROM documents) t),
+         |kept AS (
+         |  SELECT shingle, COUNT(*) AS df FROM dt GROUP BY shingle
+         |  HAVING COUNT(*) BETWEEN 2 AND 20)
+         |SELECT d.shingle, k.df,
+         |  string_agg(CAST(d.doc_id AS VARCHAR), ',' ORDER BY d.doc_id) AS postings
+         |FROM dt d JOIN kept k ON k.shingle = d.shingle
+         |GROUP BY d.shingle, k.df""".stripMargin,
     "text_normalize" ->
       """WITH n AS (
         |  SELECT doc_id,
