@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.DedupQueries
+import org.apache.spark.sql.functions._
+
+/** Properties of the round-3 additions: prefix-filtered similarity join,
+  * dedup survivor selection, time-series gap fill.
+  */
+class PipelineOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("prefix filtering loses no pair: result equals all-shingle-join Jaccard at t=0.5") {
+    // brute-force candidates: join on EVERY shingle (correct but unbounded
+    // fan-out); the prefix filter must reproduce its >= 0.5 result exactly
+    val sh = DedupQueries.shingles(DedupQueries.corpus(spark, Sf)).persist()
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val cand = a.join(b, "shingle").filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val brute = DedupQueries.jaccard(cand, sh, 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val pref = SparkEntry.queries("dedup_prefix_jaccard")(spark, Sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pref == brute && brute.nonEmpty)
+  }
+
+  test("survivors: exactly one kept doc per cluster, and it is the cluster minimum") {
+    val s = SparkEntry.queries("dedup_survivors")(spark, Sf)
+      .select("doc_id", "canonical_id", "kept").as[(Long, Long, Boolean)].collect()
+    val byCluster = s.groupBy(_._2)
+    byCluster.foreach { case (canon, members) =>
+      assert(members.count(_._3) == 1, s"cluster $canon kept != 1")
+      assert(members.filter(_._3).head._1 == canon)
+      assert(members.map(_._1).min == canon, s"canonical $canon is not the min doc_id")
+    }
+    assert(byCluster.exists(_._2.length > 1)) // at least one real near-dup cluster
+  }
+
+  test("gapfill: grid is dense per user, filled_value carries the last observed total") {
+    val g = SparkEntry.queries("events_gapfill")(spark, Sf)
+      .select("user_id", "day", "filled_value", "is_observed")
+      .as[(Long, Long, Option[Double], Boolean)].collect()
+    g.groupBy(_._1).foreach { case (_, rows) =>
+      val days = rows.map(_._2).sorted
+      assert(days.distinct.length == days.length &&
+        days.length == (days.last - days.head + 1), "grid has holes or duplicates")
+      // first day of every span is observed (grid starts at min observed day)
+      assert(rows.minBy(_._2)._4)
+      // forward fill: every row's value equals the latest observed day's value
+      val obs = rows.filter(_._4).map(r => r._2 -> r._3).toMap
+      rows.foreach { r =>
+        val lastObs = obs.keys.filter(_ <= r._2).max
+        assert(r._3 == obs(lastObs), s"fill mismatch at user day ${r._2}")
+      }
+    }
+    assert(g.exists(!_._4)) // the fixture actually has gaps
+  }
+}
