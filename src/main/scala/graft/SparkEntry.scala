@@ -35,7 +35,8 @@ object SparkEntry {
     "events_range_join", "events_interval_join", "text_heavy_hitters",
     "text_tfidf_top3", "q_bloom_semi_join", "mm_audio_features",
     "q2_min_cost_supp", "dedup_chunk_overlap", "pipeline_pack_sequences",
-    "events_funnel", "diff_scd2_orders")
+    "events_funnel", "diff_scd2_orders",
+    "dedup_prefix_jaccard", "events_gapfill", "text_inverted_index")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -210,16 +210,44 @@ object DedupQueries {
       val gf = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gf"))
       val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("gf"), col("shingle"))
       val wN = Window.partitionBy(col("doc_id"))
+      // both sides of the candidate self-join scan the prefix frame —
+      // persist it so the frequency join + window passes run once, not
+      // twice (the same both-sides rule as the banded minhash frame)
       val prefix = sh.join(gf, "shingle")
         .withColumn("__rn", row_number().over(wOrd).cast("long"))
         .withColumn("__n", count(lit(1)).over(wN))
         .filter(expr("__rn <= __n div 2 + 1"))
         .select(col("doc_id"), col("shingle"))
+        .persist()
       val a = prefix.select(col("doc_id").as("doc_a"), col("shingle"))
       val b = prefix.select(col("doc_id").as("doc_b"), col("shingle"))
       val cand = a.join(b, "shingle").filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
-      jaccard(cand, sh, 0.5)
+      // Set-array verification instead of the 3-leg intersection join:
+      // each doc's shingle-hash set ships ONCE per pair side and the
+      // intersection is a codegen array op — no third join and no
+      // re-aggregation over exploded candidate shingles (the leg join
+      // materializes Σ pairs × shingles-per-doc rows; this ships the
+      // same bytes as packed arrays and does the counting in the
+      // projection). 60-bit hashes stand in for the shingles — at 27 K
+      // distinct shingles the collision odds are ~1e-10, and the oracle
+      // (raw-string intersection) would catch one as a hash mismatch.
+      // The length filter is implied by the threshold (J >= 0.5 forces
+      // max(n) <= 2*min(n)), so it prunes candidates without changing
+      // the result.
+      val sets = sh.groupBy(col("doc_id"))
+        .agg(collect_set(Hashing.hash64(col("shingle"))).as("hs"))
+        .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n_sh"))
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"),
+          col("hs").as("ha"), col("n_sh").as("n_a")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"),
+          col("hs").as("hb"), col("n_sh").as("n_b")), "doc_b")
+        .filter(greatest(col("n_a"), col("n_b")) <= lit(2) * least(col("n_a"), col("n_b")))
+        .withColumn("__c", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("__c").cast("double") / (col("n_a") + col("n_b") - col("__c"))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
     }),
     // Canonical-survivor selection — the dedup pipeline's actual OUTPUT:
     // every doc mapped to its cluster's canonical (the component's min

@@ -84,6 +84,35 @@ class PlanQualitySpec extends SparkTestBase {
     Seq("lang#", "source#", "n_chars#").foreach(c => assert(!scan.contains(c), scan))
   }
 
+  test("orphan audit: every parent side is a broadcast or map-side-pruned join") {
+    val p = plan("q_orphan_check")
+    // six anti-join edges; the five dimension-sized parents must plan as
+    // broadcast hash joins (the lineitem→orders edge may legitimately
+    // shuffle) and nothing may fall back to a nested loop
+    val bhj = p.linesIterator.count(l => l.contains("BroadcastHashJoin") && l.contains("LeftAnti"))
+    assert(bhj >= 4, s"expected >=4 broadcast anti joins, got $bhj:\n${p.take(3000)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("gapfill: the whole pipeline shuffles only on user-keyed partitionings") {
+    val p = plan("events_gapfill")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    exchanges.foreach(e => assert(e.contains("user_id#"), s"non-user-keyed shuffle:\n$e"))
+  }
+
+  test("inverted index: df cap joins before the posting-list aggregation") {
+    // the collect_set aggregate must sit ABOVE the df-cap join in the plan —
+    // posting arrays never materialize for uncapped terms
+    val df = SparkEntry.queries("text_inverted_index")(spark, Sf)
+    val p = df.queryExecution.optimizedPlan.toString
+    val lines = p.linesIterator.toSeq
+    val aggIdx = lines.indexWhere(l => l.contains("collect_set"))
+    val joinIdx = lines.indexWhere(l => l.contains("Join Inner"))
+    assert(aggIdx >= 0 && joinIdx >= 0 && aggIdx < joinIdx,
+      s"collect_set at $aggIdx, join at $joinIdx:\n${p.take(3000)}")
+  }
+
   test("hive-partitioned layout: a lang predicate prunes partitions at planning time") {
     // the write path a 100 TB corpus would use: partition the files by the
     // filter column, so a reader touches only matching directories
