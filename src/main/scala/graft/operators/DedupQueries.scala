@@ -160,6 +160,34 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b")).distinct()
       jaccard(cand, sh, 0.4)
     }),
+    // Signature-based Jaccard ESTIMATION: similarity read directly off the
+    // minhash signatures (matching-lane fraction) for the banded candidate
+    // pairs — the at-scale shortcut that skips exact verification entirely
+    // when an unbiased estimate suffices (16 lanes → ±0.125 resolution).
+    // No pass over the shingle sets after signature construction: the
+    // verify is a 16-integer comparison per pair, and the lane count is
+    // exact integer arithmetic in both engines.
+    "dedup_minhash_estimate" -> ((spark, sfDir) => {
+      val sh = shingles(corpus(spark, sfDir))
+      val sigs = minhashSigs(sh).persist()
+      val bb = bands(sigs).persist()
+      val aB = bb.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+      val bB = bb.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+      val cand = aB.join(bB, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val sa = sigs.select(col("doc_id").as("doc_a") +:
+        (0 until NumHashes).map(j => col(s"m$j").as(s"a$j")): _*)
+      val sb = sigs.select(col("doc_id").as("doc_b") +:
+        (0 until NumHashes).map(j => col(s"m$j").as(s"b$j")): _*)
+      val matching = (0 until NumHashes)
+        .map(j => when(col(s"a$j") === col(s"b$j"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      cand.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("n_matching", matching)
+        .filter(col("n_matching") >= NumHashes / 2)
+        .select(col("doc_a"), col("doc_b"), col("n_matching"),
+          (col("n_matching").cast("double") / NumHashes).as("jaccard_est"))
+    }),
     "dedup_simhash" -> ((spark, sfDir) =>
       simhashSigs(corpus(spark, sfDir))),
     "dedup_simhash_pairs" -> ((spark, sfDir) => simhashPairs(spark, sfDir)),
@@ -410,6 +438,24 @@ object DedupQueries {
             |JOIN shing sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
             |GROUP BY c.doc_a, c.doc_b""".stripMargin),
       jaccardSql + "WHERE jaccard >= 0.4"),
+    "dedup_minhash_estimate" -> {
+      val lanes = (0 until NumHashes)
+        .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+      withSql(
+        corpusCtes ++ Seq(sigsCte, bandsCte) ++ Seq(
+          "cand" ->
+            """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              |FROM bands a JOIN bands b
+              |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin,
+          "est" ->
+            s"""SELECT c.doc_a, c.doc_b, CAST($lanes AS BIGINT) AS n_matching
+               |FROM cand c
+               |JOIN sigs a ON a.doc_id = c.doc_a
+               |JOIN sigs b ON b.doc_id = c.doc_b""".stripMargin),
+        s"""SELECT doc_a, doc_b, n_matching,
+           |  CAST(n_matching AS DOUBLE) / $NumHashes AS jaccard_est
+           |FROM est WHERE n_matching >= ${NumHashes / 2}""".stripMargin)
+    },
     "dedup_simhash" -> withSql(Seq("corpus" -> corpusSql) ++ simhashCtes,
       "SELECT doc_id, simhash FROM simsigs"),
     "dedup_simhash_pairs" -> withSql(

@@ -79,6 +79,17 @@ object DiffQueries {
         val t = Tables.orders
         SnapshotDiff.scd2(Tables.load(spark, sfDir, t.name), after(spark, sfDir, t), t.pk)
       }),
+      // Point-in-time lookup over the SCD2 history: rows whose validity
+      // interval covers version 1 — the temporal-warehouse query the
+      // history exists to answer (equivalently: the after snapshot,
+      // reconstructed purely from intervals). A pushed-down interval
+      // predicate over the history frame, no join.
+      "diff_scd2_asof" -> ((spark, sfDir) => {
+        val t = Tables.orders
+        SnapshotDiff.scd2(Tables.load(spark, sfDir, t.name), after(spark, sfDir, t), t.pk)
+          .filter(col("valid_from") <= 1 &&
+            (col("valid_to").isNull || col("valid_to") > 1))
+      }),
       // Per-column drift report over the diff — "which columns changed, how
       // often": explode the modified-columns list of UPDATED rows, count
       // per column, rate against the updated-row total. The scalar total
@@ -141,6 +152,13 @@ object DiffQueries {
         Tables.orders, Mutations.afterSql("orders"), Tables.orders.pk),
       "diff_column_drift" -> DiffOracle.driftSql(
         Tables.orders, Mutations.afterSql("orders"), Tables.orders.pk),
+      "diff_scd2_asof" -> {
+        val hist = DiffOracle.scd2Sql(
+          Tables.orders, Mutations.afterSql("orders"), Tables.orders.pk)
+        s"""SELECT * FROM (
+           |$hist
+           |) h WHERE valid_from <= 1 AND (valid_to IS NULL OR valid_to > 1)""".stripMargin
+      },
       "catalog_tables" -> {
         val rows = Tables.all
           .map(t => s"('${t.name}', '${t.pk.mkString(",")}', ${t.cols.length})")

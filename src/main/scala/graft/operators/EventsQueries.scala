@@ -251,6 +251,34 @@ object EventsQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"), pick(0.5), pick(0.9), pick(0.99))
     }),
+    // Robust outlier detection via median absolute deviation: two exact
+    // rank-median passes (the same rank arithmetic as the quantile
+    // queries — real data values, engine-exact, no sketch), each a
+    // per-type window + aggregate; the 5-row median/MAD frames broadcast
+    // back onto the scan. The |dev| > 3·MAD cut is immune to the extreme
+    // values that inflate a z-score's stddev.
+    "events_mad_outliers" -> ((spark, sfDir) => {
+      val e = Tables.load(spark, sfDir, "events")
+      def rankMedian(df: DataFrame, valueCol: String, outName: String) = {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col(valueCol), col("event_id"))
+        val n = Window.partitionBy(col("event_type"))
+        df.withColumn("__rn", row_number().over(w).cast("long"))
+          .withColumn("__n", count(lit(1)).over(n))
+          .groupBy(col("event_type"))
+          .agg(max(when(
+            col("__rn") === greatest(lit(1L), ceil(lit(0.5) * col("__n")).cast("long")),
+            col(valueCol))).as(outName))
+      }
+      val med = rankMedian(e, "value", "med")
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("absdev", abs(col("value") - col("med")))
+      val mad = rankMedian(dev, "absdev", "mad")
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("absdev") > lit(3.0) * col("mad"))
+        .groupBy(col("event_type"), col("med"), col("mad"))
+        .agg(count(lit(1)).as("n_outliers"))
+    }),
     // RFM (recency/frequency/monetary) user segmentation: one keyed
     // aggregate collapses events to a per-user frame, then ntile(5) scores
     // over that frame. The global-ordered windows sort only the AGGREGATED
@@ -491,6 +519,32 @@ object EventsQueries {
          |SELECT event_id, zx, zy, $z AS zval
          |FROM d ORDER BY zval, event_id LIMIT 100""".stripMargin
     },
+    "events_mad_outliers" ->
+      """WITH r1 AS (
+        |  SELECT event_type, value,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |med AS (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN value END) AS med
+        |  FROM r1 GROUP BY event_type),
+        |dev AS (
+        |  SELECT e.event_type, e.event_id, m.med, abs(e.value - m.med) AS absdev
+        |  FROM events e JOIN med m USING (event_type)),
+        |r2 AS (
+        |  SELECT event_type, absdev,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY absdev, event_id) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dev),
+        |mad AS (
+        |  SELECT event_type,
+        |    MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN absdev END) AS mad
+        |  FROM r2 GROUP BY event_type)
+        |SELECT d.event_type, d.med, a.mad, COUNT(*) AS n_outliers
+        |FROM dev d JOIN mad a USING (event_type)
+        |WHERE d.absdev > 3.0 * a.mad
+        |GROUP BY 1, 2, 3""".stripMargin,
     "events_rfm" ->
       """WITH per AS (
         |  SELECT user_id, MAX(epoch_us(ts)) AS last_us, COUNT(*) AS frequency,
