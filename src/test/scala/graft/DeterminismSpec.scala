@@ -46,4 +46,16 @@ class DeterminismSpec extends SparkTestBase {
       assert(a == b && a.nonEmpty, q)
     }
   }
+
+  test("round-3 additions are shuffle-partitioning-invariant") {
+    // rfm: ntile over doubles with user_id tiebreaks; gapfill: generated
+    // grid + forward-fill window; prefix join: candidate set + array
+    // intersection; mad: two rank-median passes
+    Seq("events_rfm", "events_gapfill", "dedup_prefix_jaccard", "events_mad_outliers")
+      .foreach { q =>
+        val a = repartitioned(2)(q)
+        val b = repartitioned(17)(q)
+        assert(a == b && a.nonEmpty, q)
+      }
+  }
 }
