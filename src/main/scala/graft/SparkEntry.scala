@@ -36,7 +36,8 @@ object SparkEntry {
     "text_tfidf_top3", "q_bloom_semi_join", "mm_audio_features",
     "q2_min_cost_supp", "dedup_chunk_overlap", "pipeline_pack_sequences",
     "events_funnel", "diff_scd2_orders",
-    "dedup_prefix_jaccard", "events_gapfill", "text_inverted_index")
+    "dedup_prefix_jaccard", "events_gapfill", "text_inverted_index",
+    "diff_incremental_agg", "profile_orders", "q17_small_qty")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

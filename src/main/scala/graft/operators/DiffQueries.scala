@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{TableDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Harness registry for the snapshot-diff surface: one named query per
@@ -109,6 +109,43 @@ object DiffQueries {
           .withColumn("change_rate",
             col("n_changed").cast("double") / col("n_updated_rows"))
       }),
+      // Incremental aggregate maintenance: a grouped count/sum is kept
+      // current by folding the diff's change stream into the BEFORE-snapshot
+      // aggregate — AFTER-side rows add, BEFORE-side rows subtract (an
+      // update of the group key naturally decrements the old group and
+      // increments the new one). The oracle recomputes the same aggregate
+      // directly over the after table, so the query proves
+      // base ⊕ delta = recompute. At 100 TB this is the point of keeping
+      // diffs at all: the base aggregate is group-cardinality-sized and the
+      // delta pass touches only changed rows, vs a full rescan. Sums stay
+      // in exact decimal until the final cast, so ⊕ is order-independent.
+      "diff_incremental_agg" -> ((spark, sfDir) => {
+        val t = Tables.orders
+        val before = Tables.load(spark, sfDir, t.name)
+        val d = SnapshotDiff.diff(before, after(spark, sfDir, t), t.pk)
+        val dec = (c: Column) => c.cast("decimal(38,4)")
+        val base = before.groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("b_rows"), sum(dec(col("o_totalprice"))).as("b_price"))
+        val delta = d // diff values are normalized strings; parse back losslessly
+          .withColumn("w", when(col("side") === "AFTER", 1L).otherwise(-1L))
+          .groupBy(col("o_orderstatus"))
+          .agg(sum(col("w")).as("d_rows"),
+            sum(col("w") * dec(col("o_totalprice"))).as("d_price"))
+        base.join(delta, Seq("o_orderstatus"), "full_outer")
+          .select(col("o_orderstatus"),
+            (coalesce(col("b_rows"), lit(0L)) + coalesce(col("d_rows"), lit(0L))).as("n_rows"),
+            (coalesce(col("b_price"), dec(lit(0))) + coalesce(col("d_price"), dec(lit(0))))
+              .cast("double").as("sum_price"))
+          .filter(col("n_rows") > 0)
+      }),
+      // One-pass per-column data-profile (the audit a differ runs before
+      // trusting a snapshot): null count, exact distinct count, min/max per
+      // column, long format. ONE scan — the multi-column DISTINCTs plan as
+      // a single Expand (+1 shuffle), not N rescans; at 100 TB the exact
+      // distinct swaps for approx_count_distinct and the Expand disappears,
+      // but the oracle gate needs the exact form.
+      "profile_orders" -> ((spark, sfDir) => profile(Tables.orders)(spark, sfDir)),
+      "profile_customer" -> ((spark, sfDir) => profile(Tables.customer)(spark, sfDir)),
       // P1+P2+P3 normalization exposed directly.
       "snapshot_normalize_customer" -> ((spark, sfDir) =>
         Normalize.withKey(Tables.load(spark, sfDir, "customer"), Tables.customer.pk)),
@@ -128,6 +165,32 @@ object DiffQueries {
       })
     )
   }
+
+  /** One-pass per-column profile (long format): null count, exact distinct
+    * count, min/max rendered as strings (the same stringification the diff
+    * itself relies on, so cross-engine rendering is already proven by the
+    * `diff_*` gates). */
+  private def profile(t: TableDef)(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = Tables.load(spark, sfDir, t.name)
+    val aggs = t.cols.flatMap(c => Seq(
+      count(when(col(c).isNull, lit(1))).as(s"__nn_$c"),
+      countDistinct(col(c)).as(s"__nd_$c"),
+      min(col(c)).cast("string").as(s"__mn_$c"),
+      max(col(c)).cast("string").as(s"__mx_$c")))
+    val stackArgs = t.cols.map(c => s"'$c', __nn_$c, __nd_$c, __mn_$c, __mx_$c").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${t.cols.length}, $stackArgs) " +
+        "AS (col_name, n_nulls, n_distinct, min_val, max_val)"))
+  }
+
+  private def profileSql(t: TableDef): String =
+    t.cols.map(c =>
+      s"""SELECT '$c' AS col_name,
+         |  COUNT(CASE WHEN $c IS NULL THEN 1 END) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_val,
+         |  CAST(MAX($c) AS VARCHAR) AS max_val
+         |FROM ${t.name}""".stripMargin).mkString("\nUNION ALL\n")
 
   val oracleSql: Map[String, String] = {
     val perTable = Tables.diffable.map { t =>
@@ -167,7 +230,18 @@ object DiffQueries {
       },
       "catalog_counts" -> Tables.all
         .map(t => s"SELECT '${t.name}' AS table_name, COUNT(*) AS n_rows FROM ${t.name}")
-        .mkString("\nUNION ALL\n")
+        .mkString("\nUNION ALL\n"),
+      // direct recompute over the after snapshot — the incremental fold
+      // must land on exactly this
+      "diff_incremental_agg" ->
+        s"""WITH after_t AS (
+           |${Mutations.afterSql("orders")}
+           |)
+           |SELECT o_orderstatus, COUNT(*) AS n_rows,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
+           |FROM after_t GROUP BY o_orderstatus""".stripMargin,
+      "profile_orders" -> profileSql(Tables.orders),
+      "profile_customer" -> profileSql(Tables.customer)
     )
   }
 }

@@ -684,7 +684,41 @@ object Relational {
         .select(col("o_orderpriority"),
           coalesce(col("F"), lit(0L)).as("n_f"),
           coalesce(col("O"), lit(0L)).as("n_o"),
-          coalesce(col("P"), lit(0L)).as("n_p")))
+          coalesce(col("P"), lit(0L)).as("n_p"))),
+    // TPC-H Q17 shape: small-quantity revenue against a correlated per-part
+    // AVG threshold, decorrelated into a per-part sum/count aggregate joined
+    // back. The predicate qty < 0.2*avg is restated as the exact-integer
+    // inequality 5*qty*cnt < sum (fixture quantities are integer-valued
+    // doubles, so every product and partial sum is an exact integer —
+    // order-independent and engine-portable, where a 0.2*avg double
+    // threshold would hinge on one ulp). Both the probe and the aggregate
+    // shuffle on l_partkey only; the filtered part dimension broadcasts.
+    "q17_small_qty" -> ((spark, sfDir) => {
+      val p = Tables.load(spark, sfDir, "part")
+        .filter(col("p_brand") === "Brand#13" && col("p_size") <= 20)
+        .select(col("p_partkey"))
+      val lp = Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val stats = lp.groupBy(col("p_partkey").as("ap_key"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt_qty"))
+      lp.join(stats, col("p_partkey") === col("ap_key"))
+        .filter(col("l_quantity") * 5.0 * col("cnt_qty") < col("sum_qty"))
+        .agg((sum(dec4(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"))
+    }),
+    // ranking + distribution window functions with REAL ties: rank /
+    // dense_rank / cume_dist ordered by the low-cardinality priority column
+    // (ties are the point — all three are tie-stable, so the result is
+    // deterministic without a unique tiebreak). One window pass, one
+    // shuffle on the partition key.
+    "q_window_ranks" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("o_orderpriority"))
+      Tables.load(spark, sfDir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          cume_dist().over(w).as("cume"))
+    })
   )
 
   private val decSum4 = (c: String) => s"CAST(SUM(CAST($c AS DECIMAL(38,4))) AS DOUBLE)"
@@ -1046,6 +1080,24 @@ object Relational {
         |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
         |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
         |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
-        |FROM orders GROUP BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q17_small_qty" ->
+      s"""WITH p AS (SELECT p_partkey FROM part
+         |           WHERE p_brand = 'Brand#13' AND p_size <= 20),
+         |lp AS (SELECT l_partkey, l_quantity, l_extendedprice
+         |       FROM lineitem JOIN p ON l_partkey = p_partkey),
+         |s AS (SELECT l_partkey AS ap_key, SUM(l_quantity) AS sum_qty,
+         |             COUNT(*) AS cnt_qty
+         |      FROM lp GROUP BY 1)
+         |SELECT ${decSum4("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM lp JOIN s ON lp.l_partkey = s.ap_key
+         |WHERE l_quantity * 5.0 * cnt_qty < sum_qty""".stripMargin,
+    "q_window_ranks" ->
+      """SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |  CAST(RANK() OVER w AS BIGINT) AS rnk,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        |  CUME_DIST() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderpriority)""".stripMargin
   )
 }

@@ -35,6 +35,7 @@ class SourceFormatsSpec extends SparkTestBase {
 
   test("CSV source round-trips and diffs identically to parquet")(roundTrip("csv"))
   test("JSON-lines source round-trips and diffs identically to parquet")(roundTrip("json"))
+  test("ORC source round-trips and diffs identically to parquet")(roundTrip("orc"))
 
   test("JSON-lines with schema inference recovers the long/string columns") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsoninfer").toString
