@@ -120,6 +120,35 @@ class Round3OperatorsSpec extends SparkTestBase {
     assert(rebuilt == expected && rebuilt.nonEmpty)
   }
 
+  test("incremental aggregate fold equals a direct recompute over the after snapshot") {
+    import graft.operators.DiffQueries
+    val folded = SparkEntry.queries("diff_incremental_agg")(spark, Sf)
+      .as[(String, Long, Double)].collect().toSet
+    val direct = DiffQueries.after(spark, Sf, Tables.orders)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(38,4)")).cast("double").as("sum_price"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(folded == direct && folded.nonEmpty)
+  }
+
+  test("profiler: one-scan plan (single Expand), sane per-column stats") {
+    val q = SparkEntry.queries("profile_orders")(spark, Sf)
+    val plan = q.queryExecution.executedPlan.toString
+    // multi-column DISTINCT must plan as ONE Expand over ONE scan, not
+    // a rescan per column
+    assert(plan.linesIterator.count(_.contains("Expand")) == 1, plan.take(3000))
+    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan.take(3000))
+    val rows = q.as[(String, Long, Long, String, String)].collect()
+    val n = Tables.load(spark, Sf, "orders").count()
+    assert(rows.map(_._1).toSet == Tables.orders.cols.toSet)
+    rows.foreach { case (c, nulls, distinct, mn, mx) =>
+      assert(nulls == 0L, s"$c: fixtures are null-free")
+      assert(distinct >= 1 && distinct <= n, s"$c: distinct=$distinct n=$n")
+      assert(mn != null && mx != null)
+    }
+  }
+
   test("WAV decode parses synthesized headers and rejects corrupt ones") {
     val md = java.security.MessageDigest.getInstance("MD5")
     val content = Array.fill[Byte](1001)(42)
