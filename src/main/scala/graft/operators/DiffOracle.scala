@@ -147,6 +147,41 @@ object DiffOracle {
   def identitySql(t: TableDef): String =
     diffSql(t, s"SELECT * FROM ${t.name}", t.pk)
 
+  /** Oracle twin of [[SnapshotDiff.threeWayMerge]]: same fingerprint
+    * reduction (md5 over normalized columns, chr(1) separator) and the same
+    * presence/equality CASE over two chained FULL JOINs. */
+  def threeWaySql(t: TableDef, leftSql: String, rightSql: String, pk: Seq[String]): String = {
+    def fpSel(src: String, out: String) =
+      s"""SELECT concat(${pk.map(norm).mkString(", ")}) AS __key,
+         |  md5(concat_ws(chr(1), ${t.cols.map(norm).mkString(", ")})) AS $out
+         |FROM $src""".stripMargin
+    s"""WITH left_t AS (
+       |$leftSql
+       |), right_t AS (
+       |$rightSql
+       |),
+       |b AS (${fpSel(t.name, "b_fp")}),
+       |l AS (${fpSel("left_t", "l_fp")}),
+       |r AS (${fpSel("right_t", "r_fp")}),
+       |m AS (
+       |  SELECT __key,
+       |    COALESCE(b_fp, '<ABSENT>') AS base_fp,
+       |    COALESCE(l_fp, '<ABSENT>') AS left_fp,
+       |    COALESCE(r_fp, '<ABSENT>') AS right_fp
+       |  FROM b FULL JOIN l USING (__key) FULL JOIN r USING (__key))
+       |SELECT __key, base_fp, left_fp, right_fp,
+       |  CASE WHEN right_fp = base_fp THEN 'LEFT_CHANGE'
+       |       WHEN left_fp = base_fp THEN 'RIGHT_CHANGE'
+       |       WHEN left_fp = right_fp THEN 'BOTH_SAME'
+       |       ELSE 'CONFLICT' END AS merge_status,
+       |  CASE WHEN right_fp = base_fp THEN left_fp
+       |       WHEN left_fp = base_fp THEN right_fp
+       |       WHEN left_fp = right_fp THEN left_fp
+       |       ELSE NULL END AS merged_fp
+       |FROM m
+       |WHERE NOT (left_fp = base_fp AND right_fp = base_fp)""".stripMargin
+  }
+
   /** Oracle for the multi-table per-status change-count report. */
   def reportSql(tables: Seq[(TableDef, String)]): String = {
     val all = tables.map { case (t, afterSql) => (t, diffParts(t, afterSql, t.pk, t.name + "_d")) }

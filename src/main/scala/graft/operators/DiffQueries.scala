@@ -109,6 +109,18 @@ object DiffQueries {
           .withColumn("change_rate",
             col("n_changed").cast("double") / col("n_updated_rows"))
       }),
+      // Three-way merge: two branches diverged from one base snapshot,
+      // classified LEFT_CHANGE / RIGHT_CHANGE / BOTH_SAME / CONFLICT per
+      // key (the version-control operation over table snapshots; see
+      // SnapshotDiff.threeWayMerge for the 32-byte-fingerprint scale
+      // argument). The right branch's mutation populates every class.
+      "diff_three_way" -> ((spark, sfDir) => {
+        val t = Tables.orders
+        val base = Tables.load(spark, sfDir, t.name)
+        val left = after(spark, sfDir, t) // registers the temp view too
+        val right = spark.sql(Mutations.threeWayRightSql)
+        SnapshotDiff.threeWayMerge(base, left, right, t.pk)
+      }),
       // Incremental aggregate maintenance: a grouped count/sum is kept
       // current by folding the diff's change stream into the BEFORE-snapshot
       // aggregate — AFTER-side rows add, BEFORE-side rows subtract (an
@@ -241,7 +253,10 @@ object DiffQueries {
            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
            |FROM after_t GROUP BY o_orderstatus""".stripMargin,
       "profile_orders" -> profileSql(Tables.orders),
-      "profile_customer" -> profileSql(Tables.customer)
+      "profile_customer" -> profileSql(Tables.customer),
+      "diff_three_way" -> DiffOracle.threeWaySql(
+        Tables.orders, Mutations.afterSql("orders"), Mutations.threeWayRightSql,
+        Tables.orders.pk)
     )
   }
 }

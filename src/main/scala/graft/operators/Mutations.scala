@@ -122,4 +122,32 @@ object Mutations {
         |FROM lineitem
         |WHERE l_orderkey % 10 = 5 AND l_linenumber = 1""".stripMargin
   )
+
+  /** Second divergent branch of `orders` for the three-way merge: crafted so
+    * every merge class is populated against `afterSql("orders")` as the left
+    * branch — %20=4 updated identically (BOTH_SAME), %20=14 updated
+    * differently (CONFLICT), %10=6 updated on the right only
+    * (RIGHT_CHANGE); %20=3 deleted on both (BOTH_SAME), %10=7 deleted on
+    * the right only, %20=13 deleted on the left only; %20=5 inserted
+    * identically on both, %10=9 inserted on the right only, %20=15
+    * inserted on the left only. Same common-SQL-subset discipline as
+    * [[afterSql]]. */
+  val threeWayRightSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |       CASE WHEN o_orderkey % 20 = 4 THEN 'X'
+      |            WHEN o_orderkey % 20 = 14 THEN 'Y'
+      |            WHEN o_orderkey % 10 = 6 THEN 'R'
+      |            ELSE o_orderstatus END AS o_orderstatus,
+      |       CASE WHEN o_orderkey % 20 = 4 THEN o_totalprice + 0.25
+      |            WHEN o_orderkey % 20 = 14 THEN o_totalprice + 0.5
+      |            WHEN o_orderkey % 10 = 6 THEN o_totalprice + 1.0
+      |            ELSE o_totalprice END AS o_totalprice,
+      |       o_orderdate, o_orderpriority
+      |FROM orders
+      |WHERE o_orderkey % 20 <> 3 AND o_orderkey % 10 <> 7
+      |UNION ALL
+      |SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_orderstatus,
+      |       o_totalprice, o_orderdate, o_orderpriority
+      |FROM orders
+      |WHERE o_orderkey % 20 = 5 OR o_orderkey % 10 = 9""".stripMargin
 }

@@ -238,6 +238,54 @@ object SnapshotDiff {
     kept.select(cols.map(col) :+ col(Normalize.KeyCol): _*).unionByName(incoming)
   }
 
+  /** Three-way merge classification — the version-control operation over
+    * snapshots: two branches (`left`, `right`) diverged from a common
+    * `base`; classify every key by how the branches reconcile. Each
+    * snapshot reduces to (key, row-fingerprint) — md5 over the normalized
+    * columns joined with a U+0001 separator, so a whole row travels as 32
+    * bytes — then two full-outer joins on `__key` give the presence/
+    * equality pattern:
+    *
+    *   - `LEFT_CHANGE` / `RIGHT_CHANGE`: only one branch touched the key
+    *     (update, delete, or insert) — the merge takes that branch;
+    *   - `BOTH_SAME`: both branches made the identical change — clean;
+    *   - `CONFLICT`: both touched it and disagree — `merged_fp` is NULL,
+    *     a policy (or human) must pick.
+    *
+    * Untouched keys are dropped (the merge IS the change set). At 100 TB:
+    * three shuffles of 32-byte fingerprints (one per snapshot), no row
+    * data in the joins, no driver state; the bucketed layout that makes
+    * two-way diffs Exchange-free applies unchanged. Keys must be unique
+    * per snapshot (run the app loop's one-winner dedup first for
+    * duplicate-key tables). */
+  def threeWayMerge(base: DataFrame, left: DataFrame, right: DataFrame,
+      pk: Seq[String]): DataFrame = {
+    val Absent = "<ABSENT>"
+    def fp(df: DataFrame, out: String): DataFrame = {
+      val n = Normalize.withKey(df, pk)
+      val cols = n.columns.filterNot(_ == Normalize.KeyCol).toIndexedSeq
+      n.select(col(Normalize.KeyCol),
+        md5(concat_ws("\u0001", cols.map(col): _*)).as(out))
+    }
+    val j = fp(base, "__b")
+      .join(fp(left, "__l"), Seq(Normalize.KeyCol), "full_outer")
+      .join(fp(right, "__r"), Seq(Normalize.KeyCol), "full_outer")
+    val bf = coalesce(col("__b"), lit(Absent))
+    val lf = coalesce(col("__l"), lit(Absent))
+    val rf = coalesce(col("__r"), lit(Absent))
+    val status = when(lf === bf && rf === bf, "UNCHANGED")
+      .when(rf === bf, "LEFT_CHANGE")
+      .when(lf === bf, "RIGHT_CHANGE")
+      .when(lf === rf, "BOTH_SAME")
+      .otherwise("CONFLICT")
+    j.select(col(Normalize.KeyCol), bf.as("base_fp"), lf.as("left_fp"),
+        rf.as("right_fp"), status.as("merge_status"),
+        when(status === "CONFLICT", lit(null).cast("string"))
+          .when(status === "RIGHT_CHANGE", rf)
+          .otherwise(lf).as("merged_fp"))
+      .filter(col("merge_status") =!= "UNCHANGED")
+  }
+
   /** Report aggregate: per-status logical change counts for one table's
     * diff (UPDATED emits two physical rows per key — count keys once). */
   def report(diffed: DataFrame): DataFrame =

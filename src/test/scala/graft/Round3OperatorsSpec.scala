@@ -149,6 +149,27 @@ class Round3OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("three-way merge: identity is empty; degenerate right=base reduces to the two-way diff") {
+    import graft.operators.{DiffQueries, SnapshotDiff}
+    val t = Tables.orders
+    val base = Tables.load(spark, Sf, t.name)
+    // merge(A, A, A) = ∅ — no branch changed anything
+    assert(SnapshotDiff.threeWayMerge(base, base, base, t.pk).isEmpty)
+    // right branch untouched → every row is LEFT_CHANGE and the key set
+    // is exactly the two-way diff's key set
+    val left = DiffQueries.after(spark, Sf, t)
+    val m = SnapshotDiff.threeWayMerge(base, left, base, t.pk)
+    assert(m.filter(col("merge_status") =!= "LEFT_CHANGE").isEmpty)
+    val mergeKeys = m.select("__key").as[String].collect().toSet
+    val diffKeys = SnapshotDiff.diff(base, left, t.pk)
+      .select("__key").as[String].collect().toSet
+    assert(mergeKeys == diffKeys && mergeKeys.nonEmpty)
+    // merged_fp is NULL exactly on CONFLICT rows (full three-way run)
+    val full = SparkEntry.queries("diff_three_way")(spark, Sf)
+    assert(full.filter(col("merged_fp").isNull =!= (col("merge_status") === "CONFLICT")).isEmpty)
+    assert(full.filter(col("merge_status") === "CONFLICT").count() > 0)
+  }
+
   test("WAV decode parses synthesized headers and rejects corrupt ones") {
     val md = java.security.MessageDigest.getInstance("MD5")
     val content = Array.fill[Byte](1001)(42)
