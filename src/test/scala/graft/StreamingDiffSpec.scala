@@ -4,6 +4,7 @@ import graft.operators.SnapshotDiff
 import graft.streaming.StreamingDiff
 import graft.streaming.StreamingDiff.{DiffEvent, KeyedRow}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 /** The CDC streaming diff emits the same events as the batch diff over the
@@ -55,6 +56,41 @@ class StreamingDiffSpec extends SparkTestBase {
     assert(initial.map(_.diff_status).toSet == Set("INSERTED") && initial.length == 3)
     // second batch reproduces the batch diff exactly
     assert(secondBatch == batch)
+  }
+
+  test("streaming incremental aggregate converges to the batch aggregate over the final snapshot") {
+    // changelog over a (grp, value) table: initial load, then an update
+    // that MOVES a row between groups, a delete, and an insert
+    val initial = Seq(
+      DiffEvent("1", "INSERTED", "", "AFTER", Seq("g1", "10.5")),
+      DiffEvent("2", "INSERTED", "", "AFTER", Seq("g1", "1.25")),
+      DiffEvent("3", "INSERTED", "", "AFTER", Seq("g2", "3.0")))
+    val changes = Seq(
+      DiffEvent("2", "UPDATED", "grp,value", "BEFORE", Seq("g1", "1.25")),
+      DiffEvent("2", "UPDATED", "grp,value", "AFTER", Seq("g2", "2.0")),
+      DiffEvent("3", "DELETED", "", "BEFORE", Seq("g2", "3.0")),
+      DiffEvent("4", "INSERTED", "", "AFTER", Seq("g3", "7.5")))
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DiffEvent]
+    val q = StreamingDiff.incrementalAgg(input.toDS(), Seq("grp", "value"), "grp", "value")
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("graft_incagg").start()
+    input.addData(initial)
+    q.processAllAvailable()
+    input.addData(changes)
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("graft_incagg")
+      .filter(col("n_rows") > 0)
+      .select(col("grp"), col("n_rows"), col("sum_val").cast("double"))
+      .as[(String, Long, Double)].collect().toSet
+    // final snapshot: (1,g1,10.5), (2,g2,2.0), (4,g3,7.5)
+    assert(got == Set(("g1", 1L, 10.5), ("g2", 1L, 2.0), ("g3", 1L, 7.5)))
+    // g2's delete and update netted out through exact decimal arithmetic;
+    // no group reports a negative count
+    assert(spark.table("graft_incagg").filter(col("n_rows") < 0).isEmpty)
   }
 
   test("tombstone for unknown key is ignored; re-insert after delete works") {
