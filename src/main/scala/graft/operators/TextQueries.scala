@@ -262,6 +262,28 @@ object TextQueries {
           md5(regexp_replace(regexp_replace(col("__t"), EmailPat, "<EMAIL>"),
             PhonePat, "<PHONE>")).as("redacted_fp"))
     }),
+    // n-gram novelty: the fraction of a document's distinct 8-grams that
+    // appear in NO other document — the inverse of decontamination
+    // (pipeline_decontaminate) and the per-document signal dedup thresholds
+    // are tuned against. Grams travel as md5 fingerprints (32-byte shuffle
+    // keys, never raw text); the gram frame is persisted because it feeds
+    // both the df aggregation and the scoring join. Novelty is the exact
+    // rational n_novel/n_grams — one IEEE division of exact integers.
+    "text_novelty" -> ((spark, sfDir) => {
+      val grams = Tables.load(spark, sfDir, "documents")
+        .withColumn("__toks", Hashing.tokens(col("text")))
+        .filter(size(col("__toks")) >= 8)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(__toks) - 8), " +
+            "i -> md5(concat_ws(' ', slice(__toks, i+1, 8))))"))).as("g8"))
+        .persist()
+      val df8 = grams.groupBy(col("g8")).agg(count(lit(1)).as("df"))
+      grams.join(df8, "g8")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty", col("n_novel").cast("double") / col("n_grams"))
+    }),
     // Exact heavy hitters (terms with > 1/64 of all token occurrences)
     // WITHOUT a full-corpus `GROUP BY term` shuffle: a Misra-Gries summary
     // ([[graft.functions.FreqSketch]], fixed 128-counter state per partial)
@@ -412,6 +434,19 @@ object TextQueries {
         |  md5(regexp_replace(regexp_replace(tt, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
         |      '555-[0-9]+', '<PHONE>', 'g')) AS redacted_fp
         |FROM t""".stripMargin,
+    "text_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $toksE AS toks FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(range(len(toks) - 7),
+         |           i -> md5(array_to_string(toks[i+1:i+8], ' ')))) AS g8
+         |  FROM t WHERE len(toks) >= 8),
+         |d AS (SELECT g8, COUNT(*) AS df FROM g GROUP BY g8)
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |  CAST(CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         |    / COUNT(*) AS novelty
+         |FROM g JOIN d USING (g8)
+         |GROUP BY doc_id""".stripMargin,
     // brute-force equivalent of the sketch-pruned heavy-hitter plan: the
     // MG candidate stage is invisible to the result (guaranteed superset +
     // exact re-count), so the oracle needs no sketch arithmetic at all
