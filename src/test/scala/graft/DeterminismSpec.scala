@@ -58,4 +58,18 @@ class DeterminismSpec extends SparkTestBase {
         assert(a == b && a.nonEmpty, q)
       }
   }
+
+  test("late round-3 additions are shuffle-partitioning-invariant") {
+    // q17: exact-integer threshold inequality + decimal revenue sum;
+    // three-way merge: md5 row fingerprints through two full joins;
+    // incremental agg: decimal base+delta fold; novelty: exact rational;
+    // ranks: tie-stable rank/dense_rank/cume_dist
+    Seq("q17_small_qty", "diff_three_way", "diff_incremental_agg",
+      "text_novelty", "q_window_ranks", "profile_orders")
+      .foreach { q =>
+        val a = repartitioned(2)(q)
+        val b = repartitioned(17)(q)
+        assert(a == b && a.nonEmpty, q)
+      }
+  }
 }
