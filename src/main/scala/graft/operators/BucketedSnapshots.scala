@@ -45,6 +45,32 @@ object BucketedSnapshots {
       SnapshotDiff.oneRowPerKey(spark.table(beforeTable)),
       SnapshotDiff.oneRowPerKey(spark.table(afterTable)))
 
+  /** Advance the store by one generation: diff two bucketed snapshots and
+    * apply the result back onto `beforeTable`, writing the reconstruction
+    * as the next bucketed generation. The diff join and the one-winner
+    * dedups consume the buckets' hash distribution (zero Exchange, as in
+    * [[diff]]); the ONLY exchange in the whole plan is the
+    * deleted/updated-KEY distinct — delta-sized, keys only — which then
+    * broadcasts into the anti-join, so the base snapshot itself streams
+    * bucket-to-output without ever reshuffling (asserted by
+    * `BucketedDiffSpec`: exactly one hash Exchange, anti-join is
+    * broadcast). At 100 TB this is snapshot-store compaction where the
+    * only full-width data movement is the file write; what shuffles is
+    * proportional to what changed, not to the table. */
+  def advance(spark: SparkSession, beforeTable: String, afterTable: String,
+      nextTable: String, path: String, numBuckets: Int): DataFrame = {
+    val bn = SnapshotDiff.oneRowPerKey(spark.table(beforeTable))
+    val an = SnapshotDiff.oneRowPerKey(spark.table(afterTable))
+    val next = SnapshotDiff.applyDiffNormalized(bn, SnapshotDiff.diffNormalized(bn, an))
+    next.write.format("parquet")
+      .bucketBy(numBuckets, Normalize.KeyCol)
+      .sortBy(Normalize.KeyCol)
+      .option("path", path)
+      .mode("overwrite")
+      .saveAsTable(nextTable)
+    next
+  }
+
   /** Per-status report over two bucketed snapshot tables. */
   def statusCounts(spark: SparkSession, beforeTable: String, afterTable: String): DataFrame =
     SnapshotDiff.classifyNormalized(spark.table(beforeTable), spark.table(afterTable))

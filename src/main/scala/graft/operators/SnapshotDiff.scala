@@ -227,8 +227,14 @@ object SnapshotDiff {
     * normalize(B))` exactly, which the roundtrip oracle and property spec
     * pin. Scale shape: one key-hashed anti-join plus a union — the same
     * single-shuffle-per-side budget as the diff itself. */
-  def applyDiff(before: DataFrame, diffed: DataFrame, pk: Seq[String]): DataFrame = {
-    val bn = oneRowPerKey(Normalize.withKey(before, pk))
+  def applyDiff(before: DataFrame, diffed: DataFrame, pk: Seq[String]): DataFrame =
+    applyDiffNormalized(oneRowPerKey(Normalize.withKey(before, pk)), diffed)
+
+  /** [[applyDiff]] over an already-normalized, already-deduplicated before
+    * snapshot — the entry point for pre-materialized stores
+    * ([[BucketedSnapshots.advance]]), where `bn`'s bucketed distribution
+    * makes the anti-join Exchange-free. */
+  def applyDiffNormalized(bn: DataFrame, diffed: DataFrame): DataFrame = {
     val cols = bn.columns.filterNot(_ == Normalize.KeyCol).toIndexedSeq
     val gone = diffed.filter(col("diff_status").isin(Deleted, Updated))
       .select(col(Normalize.KeyCol)).distinct()

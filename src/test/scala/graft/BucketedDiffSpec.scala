@@ -35,7 +35,31 @@ class BucketedDiffSpec extends SparkTestBase {
     val histPlan = hist.queryExecution.executedPlan.toString
     assert(!histPlan.contains("Exchange"), s"expected shuffle-free SCD2 plan, got:\n$histPlan")
 
+    // advance: apply the diff back onto the bucketed before snapshot and
+    // write the next generation. The base table must never reshuffle —
+    // the only hash Exchange allowed is the delta-sized changed-KEY
+    // distinct (the full-outer join output loses its reported
+    // partitioning), which then broadcasts into the anti-join.
+    val next = BucketedSnapshots.advance(
+      spark, "snap_before", "snap_after", "snap_next", s"$dir/next", 4)
+    val nextPlan = next.queryExecution.executedPlan.toString
+    val nHashEx = nextPlan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(nHashEx == 1, s"expected exactly one (delta-keys) Exchange, got $nHashEx:\n$nextPlan")
+    assert(nextPlan.contains("BroadcastHashJoin") && nextPlan.contains("LeftAnti"),
+      s"expected broadcast anti-join over the streamed base, got:\n$nextPlan")
+    val nextCols = spark.table("snap_next").columns.sorted.toIndexedSeq
+    val expected = SnapshotDiff.oneRowPerKey(spark.table("snap_after"))
+    assert(spark.table("snap_next").select(nextCols.map(org.apache.spark.sql.functions.col): _*)
+      .collect().map(key).sorted.toSeq
+      == expected.select(nextCols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(key).sorted.toSeq)
+    // and a follow-up diff over the NEW generation is still Exchange-free
+    val regen = BucketedSnapshots.diff(spark, "snap_next", "snap_after")
+    assert(!regen.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(regen.isEmpty) // next == after ⇒ empty diff
+
     spark.sql("DROP TABLE IF EXISTS snap_before")
     spark.sql("DROP TABLE IF EXISTS snap_after")
+    spark.sql("DROP TABLE IF EXISTS snap_next")
   }
 }
