@@ -118,6 +118,23 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("n_tokens"),
           expr(s"(__cum - n_tokens) div $SeqLen").as("seq_id"),
           ((col("__cum") - col("n_tokens")) % SeqLen).as("seq_offset"))
+    }),
+    // Epoch shuffle: the per-epoch reordering of training data, with NO
+    // global sort anywhere — each doc hashes (with the epoch number salted
+    // in) to one of 64 shards, and its position within the shard is a
+    // rank over the shard's own rows only. Different epochs produce
+    // different, deterministic permutations (reruns and stragglers agree);
+    // a 1000-executor job orders every shard independently after one
+    // shuffle on the shard key. The hash is content-free (doc_id only), so
+    // the permutation never correlates with document content or length.
+    "pipeline_epoch_shuffle" -> ((spark, sfDir) => {
+      val epoch = 3 // fixed for the oracle; the app would parameterize
+      val h = Hashing.hash64(concat(lit(s"ep$epoch:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("shard")).orderBy(col("order_key"), col("doc_id"))
+      graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), h.as("order_key"))
+        .withColumn("shard", (col("order_key") % 64).cast("long"))
+        .withColumn("pos_in_shard", row_number().over(w).cast("long"))
     })
   )
 
@@ -190,6 +207,16 @@ object PipelineQueries {
          |SELECT doc_id, source, n_tokens,
          |  CAST((cum - n_tokens) // $SeqLen AS BIGINT) AS seq_id,
          |  CAST((cum - n_tokens) % $SeqLen AS BIGINT) AS seq_offset
-         |FROM c""".stripMargin
+         |FROM c""".stripMargin,
+    "pipeline_epoch_shuffle" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    ${Hashing.hash64Sql("'ep3:' || CAST(doc_id AS VARCHAR)")} AS order_key
+         |  FROM documents)
+         |SELECT doc_id, order_key,
+         |  CAST(order_key % 64 AS BIGINT) AS shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY order_key % 64
+         |    ORDER BY order_key, doc_id) AS BIGINT) AS pos_in_shard
+         |FROM h""".stripMargin
   )
 }
