@@ -109,6 +109,23 @@ object DiffQueries {
           .withColumn("change_rate",
             col("n_changed").cast("double") / col("n_updated_rows"))
       }),
+      // Unified change feed: every table's diff in ONE stream with a
+      // common schema (table, key, status, modified columns, side, row
+      // fingerprint) — the CDC export a lake consumer actually subscribes
+      // to, where the reference prints per-table report sections. Row
+      // payloads travel as md5 fingerprints so the feed is fixed-width
+      // regardless of table schema; per-table plans are the same
+      // single-full-outer-join diffs, unioned (unions concatenate, no
+      // extra shuffle).
+      "diff_changefeed" -> ((spark, sfDir) => {
+        Tables.diffable.map { t =>
+          val d = SnapshotDiff.diff(
+            Tables.load(spark, sfDir, t.name), after(spark, sfDir, t), t.pk)
+          d.select(lit(t.name).as("table_name"), col(Normalize.KeyCol),
+            col("diff_status"), col("modified_columns"), col("side"),
+            md5(concat_ws("\u0001", t.cols.map(col): _*)).as("row_fp"))
+        }.reduce(_.unionByName(_))
+      }),
       // Three-way merge: two branches diverged from one base snapshot,
       // classified LEFT_CHANGE / RIGHT_CHANGE / BOTH_SAME / CONFLICT per
       // key (the version-control operation over table snapshots; see
@@ -256,7 +273,15 @@ object DiffQueries {
       "profile_customer" -> profileSql(Tables.customer),
       "diff_three_way" -> DiffOracle.threeWaySql(
         Tables.orders, Mutations.afterSql("orders"), Mutations.threeWayRightSql,
-        Tables.orders.pk)
+        Tables.orders.pk),
+      "diff_changefeed" -> Tables.diffable.map { t =>
+        val inner = DiffOracle.diffSql(t, Mutations.afterSql(t.name), t.pk)
+        s"""SELECT '${t.name}' AS table_name, __key, diff_status, modified_columns, side,
+           |  md5(concat_ws(chr(1), ${t.cols.mkString(", ")})) AS row_fp
+           |FROM (
+           |$inner
+           |) ${t.name}_feed""".stripMargin
+      }.mkString("\nUNION ALL\n")
     )
   }
 }

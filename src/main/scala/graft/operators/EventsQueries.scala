@@ -135,6 +135,24 @@ object EventsQueries {
     "events_sessionize" -> ((spark, sfDir) =>
       sessionize(Tables.load(spark, sfDir, "events"))
         .select(col("user_id"), col("event_id"), col("session_id"))),
+    // Path mining: the 20 most-travelled 3-step event-type paths. Two
+    // leads over the per-user timeline ((ts, event_id) is a unique
+    // ordering) build the path string in ONE window pass — no self-joins,
+    // no sequence explosion; then a hash aggregate and top-k. At 100 TB
+    // the window shuffles once on user_id and the path-count aggregate
+    // shuffles only distinct path strings.
+    "events_paths" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.load(spark, sfDir, "events")
+        .select(col("user_id"), col("event_type"),
+          lead(col("event_type"), 1).over(w).as("__n1"),
+          lead(col("event_type"), 2).over(w).as("__n2"))
+        .filter(col("__n1").isNotNull && col("__n2").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("__n1"), col("__n2")).as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    }),
     "events_session_stats" -> ((spark, sfDir) =>
       sessionize(Tables.load(spark, sfDir, "events"))
         .groupBy(col("user_id"), col("session_id"))
@@ -396,6 +414,16 @@ object EventsQueries {
        |    FROM events) t1) t2""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "events_paths" ->
+      """WITH p AS (
+        |  SELECT event_type,
+        |    LEAD(event_type, 1) OVER w AS n1,
+        |    LEAD(event_type, 2) OVER w AS n2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_type || '>' || n1 || '>' || n2 AS path, COUNT(*) AS n
+        |FROM p WHERE n1 IS NOT NULL AND n2 IS NOT NULL
+        |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "events_tumbling" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start, event_type,
         |  COUNT(*) AS n_events,
