@@ -109,6 +109,24 @@ object DiffQueries {
           .withColumn("change_rate",
             col("n_changed").cast("double") / col("n_updated_rows"))
       }),
+      // Schema-evolution diff: the after snapshot dropped c_mktsegment and
+      // added c_tier; the data diff runs over the surviving column
+      // intersection (the reference's column-count-mismatch branch marks
+      // everything modified — rebuilt properly here), with the shape
+      // change itself reported by catalog_schema_drift.
+      "diff_schema_evolution" -> ((spark, sfDir) => {
+        val t = Tables.customer
+        val before = Tables.load(spark, sfDir, t.name)
+        before.createOrReplaceTempView(t.name)
+        SnapshotDiff.diffEvolved(
+          before, spark.sql(Mutations.schemaEvolvedCustomerSql), t.pk)
+      }),
+      "catalog_schema_drift" -> ((spark, sfDir) => {
+        val before = Tables.load(spark, sfDir, "customer")
+        before.createOrReplaceTempView("customer")
+        SnapshotDiff.schemaDrift(
+          before, spark.sql(Mutations.schemaEvolvedCustomerSql))
+      }),
       // Unified change feed: every table's diff in ONE stream with a
       // common schema (table, key, status, modified columns, side, row
       // fingerprint) — the CDC export a lake consumer actually subscribes
@@ -274,6 +292,12 @@ object DiffQueries {
       "diff_three_way" -> DiffOracle.threeWaySql(
         Tables.orders, Mutations.afterSql("orders"), Mutations.threeWayRightSql,
         Tables.orders.pk),
+      "diff_schema_evolution" -> DiffOracle.diffSql(
+        Tables.customer.copy(cols = Tables.customer.cols.filterNot(_ == "c_mktsegment")),
+        Mutations.schemaEvolvedCustomerSql, Tables.customer.pk),
+      "catalog_schema_drift" ->
+        """SELECT * FROM (VALUES ('c_mktsegment', 'DROPPED'), ('c_tier', 'ADDED'))
+          |AS t(column_name, change)""".stripMargin,
       "diff_changefeed" -> Tables.diffable.map { t =>
         val inner = DiffOracle.diffSql(t, Mutations.afterSql(t.name), t.pk)
         s"""SELECT '${t.name}' AS table_name, __key, diff_status, modified_columns, side,

@@ -123,6 +123,24 @@ object Mutations {
         |WHERE l_orderkey % 10 = 5 AND l_linenumber = 1""".stripMargin
   )
 
+  /** Schema-evolved `customer` snapshot: DROPS `c_mktsegment`, ADDS a
+    * derived `c_tier`, and mutates data in the surviving columns (updates
+    * on %10=4, deletes on %10=6, inserts from %10=2) — the realistic
+    * "the table changed shape between snapshots" case the reference
+    * handles only degenerately (column-count mismatch marks every column
+    * modified, extract_data.go:162-171). */
+  val schemaEvolvedCustomerSql: String =
+    """SELECT c_custkey, c_name, c_nationkey,
+      |       CASE WHEN c_custkey % 10 = 4 THEN c_acctbal + 50.25 ELSE c_acctbal END AS c_acctbal,
+      |       CASE WHEN c_acctbal > 5000 THEN 'gold' ELSE 'std' END AS c_tier
+      |FROM customer
+      |WHERE c_custkey % 10 <> 6
+      |UNION ALL
+      |SELECT c_custkey + 2000000 AS c_custkey, concat('NEW_', c_name) AS c_name,
+      |       c_nationkey, c_acctbal, 'new' AS c_tier
+      |FROM customer
+      |WHERE c_custkey % 10 = 2""".stripMargin
+
   /** Second divergent branch of `orders` for the three-way merge: crafted so
     * every merge class is populated against `afterSql("orders")` as the left
     * branch — %20=4 updated identically (BOTH_SAME), %20=14 updated

@@ -244,6 +244,34 @@ object SnapshotDiff {
     kept.select(cols.map(col) :+ col(Normalize.KeyCol): _*).unionByName(incoming)
   }
 
+  /** Diff across a schema change: the snapshots disagree on shape (columns
+    * added and/or dropped between them). The reference's branch for this is
+    * degenerate — a column-count mismatch marks EVERY column modified
+    * (`extract_data.go:162-171`) — so the useful semantics are rebuilt
+    * properly: the data diff runs over the column intersection (in
+    * before's column order, keeping the positional-compare discipline),
+    * and the shape change itself is reported separately by
+    * [[schemaDrift]]. The PK must survive the evolution. Plan shape is
+    * identical to [[diff]] — the projection prunes the dropped/added
+    * columns at the scan. */
+  def diffEvolved(before: DataFrame, after: DataFrame, pk: Seq[String]): DataFrame = {
+    val afterCols = after.columns.toSet
+    val common = before.columns.filter(afterCols).toIndexedSeq
+    require(pk.forall(common.contains), s"pk $pk must survive the schema change")
+    diff(before.select(common.map(col): _*), after.select(common.map(col): _*), pk)
+  }
+
+  /** Catalog-level twin of [[diffEvolved]]: which columns were ADDED /
+    * DROPPED between the snapshots (schema metadata, not data — this is
+    * driver-side by nature and O(columns)). */
+  def schemaDrift(before: DataFrame, after: DataFrame): DataFrame = {
+    val spark = before.sparkSession
+    import spark.implicits._
+    (before.columns.diff(after.columns).toSeq.map((_, "DROPPED")) ++
+      after.columns.diff(before.columns).toSeq.map((_, "ADDED")))
+      .toDF("column_name", "change")
+  }
+
   /** Three-way merge classification — the version-control operation over
     * snapshots: two branches (`left`, `right`) diverged from a common
     * `base`; classify every key by how the branches reconcile. Each
