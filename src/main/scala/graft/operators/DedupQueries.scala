@@ -316,6 +316,43 @@ object DedupQueries {
       a.join(b, "chunk_fp").filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("n_shared_chunks"))
+    }),
+    // Containment similarity — the ASYMMETRIC near-dup measure
+    // |A∩B| / min(|A|,|B|): a short document quoted inside a long one
+    // scores ~1.0 here but low on Jaccard, so minhash banding (a Jaccard
+    // sketch) would never nominate the pair. Candidates instead come from
+    // the inverted-index discipline: only shingles with df ∈ [2,20]
+    // generate pairs (bounded 20² fan-out per shingle, boilerplate never
+    // explodes), pairs need ≥3 shared indexed shingles, and exact
+    // containment is then computed over the candidates' FULL shingle
+    // sets — the same candidate→exact-verify cascade as the LSH path.
+    "dedup_containment" -> ((spark, sfDir) => {
+      val sh = shingles(corpus(spark, sfDir)).persist()
+      val capped = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 20)).select(col("shingle"))
+      val idx = sh.join(capped, "shingle")
+      val cand = idx.select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(idx.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("__n_shared"))
+        .filter(col("__n_shared") >= 3)
+        .select(col("doc_a"), col("doc_b"))
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val shc = sh.join(candDocs, Seq("doc_id"), "left_semi").persist()
+      val counts = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val inter = cand
+        .join(shc.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+        .join(shc.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
+      inter
+        .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+        .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+        .withColumn("containment",
+          col("n_common").cast("double") / least(col("n_a"), col("n_b")))
+        .filter(col("containment") >= 0.6)
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"),
+          col("n_b"), col("containment"))
     })
   )
 
@@ -553,6 +590,31 @@ object DedupQueries {
             |JOIN shing sa ON sa.doc_id = c.doc_a
             |JOIN shing sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
             |GROUP BY c.doc_a, c.doc_b""".stripMargin),
-      jaccardSql + "WHERE jaccard >= 0.2")
+      jaccardSql + "WHERE jaccard >= 0.2"),
+    "dedup_containment" -> withSql(
+      corpusCtes ++ Seq(
+        "capped" ->
+          """SELECT shingle FROM (
+            |  SELECT shingle, COUNT(*) AS df FROM shing GROUP BY shingle) t
+            |WHERE df BETWEEN 2 AND 20""".stripMargin,
+        "cand" ->
+          """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            |FROM shing a JOIN capped k ON k.shingle = a.shingle
+            |JOIN shing b ON b.shingle = a.shingle AND a.doc_id < b.doc_id
+            |GROUP BY 1, 2 HAVING COUNT(*) >= 3""".stripMargin,
+        "counts" -> "SELECT doc_id, COUNT(*) AS n_sh FROM shing GROUP BY doc_id",
+        "inter" ->
+          """SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+            |FROM cand c
+            |JOIN shing sa ON sa.doc_id = c.doc_a
+            |JOIN shing sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+            |GROUP BY c.doc_a, c.doc_b""".stripMargin),
+      """SELECT doc_a, doc_b, n_common, n_a, n_b, containment FROM (
+        |  SELECT i.doc_a, i.doc_b, i.n_common, ca.n_sh AS n_a, cb.n_sh AS n_b,
+        |         CAST(i.n_common AS DOUBLE) / least(ca.n_sh, cb.n_sh) AS containment
+        |  FROM inter i
+        |  JOIN counts ca ON ca.doc_id = i.doc_a
+        |  JOIN counts cb ON cb.doc_id = i.doc_b) t
+        |WHERE containment >= 0.6""".stripMargin)
   )
 }
