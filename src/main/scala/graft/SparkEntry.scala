@@ -37,7 +37,9 @@ object SparkEntry {
     "q2_min_cost_supp", "dedup_chunk_overlap", "pipeline_pack_sequences",
     "events_funnel", "diff_scd2_orders",
     "dedup_prefix_jaccard", "events_gapfill", "text_inverted_index",
-    "diff_incremental_agg", "profile_orders", "q17_small_qty")
+    "diff_incremental_agg", "profile_orders", "q17_small_qty",
+    "diff_three_way", "diff_changefeed", "dedup_containment",
+    "text_novelty", "events_paths", "pipeline_epoch_shuffle")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
