@@ -29,7 +29,8 @@ final class DbDiffApp(
     source: TableDef => DataFrame,
     consoleOut: String => Unit = println,
     maxConsoleRows: Int = 200,
-    pinSnapshots: Boolean = false) {
+    pinSnapshots: Boolean = false,
+    feedDir: String = "") {
 
   import DbDiffApp.IterationResult
 
@@ -89,7 +90,10 @@ final class DbDiffApp(
   /** Runs one BEFORE→AFTER→diff→report→swap iteration. Writes the styled
     * HTML report to `outName` (empty = skip file), prints console diff lines,
     * returns per-table changed-key counts. */
+  private var iterSeq = 0
+
   def iterate(outName: String = ""): IterationResult = {
+    iterSeq += 1
     val (after, afterPin) = snapshotAll()
 
     // one-winner mode: the reference keeps one map entry per key, so its
@@ -107,6 +111,19 @@ final class DbDiffApp(
       changed += t.name -> d.select(col(Normalize.KeyCol)).distinct().count()
     }
 
+    // change-feed sink: the iteration's whole change set as ONE fixed-width
+    // parquet stream (table, key, status, modified columns, side, md5 row
+    // fingerprint) — what a downstream CDC consumer tails, next to the
+    // human-facing console/HTML sinks. Feed width is schema-independent,
+    // so one sink serves every table at any width.
+    val feedPath = if (feedDir.nonEmpty) {
+      val p = s"$feedDir/iter_$iterSeq"
+      diffs.map { case (t, d) => SnapshotDiff.feed(d, t.name, t.cols) }
+        .reduce(_.unionByName(_))
+        .write.mode("overwrite").parquet(p)
+      Some(p)
+    } else None
+
     // styled report (S8) for tables with changes
     val reportPath = if (outName.nonEmpty) {
       val sections = diffs.collect { case (t, d) if changed(t.name) > 0 =>
@@ -123,12 +140,13 @@ final class DbDiffApp(
     // a long-running loop holds at most two pinned snapshots on disk
     beforePin.foreach(deleteRecursively)
     beforePin = afterPin
-    IterationResult(changed, reportPath)
+    IterationResult(changed, reportPath, feedPath)
   }
 }
 
 object DbDiffApp {
-  final case class IterationResult(changedKeys: Map[String, Long], reportPath: Option[String]) {
+  final case class IterationResult(changedKeys: Map[String, Long],
+      reportPath: Option[String], feedPath: Option[String] = None) {
     def totalChanged: Long = changedKeys.values.sum
   }
 

@@ -139,9 +139,7 @@ object DiffQueries {
         Tables.diffable.map { t =>
           val d = SnapshotDiff.diff(
             Tables.load(spark, sfDir, t.name), after(spark, sfDir, t), t.pk)
-          d.select(lit(t.name).as("table_name"), col(Normalize.KeyCol),
-            col("diff_status"), col("modified_columns"), col("side"),
-            md5(concat_ws("\u0001", t.cols.map(col): _*)).as("row_fp"))
+          SnapshotDiff.feed(d, t.name, t.cols)
         }.reduce(_.unionByName(_))
       }),
       // Three-way merge: two branches diverged from one base snapshot,

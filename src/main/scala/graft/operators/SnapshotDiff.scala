@@ -244,6 +244,17 @@ object SnapshotDiff {
     kept.select(cols.map(col) :+ col(Normalize.KeyCol): _*).unionByName(incoming)
   }
 
+  /** Fixed-width change-feed projection of a [[diff]] result: (table, key,
+    * status, modified columns, side, md5 row fingerprint). Row payloads
+    * travel as 32-byte fingerprints, so feed width is independent of table
+    * schema — the shape a multi-table CDC export unions into one stream.
+    * Shared by the `diff_changefeed` harness query and the application
+    * loop's feed sink. */
+  def feed(d: DataFrame, tableName: String, cols: Seq[String]): DataFrame =
+    d.select(lit(tableName).as("table_name"), col(Normalize.KeyCol),
+      col("diff_status"), col("modified_columns"), col("side"),
+      md5(concat_ws("\u0001", cols.map(col): _*)).as("row_fp"))
+
   /** Diff across a schema change: the snapshots disagree on shape (columns
     * added and/or dropped between them). The reference's branch for this is
     * degenerate — a column-count mismatch marks EVERY column modified

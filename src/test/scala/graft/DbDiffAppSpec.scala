@@ -107,6 +107,38 @@ class DbDiffAppSpec extends SparkTestBase {
     assert(!html2.contains("<table>"))
   }
 
+  test("change-feed sink: iteration writes one fixed-width feed; counts match the diffs") {
+    val tables = Seq(Tables.region, Tables.customer)
+    var mutated = false
+    val source = (t: TableDef) => {
+      val base = Tables.load(spark, Sf, t.name)
+      if (mutated) {
+        base.createOrReplaceTempView(t.name)
+        spark.sql(Mutations.afterSql(t.name))
+      } else base
+    }
+    val feedDir = Files.createTempDirectory("graft_feed").toString
+    val app = new DbDiffApp(spark, tables, source, _ => (), feedDir = feedDir)
+
+    mutated = true
+    val r1 = app.iterate()
+    assert(r1.feedPath.contains(s"$feedDir/iter_1"))
+    val feed = spark.read.parquet(r1.feedPath.get)
+    assert(feed.columns.toSeq ==
+      Seq("table_name", "__key", "diff_status", "modified_columns", "side", "row_fp"))
+    // one feed row per physical diff row (UPDATED keys contribute two)
+    import org.apache.spark.sql.functions.col
+    val perTable = feed.groupBy(col("table_name")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perTable.keySet == Set("region", "customer") && perTable.values.forall(_ > 0))
+    // fingerprints are md5 hex — fixed width regardless of table schema
+    assert(feed.select(col("row_fp")).collect().forall(_.getString(0).length == 32))
+
+    // iteration 2: no changes → feed exists but is empty
+    val r2 = app.iterate()
+    assert(spark.read.parquet(r2.feedPath.get).isEmpty)
+  }
+
   test("UPDATED pair renders BEFORE above AFTER for the same key") {
     val t = Tables.region
     Tables.load(spark, Sf, t.name).createOrReplaceTempView(t.name)
