@@ -122,6 +122,26 @@ object EventsQueries {
         .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
         .agg(count(lit(1)).as("n_users"))
     }),
+    // DAU / rolling-7-day WAU per active day, with NO distinct-over-
+    // sliding-window: each distinct (user, day) row is exploded into the
+    // 7 day-buckets it contributes to (a bounded 7× expansion of an
+    // already-deduplicated frame), then both measures are plain distinct
+    // counts. Integer day indexing from a fixed origin sidesteps engine
+    // date-arithmetic differences (the events_retention trick).
+    "events_dau_wau" -> ((spark, sfDir) => {
+      val ud = Tables.load(spark, sfDir, "events")
+        .select(col("user_id"),
+          expr("CAST(datediff(ts, DATE'2024-01-01') AS BIGINT)").as("day"))
+        .distinct()
+        .persist() // feeds both the DAU aggregate and the WAU explode
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("day"))
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+      dau.join(wau, Seq("day")) // inner: report active days only
+        .select(col("day"), col("dau"), col("wau"))
+    }),
     // sliding windows: each event lands in length/slide = 2 overlapping
     // buckets — Spark's window() expands rows before one hash aggregate;
     // the oracle replicates the same two bucket starts per event
@@ -478,6 +498,18 @@ object EventsQueries {
         |SELECT 'view' AS stage, COUNT(*) AS n_users FROM tv
         |UNION ALL SELECT 'view>click', COUNT(*) FROM tc
         |UNION ALL SELECT 'view>click>purchase', COUNT(*) FROM tp""".stripMargin,
+    "events_dau_wau" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(datediff('day', DATE '2024-01-01', ts) AS BIGINT) AS day
+        |  FROM events),
+        |dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+        |wau AS (
+        |  SELECT day, COUNT(*) AS wau FROM (
+        |    SELECT DISTINCT user_id, day + offs AS day
+        |    FROM ud, unnest(range(0, 7)) AS t(offs)) c
+        |  GROUP BY day)
+        |SELECT day, dau, wau FROM dau JOIN wau USING (day)""".stripMargin,
     "events_retention" ->
       """WITH a AS (
         |  SELECT DISTINCT user_id,
