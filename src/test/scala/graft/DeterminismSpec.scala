@@ -65,7 +65,9 @@ class DeterminismSpec extends SparkTestBase {
     // incremental agg: decimal base+delta fold; novelty: exact rational;
     // ranks: tie-stable rank/dense_rank/cume_dist
     Seq("q17_small_qty", "diff_three_way", "diff_incremental_agg",
-      "text_novelty", "q_window_ranks", "profile_orders")
+      "text_novelty", "q_window_ranks", "profile_orders",
+      "dedup_containment", "events_dau_wau", "events_paths",
+      "pipeline_epoch_shuffle")
       .foreach { q =>
         val a = repartitioned(2)(q)
         val b = repartitioned(17)(q)

@@ -113,6 +113,17 @@ class PlanQualitySpec extends SparkTestBase {
       s"collect_set at $aggIdx, join at $joinIdx:\n${p.take(3000)}")
   }
 
+  test("window top-n: rank-limit pushes down as WindowGroupLimit before the shuffle") {
+    // Spark 4 rewrites `row_number() <= k` into a WindowGroupLimit that
+    // keeps only k rows per key on the map side — the partial top-k that
+    // makes per-group top-n viable at 100 TB. Pin that our query shape
+    // actually triggers it (a non-rank predicate or missing filter would
+    // silently fall back to full window materialization).
+    val p = SparkEntry.queries("q_window_topn")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+  }
+
   test("hive-partitioned layout: a lang predicate prunes partitions at planning time") {
     // the write path a 100 TB corpus would use: partition the files by the
     // filter column, so a reader touches only matching directories
