@@ -140,6 +140,22 @@ object SimilarityQueries {
     * table — tiny), pull ONLY those clusters' vectors through the
     * assignment table, exact-rerank with the codegen dot. The corpus scan
     * cost is NProbe/K of the lake; the index build never re-runs. */
+  /** Incremental index maintenance: assign NEW vectors against the
+    * PERSISTED centroids and append to the assignment table — no rebuild,
+    * existing assignments untouched (centroids are fixed post-build: the
+    * standard IVF maintenance contract; periodic re-clustering is a fresh
+    * [[buildIvfIndex]]). Work is O(new × centroids) regardless of corpus
+    * size, so a 100 TB index absorbs a daily delta without ever rescoring
+    * the corpus. Same shared stages as build/query, so the arithmetic and
+    * tiebreaks cannot drift. */
+  def appendToIvfIndex(spark: SparkSession, dir: String, newVecs: DataFrame): Unit = {
+    val cq = spark.read.parquet(s"$dir/centroids")
+    val cnorms = spark.read.parquet(s"$dir/centroid_norms")
+    val qn = quantizedComponents(newVecs)
+    val assigned = topClusters(centroidScores(qn.drop("label"), vecNorms(qn), cq, cnorms), 1)
+    assigned.write.mode("append").parquet(s"$dir/assignment")
+  }
+
   def queryIvfIndex(spark: SparkSession, sfDir: String, dir: String): DataFrame = {
     val raw = Tables.load(spark, sfDir, "embeddings")
     val cq = spark.read.parquet(s"$dir/centroids")
