@@ -98,6 +98,24 @@ class SnapshotDiffSpec extends SparkTestBase {
     assert(mods == Map("1" -> "c1,c2", "2" -> "c2"))
   }
 
+  test("negative paths fail loudly, not silently") {
+    val a = df(Seq((1, "a", "x")))
+    // plain diff demands identical shape — a dropped column must throw at
+    // ANALYSIS time (diffEvolved is the sanctioned cross-shape path)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      SnapshotDiff.diff(a, a.drop("c2"), Seq("id")).collect()
+    }
+    // schema evolution that drops a PK column is unanswerable
+    intercept[IllegalArgumentException] {
+      SnapshotDiff.diffEvolved(a,
+        a.drop("id").withColumn("id2", org.apache.spark.sql.functions.lit(1)), Seq("id"))
+    }
+    // empty pk is disallowed (keyless tables pass ALL columns instead)
+    intercept[IllegalArgumentException] {
+      Normalize.withKey(a, Seq.empty)
+    }
+  }
+
   test("cardinality: counts by status are consistent") {
     for ((r1, r2) <- cases) {
       val d = SnapshotDiff.diff(df(r1), df(r2), Seq("id"))
