@@ -139,6 +139,46 @@ class DbDiffAppSpec extends SparkTestBase {
     assert(spark.read.parquet(r2.feedPath.get).isEmpty)
   }
 
+  test("streaming feed consumer: status counts converge to the batch report") {
+    import graft.operators.SnapshotDiff
+    import graft.streaming.FeedConsumer
+    import org.apache.spark.sql.functions.{col, lit}
+    val tables = Seq(Tables.region, Tables.customer)
+    var mutated = false
+    val source = (t: TableDef) => {
+      val base = Tables.load(spark, Sf, t.name)
+      if (mutated) {
+        base.createOrReplaceTempView(t.name)
+        spark.sql(Mutations.afterSql(t.name))
+      } else base
+    }
+    val feedDir = Files.createTempDirectory("graft_feed2").toString
+    val app = new DbDiffApp(spark, tables, source, _ => (), feedDir = feedDir)
+    mutated = true
+    app.iterate() // writes iter_1
+    app.iterate() // writes the empty iter_2
+
+    val q = FeedConsumer.statusCounts(FeedConsumer.readFeed(spark, s"$feedDir/iter_*"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("graft_feedcounts").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("graft_feedcounts")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+    // batch oracle: one-winner statusCounts per table (the app's diff mode)
+    val batch = tables.flatMap { t =>
+      val before = Tables.load(spark, Sf, t.name)
+      before.createOrReplaceTempView(t.name)
+      val after = spark.sql(Mutations.afterSql(t.name))
+      val d = SnapshotDiff.diffOneWinner(before, after, t.pk)
+      d.groupBy(col("diff_status"))
+        .agg(org.apache.spark.sql.functions.countDistinct(col("__key")).as("n"))
+        .collect().map(r => (t.name, r.getString(0), r.getLong(1)))
+    }.toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("UPDATED pair renders BEFORE above AFTER for the same key") {
     val t = Tables.region
     Tables.load(spark, Sf, t.name).createOrReplaceTempView(t.name)
