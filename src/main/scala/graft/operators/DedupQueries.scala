@@ -198,6 +198,15 @@ object DedupQueries {
       GraphOps.connectedComponents(
         simhashPairs(spark, sfDir)
           .select(col("doc_a").as("src"), col("doc_b").as("dst")))),
+    // Cluster-size distribution — the dedup pipeline's summary metric
+    // ("how much of the corpus is duplicated, in how big clumps"): sizes
+    // from the components frame, then a tiny size-histogram aggregate.
+    "dedup_cluster_sizes" -> ((spark, sfDir) =>
+      GraphOps.connectedComponents(
+        simhashPairs(spark, sfDir)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .groupBy(col("component_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))),
     "dedup_ngram_jaccard" -> ((spark, sfDir) => {
       val sh = shingles(corpus(spark, sfDir)).persist()
       val probes = sh.filter(col("doc_id") % 100 === 0)
@@ -514,6 +523,22 @@ object DedupQueries {
             |UNION
             |SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id""".stripMargin),
       "SELECT id AS doc_id, MIN(label) AS component_id FROM reach GROUP BY id"),
+    "dedup_cluster_sizes" -> withRecursiveSql(
+      Seq("corpus" -> corpusSql) ++ simhashCtes ++ Seq(
+        chunksCte,
+        "pairs" -> simhashPairsSelect,
+        "edges" ->
+          """SELECT doc_a AS src, doc_b AS dst FROM pairs
+            |UNION ALL
+            |SELECT doc_b AS src, doc_a AS dst FROM pairs""".stripMargin,
+        "verts" -> "SELECT DISTINCT src AS id FROM edges",
+        "reach" ->
+          """SELECT id, id AS label FROM verts
+            |UNION
+            |SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id""".stripMargin,
+        "comps" -> "SELECT id AS doc_id, MIN(label) AS component_id FROM reach GROUP BY id",
+        "sizes" -> "SELECT component_id, COUNT(*) AS cluster_size FROM comps GROUP BY component_id"),
+      "SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes GROUP BY cluster_size"),
     "dedup_prefix_jaccard" -> withSql(
       corpusCtes ++ Seq(
         "gf" -> "SELECT shingle, COUNT(*) AS gf FROM shing GROUP BY shingle",

@@ -100,6 +100,15 @@ object Relational {
       |  AND l_discount >= 0.05 AND l_discount <= 0.07
       |  AND l_quantity < 24""".stripMargin
 
+  /** Shared-text LATERAL correlated subquery: per-customer top-1 order.
+    * Same text runs in Spark and DuckDB; deterministic (unique tiebreak). */
+  val qLateralSql: String =
+    """SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> (q1 _),
     "q3_topk_revenue" -> (q3 _),
@@ -107,6 +116,15 @@ object Relational {
     "q6_sql_passthrough" -> ((spark, sfDir) => {
       Tables.load(spark, sfDir, "lineitem").createOrReplaceTempView("lineitem")
       spark.sql(q6Sql)
+    }),
+    // LATERAL correlated subquery (shared SQL text): per-customer top-1
+    // order — the correlated-per-row join shape. Catalyst decorrelates the
+    // lateral limit into a ranked window join (DomainJoin rewrite), so the
+    // plan is the same one shuffle as q_window_topn, not a per-row probe.
+    "q_lateral_top1" -> ((spark, sfDir) => {
+      Tables.load(spark, sfDir, "customer").createOrReplaceTempView("customer")
+      Tables.load(spark, sfDir, "orders").createOrReplaceTempView("orders")
+      spark.sql(qLateralSql)
     }),
     "q_window_topn" -> ((spark, sfDir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -754,6 +772,7 @@ object Relational {
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin,
     "q6_sql_passthrough" -> q6Sql,
+    "q_lateral_top1" -> qLateralSql,
     "q_window_topn" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
