@@ -143,6 +143,37 @@ object DiffOracle {
          |FROM ${p}_cls WHERE diff_status IN ('INSERTED', 'UPDATED')""".stripMargin)
   }
 
+  /** Oracle twin of [[SnapshotDiff.merkleSummary]]: same 60-bit md5-derived
+    * row hashes, same exact (HUGEINT) sum reduced mod 10¹⁸, same
+    * hash-mod-bucket routing — dirty buckets only. */
+  def merkleSummarySql(t: TableDef, afterSql: String, pk: Seq[String],
+      nBuckets: Int): String = {
+    import graft.functions.Hashing.hash64Sql
+    val rowH = hash64Sql(s"concat_ws(chr(1), ${t.cols.mkString(", ")})")
+    def side(src: String, rowsName: String, sumName: String) =
+      s"""SELECT ${hash64Sql("__key")} % $nBuckets AS bucket,
+         |  COUNT(*) AS $rowsName,
+         |  CAST(SUM($rowH) % 1000000000000000000 AS BIGINT) AS $sumName
+         |FROM $src GROUP BY bucket""".stripMargin
+    s"""WITH mk_before_n AS (
+       |${normalizedSelect(t.name, t, pk)}
+       |), mk_after_raw AS (
+       |$afterSql
+       |), mk_after_n AS (
+       |${normalizedSelect("mk_after_raw", t, pk)}
+       |), mk_bs AS (
+       |${side("mk_before_n", "b_rows", "b_sum")}
+       |), mk_as AS (
+       |${side("mk_after_n", "a_rows", "a_sum")}
+       |)
+       |SELECT COALESCE(b.bucket, a.bucket) AS bucket,
+       |  COALESCE(b_rows, 0) AS b_rows, COALESCE(a_rows, 0) AS a_rows,
+       |  COALESCE(b_sum, 0) AS b_sum, COALESCE(a_sum, 0) AS a_sum
+       |FROM mk_bs b FULL JOIN mk_as a ON b.bucket = a.bucket
+       |WHERE COALESCE(b_rows, 0) <> COALESCE(a_rows, 0)
+       |   OR COALESCE(b_sum, 0) <> COALESCE(a_sum, 0)""".stripMargin
+  }
+
   /** Oracle for diff(A, A) — empty result (property: diff is reflexive-empty). */
   def identitySql(t: TableDef): String =
     diffSql(t, s"SELECT * FROM ${t.name}", t.pk)

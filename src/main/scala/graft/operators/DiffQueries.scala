@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
 object DiffQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Bucket count for the Merkle repeat-diff queries — shared by the Spark
+    * plan and the generated oracle so both partition the keyspace
+    * identically. 4096 keeps buckets fine-grained enough that the fixture
+    * mutations dirty only a fraction of them (the spec asserts pruning is
+    * nontrivial). */
+  val MerkleBuckets = 4096
+
   /** Mutated "after" snapshot — executes the shared mutation SQL
     * ([[Mutations]]) over a temp view of the before parquet. */
   def after(spark: SparkSession, sfDir: String, t: TableDef): DataFrame = {
@@ -183,6 +190,25 @@ object DiffQueries {
               .cast("double").as("sum_price"))
           .filter(col("n_rows") > 0)
       }),
+      // Merkle-style repeat-diff accelerator, part 1: the bucket-checksum
+      // summary (dirty buckets only). Each side reduces to ≤4096 fixed-width
+      // rows before ANY join of row data — the anti-entropy pass that lets a
+      // 100 TB lake re-diff by scanning summaries instead of rows.
+      "diff_merkle_dirty" -> ((spark, sfDir) => {
+        val t = Tables.part
+        SnapshotDiff.merkleSummary(
+          Normalize.withKey(Tables.load(spark, sfDir, t.name), t.pk),
+          Normalize.withKey(after(spark, sfDir, t), t.pk),
+          MerkleBuckets)
+      }),
+      // Part 2: the full diff restricted to dirty buckets. Lossless pruning —
+      // the oracle is the UNPRUNED full diff, so any key escaping its bucket
+      // or any checksum false-negative fails the hash gate.
+      "diff_merkle_pruned" -> ((spark, sfDir) => {
+        val t = Tables.part
+        SnapshotDiff.merklePrunedDiff(
+          Tables.load(spark, sfDir, t.name), after(spark, sfDir, t), t.pk, MerkleBuckets)
+      }),
       // One-pass per-column data-profile (the audit a differ runs before
       // trusting a snapshot): null count, exact distinct count, min/max per
       // column, long format. ONE scan — the multi-column DISTINCTs plan as
@@ -285,6 +311,11 @@ object DiffQueries {
            |SELECT o_orderstatus, COUNT(*) AS n_rows,
            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_price
            |FROM after_t GROUP BY o_orderstatus""".stripMargin,
+      "diff_merkle_dirty" -> DiffOracle.merkleSummarySql(
+        Tables.part, Mutations.afterSql("part"), Tables.part.pk, MerkleBuckets),
+      // pruning is lossless ⇒ the pruned diff must equal the full diff
+      "diff_merkle_pruned" ->
+        DiffOracle.diffSql(Tables.part, Mutations.afterSql("part"), Tables.part.pk),
       "profile_orders" -> profileSql(Tables.orders),
       "profile_customer" -> profileSql(Tables.customer),
       "diff_three_way" -> DiffOracle.threeWaySql(

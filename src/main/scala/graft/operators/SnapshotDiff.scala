@@ -331,6 +331,71 @@ object SnapshotDiff {
       .filter(col("merge_status") =!= "UNCHANGED")
   }
 
+  /** Merkle-style bucket summary — the repeat-diff accelerator for very
+    * large snapshots. Each side reduces to `nBuckets` fixed-width rows:
+    * bucket = hash(`__key`) mod nBuckets, and per bucket a row count plus
+    * an ORDER-INDEPENDENT checksum (exact decimal sum of 60-bit row
+    * hashes, reduced mod 10¹⁸ — commutative, so partition order and
+    * parallelism can't perturb it). A bucket whose (count, checksum) pair
+    * agrees on both sides provably holds no net change worth scanning*;
+    * only disagreeing ("dirty") buckets need the full-outer-join pass.
+    *
+    * At 100 TB this is the difference between re-joining the whole lake on
+    * every diff cycle and re-joining only the touched fraction: the
+    * summary pass is a narrow projection + one map-side-combined
+    * aggregation per side (no join of row data at all), its output is
+    * KB-sized regardless of input size, and the subsequent pruned diff
+    * joins only dirty-bucket rows. (*modulo 60-bit-hash-sum collisions —
+    * the standard anti-entropy trade, cf. Merkle-tree replica repair; a
+    * production profile widens the checksum to 128 bits.)
+    *
+    * Output (dirty buckets only): `bucket, b_rows, a_rows, b_sum, a_sum`.
+    * Empty ⇔ snapshots are (checksum-)identical, so `diff(A, A)` prunes
+    * to nothing before any join runs. */
+  def merkleSummary(bn: DataFrame, an: DataFrame, nBuckets: Int): DataFrame = {
+    def side(df: DataFrame, rowsName: String, sumName: String): DataFrame = {
+      val cols = df.columns.filterNot(_ == Normalize.KeyCol).toIndexedSeq
+      df.select(
+          bucketOf(col(Normalize.KeyCol), nBuckets).as("bucket"),
+          graft.functions.Hashing.hash64(concat_ws("\u0001", cols.map(col): _*))
+            .cast("decimal(38,0)").as("__h"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as(rowsName),
+          (sum(col("__h")) % lit(1000000000000000000L)).cast("long").as(sumName))
+    }
+    side(bn, "b_rows", "b_sum")
+      .join(side(an, "a_rows", "a_sum"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("b_rows"), lit(0L)).as("b_rows"),
+        coalesce(col("a_rows"), lit(0L)).as("a_rows"),
+        coalesce(col("b_sum"), lit(0L)).as("b_sum"),
+        coalesce(col("a_sum"), lit(0L)).as("a_sum"))
+      .filter(col("b_rows") =!= col("a_rows") || col("b_sum") =!= col("a_sum"))
+  }
+
+  private def bucketOf(key: Column, nBuckets: Int): Column =
+    pmod(graft.functions.Hashing.hash64(key), lit(nBuckets.toLong))
+
+  /** [[diff]] restricted to the dirty buckets of [[merkleSummary]] — the
+    * pruned repeat-diff. Lossless by construction: every changed key lands
+    * in a bucket whose count or checksum disagrees, so the pruned result
+    * EQUALS the full diff (the oracle pins exactly that). The dirty-bucket
+    * list is tiny (≤ nBuckets rows), so it broadcasts and each side prunes
+    * with a broadcast semi-join before any shuffle of row data; it is
+    * persisted so the summary aggregation runs once, not once per side. */
+  def merklePrunedDiff(before: DataFrame, after: DataFrame, pk: Seq[String],
+      nBuckets: Int): DataFrame = {
+    val bn = Normalize.withKey(before, pk)
+    val an = Normalize.withKey(after, pk)
+    val dirty = merkleSummary(bn, an, nBuckets)
+      .select(col("bucket").as("__bkt")).persist()
+    def prune(df: DataFrame): DataFrame =
+      df.withColumn("__bkt", bucketOf(col(Normalize.KeyCol), nBuckets))
+        .join(broadcast(dirty), Seq("__bkt"), "left_semi")
+        .drop("__bkt")
+    diffNormalized(prune(bn), prune(an))
+  }
+
   /** Report aggregate: per-status logical change counts for one table's
     * diff (UPDATED emits two physical rows per key — count keys once). */
   def report(diffed: DataFrame): DataFrame =
