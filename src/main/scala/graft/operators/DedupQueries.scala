@@ -39,15 +39,19 @@ object DedupQueries {
   def minhashA(j: Int): Long = 2L * j + 3L
   def minhashB(j: Int): Long = 104729L * j + 12345L
 
-  /** Shared corpus: documents + exact dups (+100000) + near-dups with an
-    * appended tail (+200000), for doc_id % 50 = 0. */
-  val corpusSql: String =
-    """SELECT doc_id, text FROM documents
-      |UNION ALL
-      |SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+  /** The synthetic "new arrivals" batch: exact copies (+100000) and
+    * appended-tail near-copies (+200000) of every 50th document. */
+  val deltaSql: String =
+    """SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
       |UNION ALL
       |SELECT doc_id + 200000 AS doc_id, concat(text, ' zz yy xx ww vv') AS text
       |FROM documents WHERE doc_id % 50 = 0""".stripMargin
+
+  /** Shared corpus: documents + the [[deltaSql]] duplicates. */
+  val corpusSql: String =
+    s"""SELECT doc_id, text FROM documents
+       |UNION ALL
+       |$deltaSql""".stripMargin
 
   def corpus(spark: SparkSession, sfDir: String): DataFrame = {
     Tables.load(spark, sfDir, "documents").createOrReplaceTempView("documents")
@@ -286,6 +290,29 @@ object DedupQueries {
           (col("__c").cast("double") / (col("n_a") + col("n_b") - col("__c"))).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
     }),
+    // Incremental dedup against a standing LSH index — how a 100 TB corpus
+    // actually runs dedup day to day: the already-ingested corpus's banded
+    // minhash signatures are a PERSISTED index (built once; 4 small rows
+    // per doc), and each arriving batch tokenizes ONLY ITSELF, probes the
+    // index by (band, bkey) equi-join, and exact-verifies its candidates.
+    // Nothing rescans or re-tokenizes the standing corpus for candidate
+    // generation — delta-batch cost is O(batch + matched candidates),
+    // independent of corpus size. Output: which new docs duplicate which
+    // indexed docs (the batch's reject list).
+    "dedup_incremental" -> ((spark, sfDir) => {
+      Tables.load(spark, sfDir, "documents").createOrReplaceTempView("documents")
+      val base = spark.sql("SELECT doc_id, text FROM documents")
+      val delta = spark.sql(deltaSql)
+      val shBase = shingles(base).persist()   // index-build side: runs once
+      val shDelta = shingles(delta).persist() // the only per-batch tokenize
+      val idx = bands(minhashSigs(shBase))
+      val probe = bands(minhashSigs(shDelta))
+      val cand = probe.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+        .join(idx.select(col("doc_id").as("doc_b"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      jaccard(cand, shDelta.unionByName(shBase), 0.4)
+    }),
     // Canonical-survivor selection — the dedup pipeline's actual OUTPUT:
     // every doc mapped to its cluster's canonical (the component's min
     // doc_id, which min-label propagation already computes as the label),
@@ -392,33 +419,38 @@ object DedupQueries {
 
   private val toksE = Hashing.tokensSql("text")
 
-  private def corpusCtes: Seq[(String, String)] = Seq(
-    "corpus" -> corpusSql,
-    "shing" ->
+  private def shingCte(name: String, src: String): (String, String) =
+    name ->
       s"""SELECT DISTINCT doc_id, unnest(list_transform(
          |    range(0, greatest(len(toks) - 2, 0)),
          |    i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingle
-         |FROM (SELECT doc_id, $toksE AS toks FROM corpus) t""".stripMargin
-  )
+         |FROM (SELECT doc_id, $toksE AS toks FROM $src) t""".stripMargin
 
-  private def sigsCte: (String, String) = {
+  private def sigsCteFrom(name: String, shingSrc: String): (String, String) = {
     val mins = (0 until NumHashes)
       .map(j => s"MIN((${minhashA(j)} * hm + ${minhashB(j)}) % $MinhashP) AS m$j")
       .mkString(",\n  ")
-    "sigs" ->
+    name ->
       s"""SELECT doc_id,
          |  $mins
          |FROM (SELECT doc_id, ${Hashing.hash64Sql("shingle")} % $MinhashP AS hm
-         |      FROM shing) t GROUP BY doc_id""".stripMargin
+         |      FROM $shingSrc) t GROUP BY doc_id""".stripMargin
   }
 
-  private def bandsCte: (String, String) = {
+  private def bandsCteFrom(name: String, sigsSrc: String): (String, String) = {
     val selects = (0 until NumBands).map { b =>
       val key = (0 until RowsPerBand).map(k => s"m${RowsPerBand * b + k}").mkString(", ")
-      s"SELECT doc_id, $b AS band, concat_ws('|', $key) AS bkey FROM sigs"
+      s"SELECT doc_id, $b AS band, concat_ws('|', $key) AS bkey FROM $sigsSrc"
     }
-    "bands" -> selects.mkString("\nUNION ALL\n")
+    name -> selects.mkString("\nUNION ALL\n")
   }
+
+  private def corpusCtes: Seq[(String, String)] =
+    Seq("corpus" -> corpusSql, shingCte("shing", "corpus"))
+
+  private def sigsCte: (String, String) = sigsCteFrom("sigs", "shing")
+
+  private def bandsCte: (String, String) = bandsCteFrom("bands", "sigs")
 
   private val jaccardSql: String =
     """SELECT * FROM (
@@ -476,6 +508,28 @@ object DedupQueries {
           """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             |FROM bands a JOIN bands b
             |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin,
+        "counts" -> "SELECT doc_id, COUNT(*) AS n_sh FROM shing GROUP BY doc_id",
+        "inter" ->
+          """SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+            |FROM cand c
+            |JOIN shing sa ON sa.doc_id = c.doc_a
+            |JOIN shing sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+            |GROUP BY c.doc_a, c.doc_b""".stripMargin),
+      jaccardSql + "WHERE jaccard >= 0.4"),
+    "dedup_incremental" -> withSql(
+      Seq(
+        "base" -> "SELECT doc_id, text FROM documents",
+        "delta" -> deltaSql,
+        shingCte("shing_b", "base"),
+        shingCte("shing_d", "delta"),
+        sigsCteFrom("sigs_b", "shing_b"),
+        sigsCteFrom("sigs_d", "shing_d"),
+        bandsCteFrom("bands_b", "sigs_b"),
+        bandsCteFrom("bands_d", "sigs_d"),
+        "cand" ->
+          """SELECT DISTINCT d.doc_id AS doc_a, b.doc_id AS doc_b
+            |FROM bands_d d JOIN bands_b b ON d.band = b.band AND d.bkey = b.bkey""".stripMargin,
+        "shing" -> "SELECT * FROM shing_d UNION ALL SELECT * FROM shing_b",
         "counts" -> "SELECT doc_id, COUNT(*) AS n_sh FROM shing GROUP BY doc_id",
         "inter" ->
           """SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common

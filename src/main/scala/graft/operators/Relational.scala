@@ -350,6 +350,22 @@ object Relational {
           |  AND l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0)
           |GROUP BY l_returnflag""".stripMargin)
     }),
+    // Market-basket pair co-occurrence (the frequent-itemset primitive):
+    // distinct (order, part) pairs self-join on the order key with
+    // part_a < part_b — pair fan-out is C(items-per-basket, 2), bounded by
+    // the per-basket item count (TPC-H ≤ 7; a production pipeline caps
+    // oversized baskets exactly like the LSH boilerplate cap), NEVER by
+    // corpus size. One shuffle on the basket key, then a pair-keyed count.
+    "q_basket_pairs" -> ((spark, sfDir) => {
+      val li = Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      a.join(b, "l_orderkey").filter(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("n_baskets"))
+        .filter(col("n_baskets") >= 2)
+    }),
     "q_rollup" -> ((spark, sfDir) =>
       Tables.load(spark, sfDir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
@@ -895,6 +911,12 @@ object Relational {
     "q_distinct_agg" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_basket_pairs" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_baskets
+        |FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY part_a, part_b
+        |HAVING COUNT(*) >= 2""".stripMargin,
     "q_rollup" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
          |  ${decSum4("o_totalprice")} AS total

@@ -211,4 +211,29 @@ class Round3OperatorsSpec extends SparkTestBase {
       Multimodal.decodeWav(md, 7L, corrupt)
     }
   }
+
+  test("incremental LSH dedup == full LSH pairs restricted to delta-vs-base") {
+    val inc = SparkEntry.queries("dedup_incremental")(spark, Sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val full = SparkEntry.queries("dedup_minhash_lsh")(spark, Sf)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      // cross pairs only: one side base (< 100000), one side delta
+      .filter { case (lo, hi) => lo < 100000 && hi >= 100000 }.toSet
+    assert(inc.nonEmpty)
+    assert(inc == full)
+  }
+
+  test("basket pairs are symmetric-free and bounded by per-basket fan-out") {
+    val pairs = SparkEntry.queries("q_basket_pairs")(spark, Sf)
+    assert(pairs.filter(col("part_a") >= col("part_b")).isEmpty)
+    // every pair count is at most the number of baskets containing part_a
+    val perPart = Tables.load(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_partkey")).agg(count(org.apache.spark.sql.functions.lit(1)).as("n_a"))
+    val bad = pairs.join(perPart.withColumnRenamed("l_partkey", "part_a"), "part_a")
+      .filter(col("n_baskets") > col("n_a"))
+    assert(bad.isEmpty)
+  }
 }
