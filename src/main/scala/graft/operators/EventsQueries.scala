@@ -41,6 +41,22 @@ object EventsQueries {
           sum(col("value").cast("decimal(38,4)")).cast("double").as("total_value"))
         .select(col("window.start").as("bucket_start"), col("event_type"),
           col("n_events"), col("total_value"))),
+    // Native session_window() aggregation — Spark's own merging-interval
+    // session operator (the same one the streaming path uses with a
+    // watermark), next to the hand-rolled gap sessionization above. Note
+    // the boundary difference, pinned by the oracle: session_window merges
+    // events while the gap is STRICTLY UNDER 30 min (windows [t, t+30m)
+    // must overlap), where `sessionize` keeps gaps of exactly 30 min
+    // together. One aggregation, keyed (user, session) — no window
+    // function, so at scale it's a plain hash-agg after one shuffle.
+    "events_session_window" -> ((spark, sfDir) =>
+      Tables.load(spark, sfDir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(38,4)")).cast("double").as("total_value"))
+        .select(col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("user_id"), col("n_events"), col("total_value"))),
     // Sequence-pattern matching with NEGATION (MATCH_RECOGNIZE's
     // "A then B with no C between" shape): users whose first signup is
     // followed by a purchase with no error in the gap. Each pattern edge
@@ -444,6 +460,23 @@ object EventsQueries {
         |SELECT event_type || '>' || n1 || '>' || n2 AS path, COUNT(*) AS n
         |FROM p WHERE n1 IS NOT NULL AND n2 IS NOT NULL
         |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "events_session_window" ->
+      s"""WITH g AS (
+         |  SELECT user_id, ts, value,
+         |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= $SessionGapMicros
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM (SELECT user_id, ts, value,
+         |          LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+         |        FROM events) t),
+         |s AS (
+         |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+         |  FROM g)
+         |SELECT MIN(ts) AS session_start,
+         |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+         |  user_id, COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+         |FROM s GROUP BY user_id, sid""".stripMargin,
     "events_tumbling" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start, event_type,
         |  COUNT(*) AS n_events,

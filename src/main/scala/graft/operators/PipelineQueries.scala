@@ -102,6 +102,24 @@ object PipelineQueries {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_benchmark_hits"))
     }),
+    // Quality-weighted importance sampling: each document's keep-probability
+    // is proportional to its own quality signal (here a length-derived
+    // per-mille weight, clamped to [100, 900]; in production the quality
+    // classifier's score), and the keep decision is the same deterministic
+    // content-free hash-threshold the other sampling stages use — exact
+    // integer arithmetic end to end, so reruns, stragglers, and the oracle
+    // agree row for row. Pure projection + one aggregate, no shuffle of
+    // document payloads.
+    "pipeline_weighted_sample" -> ((spark, sfDir) => {
+      val w = least(lit(900L), greatest(lit(100L), expr("n_chars div 2")))
+      val hd = pmod(Hashing.hash64(col("doc_id").cast("string")), lit(1000L))
+      graft.Tables.load(spark, sfDir, "documents")
+        .withColumn("__w", w).withColumn("__keep", hd < col("__w"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(col("__w")).as("sum_weight_permille"))
+    }),
     // Sequence packing (concat-then-chunk): assign each document's first
     // token to a fixed 2048-token training sequence by a running token
     // count WITHIN each source shard — packing is per-shard, so no global
@@ -194,6 +212,16 @@ object PipelineQueries {
          |  FROM g tr JOIN bench b USING (gfp)
          |  WHERE NOT (tr.doc_id < 100000 AND tr.doc_id % 100 = 0)) p
          |GROUP BY doc_id""".stripMargin,
+    "pipeline_weighted_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    least(900, greatest(100, n_chars // 2)) AS w,
+         |    ${Hashing.hash64Sql("CAST(doc_id AS VARCHAR)")} % 1000 AS hd
+         |  FROM documents)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN hd < w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(w) AS BIGINT) AS sum_weight_permille
+         |FROM t GROUP BY lang""".stripMargin,
     "pipeline_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,
