@@ -39,7 +39,9 @@ object SparkEntry {
     "dedup_prefix_jaccard", "events_gapfill", "text_inverted_index",
     "diff_incremental_agg", "profile_orders", "q17_small_qty",
     "diff_three_way", "diff_changefeed", "dedup_containment",
-    "text_novelty", "events_paths", "pipeline_epoch_shuffle")
+    "text_novelty", "events_paths", "pipeline_epoch_shuffle",
+    "diff_merkle_pruned", "dedup_incremental", "q_basket_pairs",
+    "events_session_window")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -217,6 +217,44 @@ object DiffQueries {
       // but the oracle gate needs the exact form.
       "profile_orders" -> ((spark, sfDir) => profile(Tables.orders)(spark, sfDir)),
       "profile_customer" -> ((spark, sfDir) => profile(Tables.customer)(spark, sfDir)),
+      // Declarative data-quality rule report — the audit gate a pipeline
+      // runs before trusting a snapshot enough to diff or train on it:
+      // PK uniqueness, value-domain and range rules, and FK existence,
+      // each a (rule, n_checked, n_violations) row. All row-level rules
+      // evaluate in ONE aggregation pass over the scan (conditional sums —
+      // no per-rule rescans); the FK rule is one anti-join against the
+      // parent keys. The fixture's lineitem duplicate PKs make pk_unique
+      // report REAL violations, so the report is exercised, not
+      // vacuously green.
+      "dq_rules_report" -> ((spark, sfDir) => {
+        val li = Tables.load(spark, sfDir, "lineitem")
+        val o = Tables.load(spark, sfDir, "orders").select(col("o_orderkey"))
+        val base = li.agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("l_orderkey"), col("l_linenumber")).as("nd"),
+          sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("v_qty"),
+          sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+            .otherwise(0L)).as("v_disc"),
+          sum(when(!col("l_returnflag").isin("R", "A", "N"), 1L)
+            .otherwise(0L)).as("v_flag"))
+        val rowRules = base.select(expr(
+          "stack(4, " +
+            "'pk_unique', n, n - nd, " +
+            "'quantity_positive', n, v_qty, " +
+            "'discount_in_range', n, v_disc, " +
+            "'returnflag_domain', n, v_flag) AS (rule, n_checked, n_violations)"))
+        // FK leg as ONE outer-join aggregate (n_checked and the orphan
+        // count from the same pass — no second lineitem scan); o_orderkey
+        // is unique so the outer join cannot multiply probe rows
+        val fk = li.select(col("l_orderkey"))
+          .join(o.select(col("o_orderkey"), lit(1L).as("__p")),
+            col("l_orderkey") === col("o_orderkey"), "left_outer")
+          .agg(count(lit(1)).as("n_checked"),
+            sum(when(col("__p").isNull, 1L).otherwise(0L)).as("n_violations"))
+          .select(lit("fk_orders_exists").as("rule"), col("n_checked"),
+            col("n_violations"))
+        rowRules.unionByName(fk)
+      }),
       // P1+P2+P3 normalization exposed directly.
       "snapshot_normalize_customer" -> ((spark, sfDir) =>
         Normalize.withKey(Tables.load(spark, sfDir, "customer"), Tables.customer.pk)),
@@ -318,6 +356,23 @@ object DiffQueries {
         DiffOracle.diffSql(Tables.part, Mutations.afterSql("part"), Tables.part.pk),
       "profile_orders" -> profileSql(Tables.orders),
       "profile_customer" -> profileSql(Tables.customer),
+      "dq_rules_report" ->
+        """WITH b AS (
+          |  SELECT COUNT(*) AS n,
+          |    COUNT(DISTINCT (l_orderkey, l_linenumber)) AS nd,
+          |    SUM(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS v_qty,
+          |    SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS v_disc,
+          |    SUM(CASE WHEN l_returnflag NOT IN ('R','A','N') THEN 1 ELSE 0 END) AS v_flag
+          |  FROM lineitem),
+          |fk AS (
+          |  SELECT COUNT(*) AS v FROM lineitem l
+          |  LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+          |  WHERE o.o_orderkey IS NULL)
+          |SELECT 'pk_unique' AS rule, n AS n_checked, CAST(n - nd AS BIGINT) AS n_violations FROM b
+          |UNION ALL SELECT 'quantity_positive', n, CAST(v_qty AS BIGINT) FROM b
+          |UNION ALL SELECT 'discount_in_range', n, CAST(v_disc AS BIGINT) FROM b
+          |UNION ALL SELECT 'returnflag_domain', n, CAST(v_flag AS BIGINT) FROM b
+          |UNION ALL SELECT 'fk_orders_exists', (SELECT n FROM b), CAST(v AS BIGINT) FROM fk""".stripMargin,
       "diff_three_way" -> DiffOracle.threeWaySql(
         Tables.orders, Mutations.afterSql("orders"), Mutations.threeWayRightSql,
         Tables.orders.pk),

@@ -148,4 +148,35 @@ class PlanQualitySpec extends SparkTestBase {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     }
   }
+
+  test("merkle-pruned diff: dirty-bucket list broadcasts into semi joins") {
+    val p = SparkEntry.queries("diff_merkle_pruned")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
+  test("incremental dedup and basket pairs: equi-joins only, no nested loop") {
+    for (q <- Seq("dedup_incremental", "q_basket_pairs")) {
+      val p = SparkEntry.queries(q)(spark, Sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        q + ": " + p.take(2000))
+    }
+  }
+
+  test("dq report: all row-level rules evaluate in one aggregation pass") {
+    val p = SparkEntry.queries("dq_rules_report")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    // one anti join for the FK rule and nothing quadratic; the row-level
+    // rules ride a single scan of lineitem (expand for the distinct-PK
+    // count is fine), so at most 3 scans total (rules + FK probe + parent)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans <= 3, s"expected <= 3 scans, got $scans\n" + p.take(3000))
+  }
 }
