@@ -41,6 +41,22 @@ object EventsQueries {
           sum(col("value").cast("decimal(38,4)")).cast("double").as("total_value"))
         .select(col("window.start").as("bucket_start"), col("event_type"),
           col("n_events"), col("total_value"))),
+    // Rolling 1-hour per-user aggregates via a TIME-VALUED RANGE frame
+    // (each row's frame is [ts − 1h, ts] by timestamp value, not row
+    // count — irregular event spacing makes ROWS frames wrong here).
+    // Ordering on the microsecond epoch keeps the frame arithmetic in
+    // exact integers in both engines; ties share a frame, so no
+    // tiebreaker is needed for determinism. One shuffle on user_id.
+    "events_rolling_1h" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000, Window.currentRow)
+      Tables.load(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          count(lit(1)).over(w).as("n_events_1h"),
+          sum(col("value").cast("decimal(38,4)")).over(w)
+            .cast("double").as("value_1h"))
+    }),
     // Native session_window() aggregation — Spark's own merging-interval
     // session operator (the same one the streaming path uses with a
     // watermark), next to the hand-rolled gap sessionization above. Note
@@ -460,6 +476,13 @@ object EventsQueries {
         |SELECT event_type || '>' || n1 || '>' || n2 AS path, COUNT(*) AS n
         |FROM p WHERE n1 IS NOT NULL AND n2 IS NOT NULL
         |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    "events_rolling_1h" ->
+      """SELECT event_id, user_id, ts,
+        |  COUNT(*) OVER w AS n_events_1h,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) OVER w AS DOUBLE) AS value_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "events_session_window" ->
       s"""WITH g AS (
          |  SELECT user_id, ts, value,
