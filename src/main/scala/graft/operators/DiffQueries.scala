@@ -18,6 +18,18 @@ object DiffQueries {
     * nontrivial). */
   val MerkleBuckets = 4096
 
+  /** Candidate (childTable, childCol, parentTable, parentCol) pairs for FK
+    * discovery — the real FK chain of the fixture schema plus one
+    * deliberately-wrong probe pair. */
+  val FkCandidates: Seq[(String, String, String, String)] = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders", "o_orderkey", "customer", "c_custkey")) // negative probe
+
   /** Mutated "after" snapshot — executes the shared mutation SQL
     * ([[Mutations]]) over a temp view of the before parquet. */
   def after(spark: SparkSession, sfDir: String, t: TableDef): DataFrame = {
@@ -255,6 +267,32 @@ object DiffQueries {
             col("n_violations"))
         rowRules.unionByName(fk)
       }),
+      // FK-relationship DISCOVERY (schema inference over data, not
+      // metadata): for candidate (child, parent) column pairs, the
+      // inclusion coefficient |distinct(child) ∩ distinct(parent)| /
+      // |distinct(child)| — ≈1000‰ means the pair behaves like a real FK,
+      // low values reject it (the negative probe pair is included to show
+      // discrimination, not just confirmation). Each pair is two distinct
+      // reductions + one outer-join aggregate of the DISTINCT key sets
+      // (never row×row); reported in exact per-mille so no floating-point
+      // rendering is involved. At 100 TB the distinct sets swap for KMV
+      // sketches ([[graft.functions.KmvSketch]]) with identical structure.
+      "catalog_fk_discovery" -> ((spark, sfDir) => {
+        def pair(childT: String, cc: String, parentT: String, pc: String): DataFrame = {
+          val cd = Tables.load(spark, sfDir, childT).select(col(cc)).distinct()
+          val pd = Tables.load(spark, sfDir, parentT).select(col(pc)).distinct()
+          cd.join(pd, cd(cc) === pd(pc), "left_outer")
+            .agg(count(lit(1)).as("n_child_distinct"),
+              sum(when(pd(pc).isNotNull, 1L).otherwise(0L)).as("n_included"))
+            .select(lit(s"$childT.$cc").as("child_col"),
+              lit(s"$parentT.$pc").as("parent_col"),
+              col("n_child_distinct"), col("n_included"),
+              expr("n_included * 1000 div n_child_distinct")
+                .as("inclusion_permille"))
+        }
+        FkCandidates.map { case (ct, cc, pt, pc) => pair(ct, cc, pt, pc) }
+          .reduce(_.unionByName(_))
+      }),
       // P1+P2+P3 normalization exposed directly.
       "snapshot_normalize_customer" -> ((spark, sfDir) =>
         Normalize.withKey(Tables.load(spark, sfDir, "customer"), Tables.customer.pk)),
@@ -356,6 +394,16 @@ object DiffQueries {
         DiffOracle.diffSql(Tables.part, Mutations.afterSql("part"), Tables.part.pk),
       "profile_orders" -> profileSql(Tables.orders),
       "profile_customer" -> profileSql(Tables.customer),
+      "catalog_fk_discovery" -> FkCandidates.map { case (ct, cc, pt, pc) =>
+        s"""SELECT '$ct.$cc' AS child_col, '$pt.$pc' AS parent_col,
+           |  COUNT(*) AS n_child_distinct,
+           |  CAST(SUM(CASE WHEN p.pk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_included,
+           |  CAST(SUM(CASE WHEN p.pk IS NOT NULL THEN 1 ELSE 0 END) * 1000
+           |    // COUNT(*) AS BIGINT) AS inclusion_permille
+           |FROM (SELECT DISTINCT $cc AS ck FROM $ct) c
+           |LEFT JOIN (SELECT DISTINCT $pc AS pk FROM $pt) p ON c.ck = p.pk""".stripMargin
+      }.mkString("\nUNION ALL\n"),
       "dq_rules_report" ->
         """WITH b AS (
           |  SELECT COUNT(*) AS n,
