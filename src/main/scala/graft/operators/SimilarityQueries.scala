@@ -31,6 +31,15 @@ object SimilarityQueries {
   /** IVF probe width: clusters scanned per query (of 10 label clusters). */
   val NProbe = 4
 
+  /** Product quantization geometry: [[Dim]] splits into [[PqM]] subspaces
+    * of Dim/PqM dims, each encoded to one of [[PqK]] codewords — 64 floats
+    * (256 bytes) compress to 4 code bytes per vector. */
+  val PqM = 8
+  val PqK = 16
+
+  /** ADC shortlist width fed to the exact rerank. */
+  val PqShortlist = 50
+
   /** Synthetic near-dup corpus for the LSH query (embeddings has no dups). */
   val vecCorpusSql: String =
     """SELECT vec_id, embedding FROM embeddings
@@ -247,6 +256,89 @@ object SimilarityQueries {
       // --- candidate gen (label equi-join) + exact codegen rerank
       topkRerank(ivfCandidates(probeClusters, assigned), normed(raw))
     }),
+    // Product-quantization ANN — the MEMORY-COMPRESSED scan (FAISS
+    // IndexPQ's ADC search): the corpus is encoded once to PqM=4 code
+    // bytes per vector (64-dim float → 4 bytes, a 64× compression), and a
+    // query scans CODES, not vectors — per probe, each subspace's
+    // distance-to-codeword lookup table (PqK=16 entries) is precomputed,
+    // so scoring a neighbor is 4 integer adds. At 100 TB this is the path
+    // that keeps the index in memory when raw vectors can't be; compose
+    // with the IVF router for sub-linear candidate sets (IVFADC).
+    //
+    // Everything is deterministic exact-integer arithmetic: the codebook
+    // seeds are the PqK hash-first corpus vectors (TakeOrdered — no global
+    // sort), encoding is argmin quantized L2 with code-asc tiebreak, and
+    // the oracle reproduces every code and distance bit-for-bit. ADC
+    // distances are approximations OF true L2 — recall vs the exact
+    // baseline is pinned by spec, the arithmetic by the hash gate.
+    "ann_pq_topk" -> ((spark, sfDir) => {
+      val raw = Tables.load(spark, sfDir, "embeddings")
+      // five consumers (seed codebook, two distance passes, Lloyd means,
+      // exact rerank) — materialize the component explosion once
+      val comp = quantizedComponents(raw).drop("label").persist()
+      // deterministic codebook: hash-first PqK vectors seed the codewords
+      val seeds = raw.select(col("vec_id"))
+        .withColumn("__h", Hashing.hashHex(col("vec_id").cast("string")))
+        .orderBy(col("__h"), col("vec_id")).limit(PqK)
+      val wC = Window.orderBy(col("__h"), col("vec_id")) // PqK rows only
+      val seedCodes = seeds
+        .withColumn("c", (row_number().over(wC) - 1).cast("long"))
+        .select(col("vec_id").as("__sv"), col("c"))
+      val cb0 = comp.join(broadcast(seedCodes), col("vec_id") === col("__sv"))
+        .select(col("c"), col("d"), col("qv").as("qc")) // PqK × Dim rows
+      def distTo(codebook: DataFrame): DataFrame = comp
+        .join(broadcast(codebook), "d")
+        .groupBy(col("vec_id"), expr(s"d div ${Dim / PqM}").as("m"), col("c"))
+        .agg(sum((col("qv") - col("qc")) * (col("qv") - col("qc"))).as("dist2"))
+      def argmin(dist: DataFrame): DataFrame = dist
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("dist2"), col("c"))).as("__mc"))
+        .select(col("vec_id"), col("m"), col("__mc.c").as("code"))
+      // ONE Lloyd refinement: assign every subvector to its nearest seed
+      // codeword, recompute codewords as floor-mean centroids (empty
+      // codewords fall back to their seed) — turns the arbitrary seed
+      // codebook into a data-shaped one, still fully deterministic
+      val assign0 = argmin(distTo(cb0))
+      val means = assign0
+        .join(comp, "vec_id")
+        .filter(expr(s"d div ${Dim / PqM}") === col("m"))
+        .groupBy(col("code"), col("d"))
+        .agg(floor(sum(col("qv")).cast("double") / count(lit(1))).cast("long").as("qm"))
+      val cb = cb0
+        .join(means.select(col("code").as("c"), col("d"), col("qm")), Seq("c", "d"), "left_outer")
+        .select(col("c"), col("d"), coalesce(col("qm"), col("qc")).as("qc"))
+      // per (vector, subspace, codeword) quantized L2 against the refined
+      // codebook — probes reuse this frame as their ADC lookup tables
+      val dist = distTo(cb).persist()
+      val enc = argmin(dist)
+        .select(col("vec_id").as("neighbor_id"), col("m").as("em"), col("code"))
+      val dt = dist.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("m"), col("c"), col("dist2"))
+      val adc = enc
+        .join(dt, col("em") === col("m") && col("code") === col("c"))
+        .filter(col("neighbor_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("neighbor_id"))
+        .agg(sum(col("dist2")).as("adc"))
+      // compressed-domain SHORTLIST, then exact rerank — the deployed PQ
+      // pattern (ADC culls the corpus to PqShortlist candidates per probe;
+      // only those 50 pairs ever touch raw vector components again)
+      val wS = Window.partitionBy(col("probe_id"))
+        .orderBy(col("adc"), col("neighbor_id"))
+      val shortlist = adc.withColumn("srank", row_number().over(wS))
+        .filter(col("srank") <= PqShortlist)
+        .select(col("probe_id"), col("neighbor_id"))
+      val exact = shortlist
+        .join(comp.select(col("vec_id").as("probe_id"), col("d"),
+          col("qv").as("qa")), "probe_id")
+        .join(comp.select(col("vec_id").as("neighbor_id"), col("d"),
+          col("qv").as("qb")), Seq("neighbor_id", "d"))
+        .groupBy(col("probe_id"), col("neighbor_id"))
+        .agg(sum((col("qa") - col("qb")) * (col("qa") - col("qb"))).as("l2"))
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("l2"), col("neighbor_id"))
+      exact.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= TopK)
+    }),
     "ann_lsh_near_dup" -> ((spark, sfDir) => {
       import spark.implicits._
       Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("embeddings")
@@ -390,6 +482,70 @@ object SimilarityQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
          |                               ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored) t WHERE rank <= $TopK""".stripMargin,
+    "ann_pq_topk" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+         |${qnCte._1} AS (${qnCte._2}),
+         |seeds AS (
+         |  SELECT vec_id AS sv, ROW_NUMBER() OVER (
+         |    ORDER BY ${Hashing.hashHexSql("CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS c
+         |  FROM corpus
+         |  ORDER BY ${Hashing.hashHexSql("CAST(vec_id AS VARCHAR)")}, vec_id
+         |  LIMIT $PqK),
+         |cb0 AS (
+         |  SELECT s.c, q.d, q.qv AS qc
+         |  FROM seeds s JOIN qn q ON q.vec_id = s.sv),
+         |dist0 AS (
+         |  SELECT q.vec_id, q.d // ${Dim / PqM} AS m, cb0.c,
+         |         CAST(SUM((q.qv - cb0.qc) * (q.qv - cb0.qc)) AS BIGINT) AS dist2
+         |  FROM qn q JOIN cb0 ON cb0.d = q.d
+         |  GROUP BY q.vec_id, q.d // ${Dim / PqM}, cb0.c),
+         |assign0 AS (
+         |  SELECT vec_id, m, c AS code FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |                                 ORDER BY dist2, c) AS rn
+         |    FROM dist0) t WHERE rn = 1),
+         |means AS (
+         |  SELECT a.code, q.d,
+         |         CAST(floor(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS qm
+         |  FROM assign0 a JOIN qn q
+         |    ON q.vec_id = a.vec_id AND q.d // ${Dim / PqM} = a.m
+         |  GROUP BY a.code, q.d),
+         |cb AS (
+         |  SELECT cb0.c, cb0.d, COALESCE(m.qm, cb0.qc) AS qc
+         |  FROM cb0 LEFT JOIN means m ON m.code = cb0.c AND m.d = cb0.d),
+         |dist AS (
+         |  SELECT q.vec_id, q.d // ${Dim / PqM} AS m, cb.c,
+         |         CAST(SUM((q.qv - cb.qc) * (q.qv - cb.qc)) AS BIGINT) AS dist2
+         |  FROM qn q JOIN cb ON cb.d = q.d
+         |  GROUP BY q.vec_id, q.d // ${Dim / PqM}, cb.c),
+         |enc AS (
+         |  SELECT vec_id AS neighbor_id, m, c AS code FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |                                 ORDER BY dist2, c) AS rn
+         |    FROM dist) t WHERE rn = 1),
+         |dt AS (
+         |  SELECT vec_id AS probe_id, m, c, dist2 FROM dist WHERE vec_id % 100 = 0),
+         |adc AS (
+         |  SELECT dt.probe_id, e.neighbor_id, CAST(SUM(dt.dist2) AS BIGINT) AS adc
+         |  FROM enc e JOIN dt ON dt.m = e.m AND dt.c = e.code
+         |  WHERE e.neighbor_id <> dt.probe_id
+         |  GROUP BY dt.probe_id, e.neighbor_id),
+         |shortlist AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                                 ORDER BY adc, neighbor_id) AS srank
+         |    FROM adc) t WHERE srank <= $PqShortlist),
+         |ex AS (
+         |  SELECT s.probe_id, s.neighbor_id,
+         |         CAST(SUM((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS BIGINT) AS l2
+         |  FROM shortlist s
+         |  JOIN qn qa ON qa.vec_id = s.probe_id
+         |  JOIN qn qb ON qb.vec_id = s.neighbor_id AND qb.d = qa.d
+         |  GROUP BY s.probe_id, s.neighbor_id)
+         |SELECT probe_id, neighbor_id, l2, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                               ORDER BY l2, neighbor_id) AS rank
+         |  FROM ex) t WHERE rank <= $TopK""".stripMargin,
     "ann_lsh_near_dup" ->
       s"""WITH corpus AS (
          |$vecCorpusSql
