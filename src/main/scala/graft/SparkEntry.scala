@@ -41,7 +41,8 @@ object SparkEntry {
     "diff_three_way", "diff_changefeed", "dedup_containment",
     "text_novelty", "events_paths", "pipeline_epoch_shuffle",
     "diff_merkle_pruned", "dedup_incremental", "q_basket_pairs",
-    "events_session_window")
+    "events_session_window", "ann_pq_topk", "catalog_fk_discovery",
+    "dq_rules_report", "events_rolling_1h")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
