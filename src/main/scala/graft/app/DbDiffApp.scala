@@ -30,7 +30,8 @@ final class DbDiffApp(
     consoleOut: String => Unit = println,
     maxConsoleRows: Int = 200,
     pinSnapshots: Boolean = false,
-    feedDir: String = "") {
+    feedDir: String = "",
+    merkleBuckets: Int = 0) {
 
   import DbDiffApp.IterationResult
 
@@ -97,9 +98,15 @@ final class DbDiffApp(
     val (after, afterPin) = snapshotAll()
 
     // one-winner mode: the reference keeps one map entry per key, so its
-    // loop's diff(A, A) = ∅ holds even for duplicate-PK tables — ours must too
+    // loop's diff(A, A) = ∅ holds even for duplicate-PK tables — ours must too.
+    // With merkleBuckets > 0 each table diffs behind the bucket-checksum
+    // prune ([[SnapshotDiff.diffOneWinnerPruned]]): a mostly-unchanged lake
+    // re-joins only its dirty buckets each cycle — the repeat-diff economics
+    // a standing loop actually needs (losslessness pinned by spec).
     val diffs: Seq[(TableDef, DataFrame)] = tables.map { t =>
-      t -> SnapshotDiff.diffOneWinner(before(t.name), after(t.name), t.pk)
+      t -> (if (merkleBuckets > 0)
+        SnapshotDiff.diffOneWinnerPruned(before(t.name), after(t.name), t.pk, merkleBuckets)
+      else SnapshotDiff.diffOneWinner(before(t.name), after(t.name), t.pk))
     }
 
     // console renderer (S7) — reference prints while building the workbook

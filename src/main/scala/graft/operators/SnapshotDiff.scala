@@ -396,6 +396,26 @@ object SnapshotDiff {
     diffNormalized(prune(bn), prune(an))
   }
 
+  /** [[diffOneWinner]] behind the Merkle prune — the application loop's
+    * fast path for repeat diffs. Sound composition: every row's key
+    * columns are part of its content, so bucket-checksum equality means
+    * the bucket's full row multiset (and hence EVERY key's sub-multiset)
+    * is unchanged — those keys cannot produce one-winner diff rows. The
+    * dedup runs after the prune, so clean buckets skip the per-key
+    * aggregation too, not just the join. */
+  def diffOneWinnerPruned(before: DataFrame, after: DataFrame, pk: Seq[String],
+      nBuckets: Int): DataFrame = {
+    val bn = Normalize.withKey(before, pk)
+    val an = Normalize.withKey(after, pk)
+    val dirty = merkleSummary(bn, an, nBuckets)
+      .select(col("bucket").as("__bkt")).persist()
+    def prune(df: DataFrame): DataFrame =
+      df.withColumn("__bkt", bucketOf(col(Normalize.KeyCol), nBuckets))
+        .join(broadcast(dirty), Seq("__bkt"), "left_semi")
+        .drop("__bkt")
+    diffNormalized(oneRowPerKey(prune(bn)), oneRowPerKey(prune(an)))
+  }
+
   /** Report aggregate: per-status logical change counts for one table's
     * diff (UPDATED emits two physical rows per key — count keys once). */
   def report(diffed: DataFrame): DataFrame =

@@ -50,4 +50,16 @@ class MerkleDiffSpec extends SparkTestBase {
       DiffQueries.MerkleBuckets)
     assert(dirty.count() == 1)
   }
+
+  test("one-winner pruned diff equals one-winner diff on a duplicate-PK table") {
+    val li = Tables.lineitem
+    val b = Tables.load(spark, Sf, li.name)
+    val a = DiffQueries.after(spark, Sf, li)
+    val full = SnapshotDiff.diffOneWinner(b, a, li.pk)
+      .collect().map(_.toSeq).toSet
+    val pruned = SnapshotDiff.diffOneWinnerPruned(b, a, li.pk, 512)
+      .collect().map(_.toSeq).toSet
+    assert(full.nonEmpty)
+    assert(pruned == full)
+  }
 }
