@@ -11,11 +11,13 @@ import org.apache.spark.sql.functions._
   * The container ships no image/audio codec libraries, so full pixel decode
   * is out of reach — but header decode is pure JVM, and that is what this
   * stage genuinely does: [[synthesizeMedia]] wraps each document's bytes in
-  * a REAL container format (valid PNG signature + IHDR chunk with a correct
-  * CRC-32 on even doc_ids; a BITMAPINFOHEADER BMP on odd ones), and
-  * [[decodeMedia]] recovers format and dimensions by parsing those bytes —
-  * big-endian IHDR fields behind a verified CRC for PNG, little-endian DIB
-  * fields for BMP. Nothing is threaded around the payload: if an offset,
+  * a REAL container format (PNG / BMP / JPEG cycling by doc_id mod 3:
+  * a valid PNG signature + IHDR chunk with a correct CRC-32, a
+  * BITMAPINFOHEADER BMP, or a JFIF prelude with a baseline SOF0 frame
+  * header), and [[decodeMedia]] recovers format and dimensions by parsing
+  * those bytes — big-endian IHDR fields behind a verified CRC for PNG,
+  * little-endian DIB fields for BMP, and a marker-segment walk to SOF0
+  * for JPEG. Nothing is threaded around the payload: if an offset,
   * endianness, or checksum is wrong the oracle hash-gate fails, because the
   * DuckDB oracle predicts the dimensions from the doc_id formula alone and
   * never sees the binary.
@@ -67,16 +69,35 @@ object Multimodal {
       le32(0) ++ le32(content.length) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ content
   }
 
+  /** A genuine JPEG/JFIF prelude: SOI, a JFIF APP0 segment, and a
+    * baseline SOF0 frame header carrying the big-endian dimensions —
+    * 39 bytes total, followed by the content bytes standing in for the
+    * entropy-coded data. */
+  def jpegBytes(width: Int, height: Int, content: Array[Byte]): Array[Byte] = {
+    def be16(v: Int): Array[Byte] = Array((v >>> 8).toByte, v.toByte)
+    val soi = Array(0xff, 0xd8).map(_.toByte)
+    val app0 = Array(0xff, 0xe0).map(_.toByte) ++ be16(16) ++
+      "JFIF".getBytes("US-ASCII") ++ Array[Byte](0, 1, 1, 0) ++
+      be16(1) ++ be16(1) ++ Array[Byte](0, 0)
+    val sof0 = Array(0xff, 0xc0).map(_.toByte) ++ be16(17) ++ Array[Byte](8) ++
+      be16(height) ++ be16(width) ++ Array[Byte](3) ++
+      Array[Byte](1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1) // 3 components
+    soi ++ app0 ++ sof0 ++ content
+  }
+
   /** Media synthesis: (doc_id, payload) with a genuine container header.
-    * Stands in for the lake's binary column; even ids become PNG, odd BMP. */
+    * Stands in for the lake's binary column; ids cycle PNG / BMP / JPEG
+    * by doc_id mod 3. */
   def synthesizeMedia(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text").cast("binary").as("content"))
       .as[(Long, Array[Byte])]
       .map { case (id, content) =>
-        val payload =
-          if (id % 2 == 0) pngBytes(widthOf(id), heightOf(id), content)
-          else bmpBytes(widthOf(id), heightOf(id), content)
+        val payload = (id % 3) match {
+          case 0 => pngBytes(widthOf(id), heightOf(id), content)
+          case 1 => bmpBytes(widthOf(id), heightOf(id), content)
+          case _ => jpegBytes(widthOf(id), heightOf(id), content)
+        }
         (id, payload)
       }
       .toDF("doc_id", "payload")
@@ -173,6 +194,26 @@ object Multimodal {
       } else if (bytes(0) == 'B' && bytes(1) == 'M') {
         require(bytes.length >= 54 && readLe32(bytes, 14) == 40, "BMP: not a BITMAPINFOHEADER")
         ("bmp", readLe32(bytes, 18), readLe32(bytes, 22), 54)
+      } else if (u8(bytes(0)) == 0xff && u8(bytes(1)) == 0xd8) {
+        // JPEG: walk the marker segments (each FF xx + big-endian length
+        // that includes its own two bytes) until a baseline/progressive
+        // SOF frame header, then read precision + BE16 dims from it
+        var off = 2
+        var dims: (Int, Int, Int) = null
+        while (dims == null) {
+          require(off + 4 <= bytes.length && u8(bytes(off)) == 0xff,
+            s"JPEG: bad marker at $off")
+          val marker = u8(bytes(off + 1))
+          val len = (u8(bytes(off + 2)) << 8) | u8(bytes(off + 3))
+          require(len >= 2 && off + 2 + len <= bytes.length, "JPEG: bad segment length")
+          if (marker >= 0xc0 && marker <= 0xc3) {
+            require(u8(bytes(off + 4)) == 8, "JPEG: unsupported precision")
+            val h = (u8(bytes(off + 5)) << 8) | u8(bytes(off + 6))
+            val w = (u8(bytes(off + 7)) << 8) | u8(bytes(off + 8))
+            dims = (w, h, off + 2 + len)
+          } else off += 2 + len
+        }
+        ("jpeg", dims._1, dims._2, dims._3)
       } else throw new IllegalArgumentException("unknown media container")
     md.reset()
     md.update(bytes, contentOff, bytes.length - contentOff)
@@ -272,14 +313,14 @@ object Multimodal {
          |      / GREATEST(width, height)) AS BIGINT)) AS thumb_h
          |FROM (
          |  SELECT doc_id,
-         |         CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+         |         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'jpeg' END AS format,
          |         16 + (doc_id * 7) % 480 AS width,
          |         16 + (doc_id * 13) % 360 AS height
          |  FROM documents) t""".stripMargin,
     "mm_decode_features" ->
       """SELECT doc_id,
-        |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
-        |       CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 54 END
+        |       CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'jpeg' END AS format,
+        |       CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 54 ELSE 39 END
         |         + octet_length(encode(text)) AS n_bytes,
         |       16 + (doc_id * 7) % 480 AS width,
         |       16 + (doc_id * 13) % 360 AS height,
@@ -323,8 +364,8 @@ object Multimodal {
       """SELECT format, COUNT(*) AS n, CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
         |       MAX(width) AS max_width, MAX(height) AS max_height
         |FROM (
-        |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
-        |         CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 54 END
+        |  SELECT CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'jpeg' END AS format,
+        |         CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 54 ELSE 39 END
         |           + octet_length(encode(text)) AS n_bytes,
         |         16 + (doc_id * 7) % 480 AS width,
         |         16 + (doc_id * 13) % 360 AS height

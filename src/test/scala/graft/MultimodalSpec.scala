@@ -45,4 +45,17 @@ class MultimodalSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Multimodal.decodeMedia(md, 46L, Multimodal.pngBytes(20, 20, content).take(20)))
   }
+
+  test("JPEG decode walks markers to SOF0 and rejects corrupt segments") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val content = Array.fill[Byte](100)(7)
+    val f = Multimodal.decodeMedia(md, 2L, Multimodal.jpegBytes(496, 360, content))
+    assert(f.format == "jpeg" && f.width == 496 && f.height == 360)
+    assert(f.n_bytes == 39 + 100)
+    val corrupt = Multimodal.jpegBytes(496, 360, content)
+    corrupt(20) = 0x00 // break the SOF0 marker's FF prefix
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeMedia(md, 2L, corrupt)
+    }
+  }
 }
