@@ -173,6 +173,21 @@ object DiffQueries {
         val right = spark.sql(Mutations.threeWayRightSql)
         SnapshotDiff.threeWayMerge(base, left, right, t.pk)
       }),
+      // CDC-changefeed compaction: two consecutive diffs (A→B, B→C)
+      // composed into the net A→C diff WITHOUT touching the snapshots —
+      // the oracle recomputes diff(A,C) directly, so the composition
+      // algebra (including insert-then-delete vanishing) is hash-gated.
+      "diff_compose_chain" -> ((spark, sfDir) => {
+        val t = Tables.orders
+        val a = Tables.load(spark, sfDir, t.name)
+        a.createOrReplaceTempView("orders")
+        val b = spark.sql(Mutations.afterSql("orders"))
+        b.createOrReplaceTempView("ordb")
+        val c = spark.sql(Mutations.gen2OrdersSql)
+        SnapshotDiff.composeDiffs(
+          SnapshotDiff.diffOneWinner(a, b, t.pk),
+          SnapshotDiff.diffOneWinner(b, c, t.pk))
+      }),
       // Incremental aggregate maintenance: a grouped count/sum is kept
       // current by folding the diff's change stream into the BEFORE-snapshot
       // aggregate — AFTER-side rows add, BEFORE-side rows subtract (an
@@ -394,6 +409,13 @@ object DiffQueries {
         DiffOracle.diffSql(Tables.part, Mutations.afterSql("part"), Tables.part.pk),
       "profile_orders" -> profileSql(Tables.orders),
       "profile_customer" -> profileSql(Tables.customer),
+      // net diff(A, C) recomputed directly — what the composition must equal
+      "diff_compose_chain" -> DiffOracle.diffSql(Tables.orders,
+        s"""WITH ordb AS (
+           |${Mutations.afterSql("orders")}
+           |)
+           |${Mutations.gen2OrdersSql}""".stripMargin,
+        Tables.orders.pk, oneWinner = true),
       "catalog_fk_discovery" -> FkCandidates.map { case (ct, cc, pt, pc) =>
         s"""SELECT '$ct.$cc' AS child_col, '$pt.$pc' AS parent_col,
            |  COUNT(*) AS n_child_distinct,

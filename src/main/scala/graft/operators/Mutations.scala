@@ -150,6 +150,39 @@ object Mutations {
     * identically on both, %10=9 inserted on the right only, %20=15
     * inserted on the left only. Same common-SQL-subset discipline as
     * [[afterSql]]. */
+  /** Third snapshot of the A→B→C orders chain for CDC-changefeed
+    * compaction (diff composition): a SECOND round of mutations over the
+    * gen-1 after snapshot (view `ordb`; the base `orders` view supplies
+    * re-inserted rows), crafted so every composition class is populated:
+    * %20=4 updated in both generations (U∘U), %20=14 updated then deleted
+    * (U∘D), %10=6 updated only in gen 2, B-inserted keys split %20=5
+    * deleted again (I∘D — must VANISH from the net diff) vs %20=15
+    * updated (I∘U — net INSERT with final values), %30=3 reinserted after
+    * the gen-1 delete with different values (D∘I — net UPDATE), %10=9
+    * deleted only in gen 2, +200000000 keys inserted only in gen 2. */
+  val gen2OrdersSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |       CASE WHEN o_orderkey % 20 = 4 THEN 'Z'
+      |            WHEN o_orderkey % 10 = 6 THEN 'W'
+      |            ELSE o_orderstatus END AS o_orderstatus,
+      |       CASE WHEN o_orderkey % 20 = 4 THEN o_totalprice + 1.0
+      |            WHEN o_orderkey >= 100000000 AND o_orderkey % 20 = 15
+      |              THEN o_totalprice + 3.0
+      |            ELSE o_totalprice END AS o_totalprice,
+      |       o_orderdate, o_orderpriority
+      |FROM ordb
+      |WHERE o_orderkey % 20 <> 14
+      |  AND NOT (o_orderkey >= 100000000 AND o_orderkey % 20 = 5)
+      |  AND o_orderkey % 10 <> 9
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, 'RI' AS o_orderstatus,
+      |       o_totalprice + 7.5 AS o_totalprice, o_orderdate, o_orderpriority
+      |FROM orders WHERE o_orderkey % 30 = 3
+      |UNION ALL
+      |SELECT o_orderkey + 200000000 AS o_orderkey, o_custkey, o_orderstatus,
+      |       o_totalprice, o_orderdate, o_orderpriority
+      |FROM orders WHERE o_orderkey % 10 = 7""".stripMargin
+
   val threeWayRightSql: String =
     """SELECT o_orderkey, o_custkey,
       |       CASE WHEN o_orderkey % 20 = 4 THEN 'X'

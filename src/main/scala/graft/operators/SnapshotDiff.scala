@@ -396,6 +396,60 @@ object SnapshotDiff {
     diffNormalized(prune(bn), prune(an))
   }
 
+  /** Per-key single-row reduction of a one-winner diff: status plus the
+    * BEFORE/AFTER rows as nullable structs (null side ⇔ absent). */
+  private def keyedDiff(d: DataFrame, cols: Seq[String]): DataFrame = {
+    val rowStruct = struct(cols.map(col): _*)
+    d.groupBy(col(Normalize.KeyCol))
+      .agg(min(col("diff_status")).as("status"), // identical across a key's rows
+        max(when(col("side") === "BEFORE", rowStruct)).as("brow"),
+        max(when(col("side") === "AFTER", rowStruct)).as("arow"))
+  }
+
+  /** CDC-changefeed COMPACTION — compose two consecutive one-winner diffs
+    * into the net diff: `composeDiffs(diff(A,B), diff(B,C)) = diff(A,C)`,
+    * which the oracle pins by recomputing diff(A,C) directly. The algebra
+    * per key: net-before is d1's BEFORE (or d2's when A→B left the key
+    * untouched), net-after is d2's AFTER (or d1's when B→C did); a key
+    * inserted then deleted nets to NOTHING, updated back to its original
+    * nets to NOT_MODIFIED and is dropped, everything else reclassifies
+    * from the null pattern. This is how a changelog retention window
+    * collapses N days of feeds into one without ever touching the base
+    * snapshots: the compose is one key-hashed join of FEED rows — at
+    * 100 TB the net of a week of diffs costs the diffs' own size, not a
+    * rescan of the lake. */
+  def composeDiffs(d1: DataFrame, d2: DataFrame): DataFrame = {
+    val meta = Set(Normalize.KeyCol, "diff_status", "modified_columns", "side")
+    val cols = d1.columns.filterNot(meta).toIndexedSeq
+    val k1 = keyedDiff(d1, cols).select(col(Normalize.KeyCol),
+      col("status").as("s1"), col("brow").as("b1"), col("arow").as("a1"))
+    val k2 = keyedDiff(d2, cols).select(col(Normalize.KeyCol),
+      col("status").as("s2"), col("brow").as("b2"), col("arow").as("a2"))
+    val j = k1.join(k2, Seq(Normalize.KeyCol), "full_outer")
+      .withColumn("__nb", when(col("s1").isNotNull, col("b1")).otherwise(col("b2")))
+      .withColumn("__na", when(col("s2").isNotNull, col("a2")).otherwise(col("a1")))
+    val status = when(col("__nb").isNull && col("__na").isNull, lit(null).cast("string"))
+      .when(col("__nb").isNull, Inserted)
+      .when(col("__na").isNull, Deleted)
+      .when(col("__nb") === col("__na"), lit(null).cast("string")) // net no-op
+      .otherwise(Updated)
+    val modList = concat_ws(",",
+      cols.map(c => when(col("__nb")(c) =!= col("__na")(c), lit(c))): _*)
+    def sideRow(side: String, src: String): Column =
+      struct(lit(side).as("side") +: cols.map(c => col(src)(c).as(c)): _*)
+    val rows = when(col("diff_status") === Inserted, array(sideRow("AFTER", "__na")))
+      .when(col("diff_status") === Deleted, array(sideRow("BEFORE", "__nb")))
+      .otherwise(array(sideRow("BEFORE", "__nb"), sideRow("AFTER", "__na")))
+    j.withColumn("diff_status", status)
+      .filter(col("diff_status").isNotNull)
+      .withColumn("modified_columns",
+        when(col("diff_status") === Updated, modList).otherwise(lit("")))
+      .select(col(Normalize.KeyCol), col("diff_status"), col("modified_columns"),
+        explode(rows).as("__r"))
+      .select(Seq(col(Normalize.KeyCol), col("diff_status"), col("modified_columns"),
+        col("__r.side").as("side")) ++ cols.map(c => col(s"__r.$c").as(c)): _*)
+  }
+
   /** [[diffOneWinner]] behind the Merkle prune — the application loop's
     * fast path for repeat diffs. Sound composition: every row's key
     * columns are part of its content, so bucket-checksum equality means
