@@ -105,7 +105,10 @@ final class DbDiffApp(
     // a standing loop actually needs (losslessness pinned by spec).
     val diffs: Seq[(TableDef, DataFrame)] = tables.map { t =>
       t -> (if (merkleBuckets > 0)
-        SnapshotDiff.diffOneWinnerPruned(before(t.name), after(t.name), t.pk, merkleBuckets)
+        // the Eager variant: dirty buckets land on the driver (≤ merkleBuckets
+        // longs) and prune via InSet — a standing loop that never clears the
+        // Spark cache must not accumulate persisted frames per iteration
+        SnapshotDiff.diffOneWinnerPrunedEager(before(t.name), after(t.name), t.pk, merkleBuckets)
       else SnapshotDiff.diffOneWinner(before(t.name), after(t.name), t.pk))
     }
 

@@ -204,9 +204,15 @@ object Multimodal {
           require(off + 4 <= bytes.length && u8(bytes(off)) == 0xff,
             s"JPEG: bad marker at $off")
           val marker = u8(bytes(off + 1))
+          // RST/TEM/SOI/EOI carry no length — a header walk must never hit
+          // one before SOF; misreading its next bytes as a length would
+          // silently skew the parse, so fail loudly instead
+          require(marker != 0x01 && (marker < 0xd0 || marker > 0xd9),
+            f"JPEG: length-less marker 0x$marker%02x before SOF")
           val len = (u8(bytes(off + 2)) << 8) | u8(bytes(off + 3))
           require(len >= 2 && off + 2 + len <= bytes.length, "JPEG: bad segment length")
           if (marker >= 0xc0 && marker <= 0xc3) {
+            require(len >= 7, "JPEG: truncated SOF segment")
             require(u8(bytes(off + 4)) == 8, "JPEG: unsupported precision")
             val h = (u8(bytes(off + 5)) << 8) | u8(bytes(off + 6))
             val w = (u8(bytes(off + 7)) << 8) | u8(bytes(off + 8))

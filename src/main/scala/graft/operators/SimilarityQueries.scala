@@ -33,7 +33,8 @@ object SimilarityQueries {
 
   /** Product quantization geometry: [[Dim]] splits into [[PqM]] subspaces
     * of Dim/PqM dims, each encoded to one of [[PqK]] codewords — 64 floats
-    * (256 bytes) compress to 4 code bytes per vector. */
+    * (256 bytes) compress to 8 one-byte codes per vector (32×; packing
+    * the K=16 codes at 4 bits halves that again to 64×). */
   val PqM = 8
   val PqK = 16
 
@@ -257,8 +258,8 @@ object SimilarityQueries {
       topkRerank(ivfCandidates(probeClusters, assigned), normed(raw))
     }),
     // Product-quantization ANN — the MEMORY-COMPRESSED scan (FAISS
-    // IndexPQ's ADC search): the corpus is encoded once to PqM=4 code
-    // bytes per vector (64-dim float → 4 bytes, a 64× compression), and a
+    // IndexPQ's ADC search): the corpus is encoded once to PqM=8 codes
+    // per vector (64-dim float → 8 bytes, 32×; 4-bit packing → 64×), and a
     // query scans CODES, not vectors — per probe, each subspace's
     // distance-to-codeword lookup table (PqK=16 entries) is precomputed,
     // so scoring a neighbor is 4 integer adds. At 100 TB this is the path

@@ -376,15 +376,13 @@ object SnapshotDiff {
   private def bucketOf(key: Column, nBuckets: Int): Column =
     pmod(graft.functions.Hashing.hash64(key), lit(nBuckets.toLong))
 
-  /** [[diff]] restricted to the dirty buckets of [[merkleSummary]] — the
-    * pruned repeat-diff. Lossless by construction: every changed key lands
-    * in a bucket whose count or checksum disagrees, so the pruned result
-    * EQUALS the full diff (the oracle pins exactly that). The dirty-bucket
-    * list is tiny (≤ nBuckets rows), so it broadcasts and each side prunes
-    * with a broadcast semi-join before any shuffle of row data; it is
-    * persisted so the summary aggregation runs once, not once per side. */
-  def merklePrunedDiff(before: DataFrame, after: DataFrame, pk: Seq[String],
-      nBuckets: Int): DataFrame = {
+  /** Shared prune scaffolding: normalize both sides and semi-join each
+    * against the broadcast dirty-bucket list. The dirty frame is persisted
+    * so the summary aggregation runs once, not once per side — the
+    * harness (Verify/Bench) clears caches between queries; a standing
+    * loop should use [[diffOneWinnerPrunedEager]], which caches nothing. */
+  private def merklePruned(before: DataFrame, after: DataFrame, pk: Seq[String],
+      nBuckets: Int): (DataFrame, DataFrame) = {
     val bn = Normalize.withKey(before, pk)
     val an = Normalize.withKey(after, pk)
     val dirty = merkleSummary(bn, an, nBuckets)
@@ -393,7 +391,19 @@ object SnapshotDiff {
       df.withColumn("__bkt", bucketOf(col(Normalize.KeyCol), nBuckets))
         .join(broadcast(dirty), Seq("__bkt"), "left_semi")
         .drop("__bkt")
-    diffNormalized(prune(bn), prune(an))
+    (prune(bn), prune(an))
+  }
+
+  /** [[diff]] restricted to the dirty buckets of [[merkleSummary]] — the
+    * pruned repeat-diff. Lossless by construction: every changed key lands
+    * in a bucket whose count or checksum disagrees, so the pruned result
+    * EQUALS the full diff (the oracle pins exactly that). The dirty-bucket
+    * list is tiny (≤ nBuckets rows), so it broadcasts and each side prunes
+    * with a broadcast semi-join before any shuffle of row data. */
+  def merklePrunedDiff(before: DataFrame, after: DataFrame, pk: Seq[String],
+      nBuckets: Int): DataFrame = {
+    val (bp, ap) = merklePruned(before, after, pk, nBuckets)
+    diffNormalized(bp, ap)
   }
 
   /** Per-key single-row reduction of a one-winner diff: status plus the
@@ -459,14 +469,25 @@ object SnapshotDiff {
     * aggregation too, not just the join. */
   def diffOneWinnerPruned(before: DataFrame, after: DataFrame, pk: Seq[String],
       nBuckets: Int): DataFrame = {
+    val (bp, ap) = merklePruned(before, after, pk, nBuckets)
+    diffNormalized(oneRowPerKey(bp), oneRowPerKey(ap))
+  }
+
+  /** [[diffOneWinnerPruned]] for STANDING loops: the dirty-bucket list is
+    * materialized to the driver eagerly (≤ nBuckets longs — the same size
+    * class as a broadcast-join build side) and pruned with a codegen'd
+    * `InSet` filter, so nothing is ever persisted — a loop that never
+    * clears caches cannot leak them. Eagerness is deliberate here: the
+    * caller is an application ITERATION (already full of actions), not a
+    * lazily-registered query. */
+  def diffOneWinnerPrunedEager(before: DataFrame, after: DataFrame, pk: Seq[String],
+      nBuckets: Int): DataFrame = {
     val bn = Normalize.withKey(before, pk)
     val an = Normalize.withKey(after, pk)
-    val dirty = merkleSummary(bn, an, nBuckets)
-      .select(col("bucket").as("__bkt")).persist()
+    val dirty: Seq[Long] = merkleSummary(bn, an, nBuckets)
+      .select(col("bucket")).collect().map(_.getLong(0)).toIndexedSeq
     def prune(df: DataFrame): DataFrame =
-      df.withColumn("__bkt", bucketOf(col(Normalize.KeyCol), nBuckets))
-        .join(broadcast(dirty), Seq("__bkt"), "left_semi")
-        .drop("__bkt")
+      df.filter(bucketOf(col(Normalize.KeyCol), nBuckets).isInCollection(dirty))
     diffNormalized(oneRowPerKey(prune(bn)), oneRowPerKey(prune(an)))
   }
 
