@@ -126,4 +126,29 @@ class SnapshotDiffSpec extends SparkTestBase {
       assert(d.count() == byStatus.values.sum)
     }
   }
+
+  test("compose(diff(A,B), diff(B,C)) == diff(A,C) on random triples") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 6) {
+      val (a, b, c) = (df(randSnap(rnd)), df(randSnap(rnd)), df(randSnap(rnd)))
+      val composed = SnapshotDiff.composeDiffs(
+        SnapshotDiff.diffOneWinner(a, b, Seq("id")),
+        SnapshotDiff.diffOneWinner(b, c, Seq("id")))
+        .collect().map(_.toSeq).toSet
+      val direct = SnapshotDiff.diffOneWinner(a, c, Seq("id"))
+        .collect().map(_.toSeq).toSet
+      assert(composed == direct)
+    }
+  }
+
+  test("merkle-pruned diff == full diff on random pairs, every bucket count") {
+    val rnd = new scala.util.Random(11)
+    for ((nb, _) <- Seq(1, 4, 64).zipWithIndex; _ <- 0 until 2) {
+      val (a, b) = (df(randSnap(rnd)), df(randSnap(rnd)))
+      val full = SnapshotDiff.diff(a, b, Seq("id")).collect().map(_.toSeq).toSet
+      val pruned = SnapshotDiff.merklePrunedDiff(a, b, Seq("id"), nb)
+        .collect().map(_.toSeq).toSet
+      assert(pruned == full, s"nBuckets=$nb")
+    }
+  }
 }
