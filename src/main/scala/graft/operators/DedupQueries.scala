@@ -105,13 +105,16 @@ object DedupQueries {
     // collect here would become the bottleneck the prune exists to remove;
     // under the threshold Spark broadcasts on its own, above it the
     // semi-join shuffles — both correct
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // the candidate pairs feed the doc-set prune AND the intersection join
+    // — persist so the banded self-join producing them runs once
+    val candP = cand.persist()
+    val candDocs = candP.select(col("doc_a").as("doc_id"))
+      .union(candP.select(col("doc_b").as("doc_id"))).distinct()
     val shc = sh.join(candDocs, Seq("doc_id"), "left_semi").persist()
     val counts = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val sa = shc.select(col("doc_id").as("doc_a"), col("shingle"))
     val sb = shc.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = cand
+    val inter = candP
       .join(sa, "doc_a").join(sb, Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
     inter
@@ -366,13 +369,19 @@ object DedupQueries {
       val sh = shingles(corpus(spark, sfDir)).persist()
       val capped = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 20)).select(col("shingle"))
-      val idx = sh.join(capped, "shingle")
+      // both sides of the candidate self-join scan the indexed frame, and
+      // the candidate pairs feed both the doc-set prune and the
+      // intersection join — persist each so the df-cap join and the
+      // self-join+agg run once, not twice (the same both-sides rule as
+      // the banded minhash and prefix frames)
+      val idx = sh.join(capped, "shingle").persist()
       val cand = idx.select(col("doc_id").as("doc_a"), col("shingle"))
         .join(idx.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
         .filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("__n_shared"))
         .filter(col("__n_shared") >= 3)
         .select(col("doc_a"), col("doc_b"))
+        .persist()
       val candDocs = cand.select(col("doc_a").as("doc_id"))
         .union(cand.select(col("doc_b").as("doc_id"))).distinct()
       val shc = sh.join(candDocs, Seq("doc_id"), "left_semi").persist()
