@@ -369,12 +369,11 @@ object DedupQueries {
       val sh = shingles(corpus(spark, sfDir)).persist()
       val capped = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 20)).select(col("shingle"))
-      // both sides of the candidate self-join scan the indexed frame, and
-      // the candidate pairs feed both the doc-set prune and the
-      // intersection join — persist each so the df-cap join and the
-      // self-join+agg run once, not twice (the same both-sides rule as
-      // the banded minhash and prefix frames)
-      val idx = sh.join(capped, "shingle").persist()
+      // NOT persisted: idx is a cheap join off the already-persisted sh,
+      // and materializing the wide (doc, shingle-string) frame costs more
+      // than recomputing that join (measured at sf0.1). The candidate
+      // PAIRS below are small and feed two consumers — those do persist.
+      val idx = sh.join(capped, "shingle")
       val cand = idx.select(col("doc_id").as("doc_a"), col("shingle"))
         .join(idx.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
         .filter(col("doc_a") < col("doc_b"))
