@@ -112,4 +112,44 @@ class StreamingDiffSpec extends SparkTestBase {
       .map(e => (e.key, e.diff_status)).toList
     assert(evs == List(("5", "INSERTED"), ("5", "DELETED"), ("5", "INSERTED")))
   }
+
+  test("keyed state survives a checkpointed query restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[DiffEvent]()
+    val input = MemoryStream[KeyedRow]
+    def start() = StreamingDiff.diffStream(input.toDS(), colNames)
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[DiffEvent], _: Long) =>
+        ds.collect().foreach(events.add)
+      }
+      .start()
+
+    val q1 = start()
+    input.addData(Seq(
+      KeyedRow("1", Seq("a", "x"), tombstone = false),
+      KeyedRow("2", Seq("b", "y"), tombstone = false)))
+    q1.processAllAvailable()
+    q1.stop()
+    assert(events.size == 2)
+    assert(events.iterator().next().diff_status == "INSERTED")
+
+    // restart from the checkpoint: the last-row-per-key state must be
+    // RESTORED, so an unchanged re-send emits nothing and an update emits
+    // exactly its before/after pair (lost state would re-emit INSERTED)
+    val q2 = start()
+    input.addData(Seq(
+      KeyedRow("1", Seq("a", "x"), tombstone = false), // unchanged -> silent
+      KeyedRow("2", Seq("B", "y"), tombstone = false))) // updated
+    q2.processAllAvailable()
+    q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    val post = events.asScala.toSeq.drop(2)
+    assert(post.map(_.diff_status).toSet == Set("UPDATED"), post.toString)
+    assert(post.forall(_.key == "2"), post.toString)
+    assert(post.map(_.side).toSet == Set("BEFORE", "AFTER"))
+    assert(post.forall(_.modified_columns == "c1"))
+  }
 }
