@@ -10,7 +10,7 @@ import java.time.LocalDateTime
   *
   * {{{
   * spark-submit --class graft.app.DbDiffMain ... [-conf configuration.yaml]
-  *   [-o out.html] [--demo]
+  *   [-o out.html] [-merkle 4096] [--demo]
   * }}}
   *
   * Flow, matching `main.go:23-98`: load config (S1) → catalog the tables →
@@ -29,10 +29,12 @@ object DbDiffMain {
     var conf = DbDiffConfig.DefaultConfigPath
     var outName = ReportSink.DefaultOutputName
     var demo = false
+    var merkle = 0
     args.sliding(2, 1).toList.foreach {
-      case Array("-conf", v) => conf = v
-      case Array("-o", v)    => outName = v
-      case _                 =>
+      case Array("-conf", v)   => conf = v
+      case Array("-o", v)      => outName = v
+      case Array("-merkle", v) => merkle = v.toInt
+      case _                   =>
     }
     if (args.contains("--demo")) demo = true
 
@@ -74,7 +76,10 @@ object DbDiffMain {
         (Tables.diffable, overlay, false)
       }
     println(s"Table count: ${tables.length}")
-    val app = new DbDiffApp(spark, tables, source, pinSnapshots = pin)
+    // -merkle N enables the bucket-checksum fast path for standing loops
+    // over mostly-static lakes (see DbDiffApp.merkleBuckets)
+    val app = new DbDiffApp(spark, tables, source, pinSnapshots = pin,
+      merkleBuckets = merkle)
 
     println("[BEFORE] Collecting snapshot data... COMPLETE!")
 
