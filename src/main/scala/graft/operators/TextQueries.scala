@@ -293,6 +293,27 @@ object TextQueries {
     // sketch's order-dependent internal counts never reach the output, so
     // the result is the exact heavy-hitter set, hash-identical to the
     // oracle's brute-force GROUP BY ... HAVING.
+    // Tokenizer-pipeline vocabulary construction: the corpus's token
+    // frequency table cut at a minimum count, each surviving token given a
+    // dense id by (count desc, token) rank. The count aggregation is the
+    // distributed pass; the rank window runs over the post-cut VOCABULARY
+    // (bounded by construction — the min-count cut is what keeps real
+    // vocabs at 30-100k rows no matter the corpus size), which is the
+    // standard shape of every tokenizer trainer's final step.
+    "text_vocab" -> ((spark, sfDir) => vocab(spark, sfDir)),
+    // The ENCODE step over that vocabulary: each document's first 16
+    // token positions mapped to vocab ids (OOV -> 0) through one
+    // broadcast join of the small vocab table — long format (doc, pos,
+    // id), the layout a training-shard writer consumes.
+    "text_encode_ids" -> ((spark, sfDir) => {
+      val v = vocab(spark, sfDir).select(col("token"), col("vocab_id"))
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"),
+          posexplode(slice(Hashing.tokens(col("text")), 1, 16)).as(Seq("pos", "token")))
+        .join(broadcast(v), Seq("token"), "left_outer")
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          coalesce(col("vocab_id"), lit(0L)).as("token_id"))
+    }),
     "text_heavy_hitters" -> ((spark, sfDir) => {
       val words = Tables.load(spark, sfDir, "documents")
         .select(explode(Hashing.tokens(col("text"))).as("word"))
@@ -310,7 +331,27 @@ object TextQueries {
     })
   )
 
+  /** Shared by text_vocab and text_encode_ids: min-count-2 vocabulary
+    * with dense rank ids (count desc, token asc). */
+  private def vocab(spark: org.apache.spark.sql.SparkSession, sfDir: String) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    Tables.load(spark, sfDir, "documents")
+      .select(explode(Hashing.tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .withColumn("vocab_id", row_number().over(w).cast("long"))
+  }
+
   private val toksE = Hashing.tokensSql("text")
+
+  private val vocabSql: String =
+    s"""SELECT token, cnt,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS BIGINT) AS vocab_id
+       |FROM (
+       |  SELECT token, COUNT(*) AS cnt
+       |  FROM (SELECT unnest($toksE) AS token FROM documents) w
+       |  GROUP BY token HAVING COUNT(*) >= 2) c""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "text_inverted_index" ->
@@ -447,6 +488,18 @@ object TextQueries {
          |    / COUNT(*) AS novelty
          |FROM g JOIN d USING (g8)
          |GROUP BY doc_id""".stripMargin,
+    "text_vocab" -> vocabSql,
+    "text_encode_ids" ->
+      s"""WITH v AS (
+         |$vocabSql
+         |),
+         |tok AS (
+         |  SELECT doc_id, pos - 1 AS pos, toks[pos] AS token
+         |  FROM (SELECT doc_id, $toksE AS toks FROM documents) t,
+         |       LATERAL unnest(range(1, least(len(toks), 16) + 1)) r(pos))
+         |SELECT tok.doc_id, CAST(tok.pos AS BIGINT) AS pos,
+         |  COALESCE(v.vocab_id, 0) AS token_id
+         |FROM tok LEFT JOIN v ON v.token = tok.token""".stripMargin,
     // brute-force equivalent of the sketch-pruned heavy-hitter plan: the
     // MG candidate stage is invisible to the result (guaranteed superset +
     // exact re-count), so the oracle needs no sketch arithmetic at all
