@@ -158,6 +158,38 @@ object TextQueries {
         LangMarkers.map { case (l, _) => col(s"score_$l").cast("long").as(s"score_$l") } :+
         best.as("detected_lang"): _*)
     }),
+    // Mixed-language detection — the per-document refinement of langid a
+    // cleaning pipeline actually filters on: rank the marker scores, keep
+    // the top two, flag documents whose runner-up keeps >= 1/3 of the
+    // winner's evidence. The unpivot is a narrow 4-way explode; the rank
+    // window partitions by doc_id, so the shuffle is one doc-keyed pass.
+    "text_lang_mix" -> ((spark, sfDir) => {
+      val d = Tables.load(spark, sfDir, "documents")
+        .withColumn("__toks", Hashing.tokens(col("text")))
+      val scored = LangMarkers.foldLeft(d) { case (df, (lang, words)) =>
+        df.withColumn(s"score_$lang", markerHits(col("__toks"), words))
+      }
+      val entries = array(LangMarkers.zipWithIndex.map { case ((l, _), i) =>
+        struct(lit(l).as("lang"), col(s"score_$l").cast("long").as("score"),
+          lit(i).as("prec"))
+      }: _*)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("prec"))
+      scored.select(col("doc_id"), explode(entries).as("__e"))
+        .select(col("doc_id"), col("__e.lang").as("lang"),
+          col("__e.score").as("score"), col("__e.prec").as("prec"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(
+          coalesce(max(when(col("rn") === 1 && col("score") > 0, col("lang"))),
+            lit("und")).as("lang1"),
+          coalesce(max(when(col("rn") === 1, col("score"))), lit(0L)).as("n1"),
+          coalesce(max(when(col("rn") === 2 && col("score") > 0, col("lang"))),
+            lit("none")).as("lang2"),
+          coalesce(max(when(col("rn") === 2 && col("score") > 0, col("score"))),
+            lit(0L)).as("n2"))
+        .withColumn("is_mixed", col("n2") > 0 && col("n2") * 3 >= col("n1"))
+    }),
     "text_fingerprint" -> ((spark, sfDir) => {
       val normed = regexp_replace(lower(col("text")), " +", " ")
       Tables.load(spark, sfDir, "documents")
@@ -411,6 +443,35 @@ object TextQueries {
          |FROM (SELECT doc_id,
          |  $scores
          |FROM documents) t""".stripMargin
+    },
+    "text_lang_mix" -> {
+      val scores = LangMarkers
+        .map { case (l, ws) => s"${markerHitsSql(toksE, ws)} AS score_$l" }
+        .mkString(",\n  ")
+      val unpivot = LangMarkers.zipWithIndex
+        .map { case ((l, _), i) =>
+          s"SELECT doc_id, '$l' AS lang, score_$l AS score, $i AS prec FROM sc" }
+        .mkString("\nUNION ALL\n")
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |  $scores
+         |  FROM documents),
+         |e AS (
+         |$unpivot
+         |),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, prec) AS rn
+         |  FROM e)
+         |SELECT doc_id,
+         |  COALESCE(MAX(CASE WHEN rn = 1 AND score > 0 THEN lang END), 'und') AS lang1,
+         |  COALESCE(MAX(CASE WHEN rn = 1 THEN score END), 0) AS n1,
+         |  COALESCE(MAX(CASE WHEN rn = 2 AND score > 0 THEN lang END), 'none') AS lang2,
+         |  COALESCE(MAX(CASE WHEN rn = 2 AND score > 0 THEN score END), 0) AS n2,
+         |  COALESCE(MAX(CASE WHEN rn = 2 AND score > 0 THEN score END), 0) > 0 AND
+         |  COALESCE(MAX(CASE WHEN rn = 2 AND score > 0 THEN score END), 0) * 3 >=
+         |  COALESCE(MAX(CASE WHEN rn = 1 THEN score END), 0) AS is_mixed
+         |FROM r GROUP BY doc_id""".stripMargin
     },
     "text_fingerprint" ->
       s"""SELECT doc_id,
