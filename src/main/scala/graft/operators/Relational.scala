@@ -350,6 +350,34 @@ object Relational {
           |  AND l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 150000.0)
           |GROUP BY l_returnflag""".stripMargin)
     }),
+    // Pearson correlation from EXACT moments — corr computed from
+    // decimal-accumulated sums (n, Σx, Σy, Σx², Σy², Σxy), not the
+    // engine's streaming corr() aggregate whose result depends on
+    // accumulation order: every sum is order-independent exact decimal,
+    // the final formula runs in IEEE doubles identically in both engines.
+    // One aggregation pass per group, map-side combined.
+    "q_corr_pairs" -> ((spark, sfDir) => {
+      // values scale to exact integers (×100 covers the fixture's 2
+      // decimal places), every moment and the cancellation-prone
+      // n·Σxy − Σx·Σy accumulate in EXACT decimal — doubles appear only
+      // in the final ratio, where both engines see bit-identical inputs
+      val xi = floor(col("l_quantity") * 100 + 0.5).cast("long")
+      val yi = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val d0 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_returnflag"), xi.as("xi"), yi.as("yi"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(d0(col("xi"))).as("sx"), sum(d0(col("yi"))).as("sy"),
+          sum(d0(col("xi") * col("xi"))).as("sxx"),
+          sum(d0(col("yi") * col("yi"))).as("syy"),
+          sum(d0(col("xi") * col("yi"))).as("sxy"))
+        .select(col("l_returnflag"), col("n"),
+          ((d0(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt((d0(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double") *
+              (d0(col("n")) * col("syy") - col("sy") * col("sy")).cast("double")))
+            .as("corr_qty_price"))
+    }),
     // Market-basket pair co-occurrence (the frequent-itemset primitive):
     // distinct (order, part) pairs self-join on the order key with
     // part_a < part_b — pair fan-out is C(items-per-basket, 2), bounded by
@@ -911,6 +939,25 @@ object Relational {
     "q_distinct_agg" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_corr_pairs" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS xi,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yi
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(xi AS DECIMAL(38,0))) AS sx, SUM(CAST(yi AS DECIMAL(38,0))) AS sy,
+        |    SUM(CAST(xi * xi AS DECIMAL(38,0))) AS sxx,
+        |    SUM(CAST(yi * yi AS DECIMAL(38,0))) AS syy,
+        |    SUM(CAST(xi * yi AS DECIMAL(38,0))) AS sxy
+        |  FROM s GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) /
+        |  sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE) *
+        |       CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE))
+        |    AS corr_qty_price
+        |FROM m""".stripMargin,
     "q_basket_pairs" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_baskets
