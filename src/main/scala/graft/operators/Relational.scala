@@ -378,6 +378,30 @@ object Relational {
               (d0(col("n")) * col("syy") - col("sy") * col("sy")).cast("double")))
             .as("corr_qty_price"))
     }),
+    // OLS regression line per group from the SAME exact moments as
+    // q_corr_pairs: slope = (n·Σxy − Σx·Σy) / (n·Σx² − Σx²),
+    // intercept = (Σy − slope·Σx) / n — numerators and denominators stay
+    // exact decimal, the two divisions are the only double ops. (x is
+    // back in natural units: the ×100 scaling cancels in the slope and
+    // divides out of the intercept.)
+    "q_regression_line" -> ((spark, sfDir) => {
+      val xi = floor(col("l_quantity") * 100 + 0.5).cast("long")
+      val yi = floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+      val d0 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_returnflag"), xi.as("xi"), yi.as("yi"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(d0(col("xi"))).as("sx"), sum(d0(col("yi"))).as("sy"),
+          sum(d0(col("xi") * col("xi"))).as("sxx"),
+          sum(d0(col("xi") * col("yi"))).as("sxy"))
+        .withColumn("slope",
+          (d0(col("n")) * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (d0(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .select(col("l_returnflag"), col("n"), col("slope"),
+          ((col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+            col("n").cast("double") / 100.0).as("intercept"))
+    }),
     // Market-basket pair co-occurrence (the frequent-itemset primitive):
     // distinct (order, part) pairs self-join on the order key with
     // part_a < part_b — pair fan-out is C(items-per-basket, 2), bounded by
@@ -958,6 +982,26 @@ object Relational {
         |       CAST(CAST(n AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE))
         |    AS corr_qty_price
         |FROM m""".stripMargin,
+    "q_regression_line" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS xi,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yi
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    SUM(CAST(xi AS DECIMAL(38,0))) AS sx, SUM(CAST(yi AS DECIMAL(38,0))) AS sy,
+        |    SUM(CAST(xi * xi AS DECIMAL(38,0))) AS sxx,
+        |    SUM(CAST(xi * yi AS DECIMAL(38,0))) AS sxy
+        |  FROM s GROUP BY l_returnflag),
+        |sl AS (
+        |  SELECT *, CAST(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE) /
+        |            CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE) AS slope
+        |  FROM m)
+        |SELECT l_returnflag, n, slope,
+        |  (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 100.0
+        |    AS intercept
+        |FROM sl""".stripMargin,
     "q_basket_pairs" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_baskets
