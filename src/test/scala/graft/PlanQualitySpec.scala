@@ -179,4 +179,17 @@ class PlanQualitySpec extends SparkTestBase {
     val scans = p.linesIterator.count(_.contains("FileScan parquet"))
     assert(scans <= 3, s"expected <= 3 scans, got $scans\n" + p.take(3000))
   }
+
+  test("encode step broadcasts the vocab; moment aggregates are one scan each") {
+    val enc = SparkEntry.queries("text_encode_ids")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(enc.contains("BroadcastHashJoin") || enc.contains("BroadcastExchange"),
+      enc.take(2000))
+    for (q <- Seq("q_corr_pairs", "q_regression_line")) {
+      val p = SparkEntry.queries(q)(spark, Sf).queryExecution.executedPlan.toString
+      val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+      assert(scans == 1, s"$q: expected 1 scan, got $scans\n" + p.take(2000))
+      assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    }
+  }
 }
