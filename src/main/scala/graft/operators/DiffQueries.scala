@@ -236,6 +236,34 @@ object DiffQueries {
         SnapshotDiff.merklePrunedDiff(
           Tables.load(spark, sfDir, t.name), after(spark, sfDir, t), t.pk, MerkleBuckets)
       }),
+      // Incremental JOIN-view maintenance — the other half of IVM next to
+      // diff_incremental_agg: a materialized orders⋈customer view is kept
+      // current from the diff's change stream alone. Keys the diff marks
+      // DELETED/UPDATED anti-join out of the base view; the AFTER-side
+      // delta rows join customer and union in — so the per-cycle join
+      // work is Δ-sized, never a re-join of the lake, and the oracle pins
+      // the maintained view equal to a direct join over the after
+      // snapshot. All in the normalized string domain the diff speaks.
+      "diff_incremental_join" -> ((spark, sfDir) => {
+        val t = Tables.orders
+        val bn = Normalize.withKey(Tables.load(spark, sfDir, t.name), t.pk)
+        val cn = Normalize.stringify(
+          Tables.load(spark, sfDir, "customer")
+            .select(col("c_custkey"), col("c_name")))
+        val d = SnapshotDiff.diffOneWinner(
+          Tables.load(spark, sfDir, t.name), after(spark, sfDir, t), t.pk)
+        val proj = Seq("o_orderkey", "o_totalprice", "c_custkey", "c_name")
+        val base = bn.join(cn, col("o_custkey") === col("c_custkey"))
+          .select(col(Normalize.KeyCol) +: proj.map(col): _*)
+        val gone = d.filter(col("diff_status")
+            .isin(SnapshotDiff.Deleted, SnapshotDiff.Updated))
+          .select(col(Normalize.KeyCol)).distinct()
+        val kept = base.join(gone, Seq(Normalize.KeyCol), "left_anti")
+        val fresh = d.filter(col("side") === "AFTER")
+          .join(cn, col("o_custkey") === col("c_custkey"))
+          .select(col(Normalize.KeyCol) +: proj.map(col): _*)
+        kept.unionByName(fresh).drop(Normalize.KeyCol)
+      }),
       // One-pass per-column data-profile (the audit a differ runs before
       // trusting a snapshot): null count, exact distinct count, min/max per
       // column, long format. ONE scan — the multi-column DISTINCTs plan as
@@ -409,6 +437,18 @@ object DiffQueries {
         DiffOracle.diffSql(Tables.part, Mutations.afterSql("part"), Tables.part.pk),
       "profile_orders" -> profileSql(Tables.orders),
       "profile_customer" -> profileSql(Tables.customer),
+      // the maintained view must equal a direct join over the after snapshot
+      "diff_incremental_join" ->
+        s"""WITH after_t AS (
+           |${Mutations.afterSql("orders")}
+           |), an AS (
+           |${DiffOracle.normalizedSelect("after_t", Tables.orders, Tables.orders.pk)}
+           |), cn AS (
+           |  SELECT COALESCE(CAST(c_custkey AS VARCHAR), '<NULL>') AS c_custkey,
+           |         COALESCE(CAST(c_name AS VARCHAR), '<NULL>') AS c_name
+           |  FROM customer)
+           |SELECT an.o_orderkey, an.o_totalprice, cn.c_custkey, cn.c_name
+           |FROM an JOIN cn ON an.o_custkey = cn.c_custkey""".stripMargin,
       // net diff(A, C) recomputed directly — what the composition must equal
       "diff_compose_chain" -> DiffOracle.diffSql(Tables.orders,
         s"""WITH ordb AS (
