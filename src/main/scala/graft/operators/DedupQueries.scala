@@ -224,6 +224,27 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b")).distinct()
       jaccard(cand, sh, 0.2)
     }),
+    // BFS hop distances over the near-dup pair graph, written as a NATIVE
+    // recursive CTE (Spark 4's WITH RECURSIVE, planned as UnionLoop) — the
+    // DECLARATIVE twin of [[GraphOps]]'s imperative label-propagation loop.
+    // The SAME SQL text runs in both engines (the oracle differs only in
+    // how the `pairs` relation is produced), so the recursion semantics —
+    // UNION ALL frontier expansion bounded by the hop predicate — are
+    // pinned cross-engine. The hop bound caps path explosion on the cyclic
+    // (symmetric) edge set; MIN(hop) collapses paths to distances.
+    "dedup_bfs_hops" -> ((spark, sfDir) =>
+      GraphOps.bfsHops(spark, simhashPairs(spark, sfDir))),
+    // Triangle count of the near-dup pair graph — the clustering-coefficient
+    // numerator, the standard "how clique-like are my dup clusters" metric.
+    // Edges are ORIENTED from the (degree, id)-smaller endpoint to the
+    // larger before the two-hop join, so each triangle is counted exactly
+    // once AND the join fan-out per vertex is bounded by its oriented
+    // out-degree (≤ √(2m) on any graph) — the standard trick that keeps
+    // distributed triangle counting away from the hub-vertex quadratic
+    // blow-up. Exact integer counts; one row (n_vertices, n_edges,
+    // n_triangles).
+    "dedup_triangles" -> ((spark, sfDir) =>
+      GraphOps.triangleStats(simhashPairs(spark, sfDir))),
     // Edit-distance verification of near-dup candidates: the banded
     // SimHash pairs (bounded candidate set — never all-pairs) re-checked
     // by levenshtein over a fixed 80-char prefix. Edit distance is O(n²)
@@ -423,6 +444,25 @@ object DedupQueries {
       .filter(col("hamming") <= 3)
   }
 
+  /** BFS recursion shared VERBATIM by the engine (over a `pairs` temp view)
+    * and the oracle (over a `pairs` CTE): symmetric edges, seeds = endpoint
+    * ids divisible by 10, UNION ALL frontier expansion to ≤ 4 hops, then
+    * MIN(hop) per vertex. */
+  val bfsCtes: Seq[(String, String)] = Seq(
+    "edges" ->
+      """SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |UNION ALL
+        |SELECT doc_b AS src, doc_a AS dst FROM pairs""".stripMargin,
+    "seeds" -> "SELECT DISTINCT src AS id FROM edges WHERE src % 10 = 0",
+    "walk(id, hop)" ->
+      """SELECT id, 0 AS hop FROM seeds
+        |UNION ALL
+        |SELECT e.dst AS id, w.hop + 1 AS hop
+        |FROM walk w JOIN edges e ON e.src = w.id WHERE w.hop < 4""".stripMargin)
+
+  val bfsSelect: String =
+    "SELECT id AS doc_id, CAST(MIN(hop) AS BIGINT) AS hops FROM walk GROUP BY id"
+
   // ---- oracle SQL ----------------------------------------------------
 
   private val toksE = Hashing.tokensSql("text")
@@ -585,6 +625,34 @@ object DedupQueries {
             |UNION
             |SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id""".stripMargin),
       "SELECT id AS doc_id, MIN(label) AS component_id FROM reach GROUP BY id"),
+    "dedup_bfs_hops" -> withRecursiveSql(
+      Seq("corpus" -> corpusSql) ++ simhashCtes ++ Seq(
+        chunksCte,
+        "pairs" -> simhashPairsSelect) ++ bfsCtes,
+      bfsSelect),
+    "dedup_triangles" -> withSql(
+      Seq("corpus" -> corpusSql) ++ simhashCtes ++ Seq(
+        chunksCte,
+        "pairs" -> simhashPairsSelect,
+        "deg" ->
+          """SELECT id, COUNT(*) AS deg FROM (
+            |  SELECT doc_a AS id FROM pairs
+            |  UNION ALL SELECT doc_b AS id FROM pairs) t GROUP BY id""".stripMargin,
+        "oriented" ->
+          """SELECT
+            |  CASE WHEN a.deg < b.deg OR (a.deg = b.deg AND p.doc_a < p.doc_b)
+            |       THEN p.doc_a ELSE p.doc_b END AS src,
+            |  CASE WHEN a.deg < b.deg OR (a.deg = b.deg AND p.doc_a < p.doc_b)
+            |       THEN p.doc_b ELSE p.doc_a END AS dst
+            |FROM pairs p
+            |JOIN deg a ON a.id = p.doc_a
+            |JOIN deg b ON b.id = p.doc_b""".stripMargin),
+      """SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
+        |       (SELECT COUNT(*) FROM pairs) AS n_edges,
+        |       (SELECT COUNT(*)
+        |        FROM oriented e1
+        |        JOIN oriented e2 ON e2.src = e1.dst
+        |        JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst) AS n_triangles""".stripMargin),
     "dedup_cluster_sizes" -> withRecursiveSql(
       Seq("corpus" -> corpusSql) ++ simhashCtes ++ Seq(
         chunksCte,

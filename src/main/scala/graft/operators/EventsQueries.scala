@@ -31,7 +31,47 @@ object EventsQueries {
       .drop("__is_new")
   }
 
+  /** Offline changepoint detection per event type over (event_type, ts,
+    * event_id, value): the split index t maximizing the |prefix mean −
+    * suffix mean| gap — see the `events_changepoint` entry for the exact-
+    * arithmetic design. */
+  def changepoint(events: DataFrame): DataFrame = {
+    val d18 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,0)")
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val scored = events
+      .select(col("event_type"), col("ts"), col("event_id"),
+        floor(col("value") * 10000 + 0.5).cast("long").as("vi"))
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("st", sum(d18(col("vi"))).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sn", sum(d18(col("vi"))).over(wAll))
+      .filter(col("t") < col("n"))
+      .withColumn("score", abs(d18(col("n")) * col("st") - d18(col("t")) * col("sn")))
+    val wPick = Window.partitionBy(col("event_type"))
+      .orderBy(col("score").desc, col("t"))
+    scored.withColumn("__rn", row_number().over(wPick)).filter(col("__rn") === 1)
+      .select(col("event_type"), col("n"), col("t").as("split_idx"),
+        col("event_id").as("split_event_id"),
+        (col("score").cast("double") /
+          (col("t") * (col("n") - col("t"))).cast("double") / 10000.0).as("mean_gap"))
+  }
+
   val queries: Map[String, Q] = Map(
+    // Offline changepoint detection per event type: the split index t that
+    // maximizes the |prefix mean − suffix mean| gap. The comparison is done
+    // on the CROSS-MULTIPLIED score |n·S_t − t·S_n| (the mean gap times
+    // t·(n−t), algebraically identical ordering) so candidate ranking runs
+    // entirely in exact integer/decimal arithmetic: values scale to exact
+    // longs (×10⁴), prefix sums accumulate in DECIMAL(18,0) (envelope:
+    // |S| < 10¹⁸ holds through ~10⁹ rows/group at the fixture's value
+    // range), and the n·S products stay inside the 37-digit decimal
+    // product both engines compute exactly. Doubles appear only in the
+    // reported mean_gap, where both engines divide identical exact inputs.
+    // One window pass per group + a size-1 top-k — at scale the argmax is
+    // WindowGroupLimit-pruned map-side before the shuffle.
+    "events_changepoint" -> ((spark, sfDir) =>
+      changepoint(Tables.load(spark, sfDir, "events"))),
     // Tumbling 5-minute windows via the native window() operator; the
     // epoch-aligned start matches DuckDB's time_bucket.
     "events_tumbling" -> ((spark, sfDir) =>
@@ -466,6 +506,26 @@ object EventsQueries {
        |    FROM events) t1) t2""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "events_changepoint" ->
+      """WITH w1 AS (
+        |  SELECT event_type, event_id,
+        |    CAST(ROW_NUMBER() OVER wo AS BIGINT) AS t,
+        |    SUM(CAST(CAST(floor(value * 10000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) OVER wo AS st,
+        |    COUNT(*) OVER wa AS n,
+        |    SUM(CAST(CAST(floor(value * 10000 + 0.5) AS BIGINT) AS DECIMAL(18,0))) OVER wa AS sn
+        |  FROM events
+        |  WINDOW wo AS (PARTITION BY event_type ORDER BY ts, event_id),
+        |         wa AS (PARTITION BY event_type)),
+        |scored AS (
+        |  SELECT *, abs(CAST(n AS DECIMAL(18,0)) * st - CAST(t AS DECIMAL(18,0)) * sn) AS score
+        |  FROM w1 WHERE t < n),
+        |pick AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY score DESC, t) AS rn
+        |  FROM scored)
+        |SELECT event_type, CAST(n AS BIGINT) AS n, t AS split_idx,
+        |  event_id AS split_event_id,
+        |  CAST(score AS DOUBLE) / CAST(t * (n - t) AS DOUBLE) / 10000.0 AS mean_gap
+        |FROM pick WHERE rn = 1""".stripMargin,
     "events_paths" ->
       """WITH p AS (
         |  SELECT event_type,

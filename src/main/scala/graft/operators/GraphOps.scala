@@ -64,4 +64,44 @@ object GraphOps {
     sym.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("component_id"))
   }
+
+  /** Exact triangle count of the undirected graph given by unique pairs
+    * (`doc_a` < `doc_b`). Edges are ORIENTED from the (degree, id)-smaller
+    * endpoint to the larger before the two-hop join: each triangle is
+    * counted exactly once, and per-vertex join fan-out is bounded by the
+    * oriented out-degree (≤ √(2m) on any graph) — the standard guard
+    * against hub-vertex quadratic blow-up in distributed triangle
+    * counting. Returns one row (n_vertices, n_edges, n_triangles). */
+  def triangleStats(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("doc_a"), col("doc_b")).persist()
+    val deg = p.select(col("doc_a").as("id")).union(p.select(col("doc_b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val aLower = col("da") < col("db") ||
+      (col("da") === col("db") && col("doc_a") < col("doc_b"))
+    val e = p
+      .join(deg.select(col("id").as("doc_a"), col("deg").as("da")), "doc_a")
+      .join(deg.select(col("id").as("doc_b"), col("deg").as("db")), "doc_b")
+      .select(when(aLower, col("doc_a")).otherwise(col("doc_b")).as("src"),
+        when(aLower, col("doc_b")).otherwise(col("doc_a")).as("dst"))
+      .persist() // three legs of the triangle join scan it
+    val tri = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(e.select(col("src").as("b"), col("dst").as("c")), "b")
+      .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+    deg.agg(count(lit(1)).as("n_vertices"))
+      .crossJoin(p.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri)
+  }
+
+  /** BFS hop distances via Spark 4's NATIVE recursive CTE (planned as
+    * UnionLoop) — the declarative twin of [[connectedComponents]]'s
+    * imperative loop. Registers `pairs` as a temp view and runs
+    * [[graft.operators.DedupQueries.bfsCtes]] verbatim — the same SQL text
+    * the DuckDB oracle executes. */
+  def bfsHops(spark: org.apache.spark.sql.SparkSession, pairs: DataFrame): DataFrame = {
+    pairs.select(col("doc_a"), col("doc_b")).createOrReplaceTempView("pairs")
+    spark.sql("WITH RECURSIVE\n" +
+      DedupQueries.bfsCtes.map { case (n, q) => s"$n AS (\n$q\n)" }.mkString(",\n") +
+      "\n" + DedupQueries.bfsSelect)
+  }
 }

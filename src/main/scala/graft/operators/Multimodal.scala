@@ -177,6 +177,126 @@ object Multimodal {
       }
   }
 
+  // ---- video: ISO-BMFF / MP4 (ftyp + moov[mvhd, trak[tkhd]] + mdat) ----
+
+  /** Typed feature row produced by the video decode stage. */
+  final case class VideoFeature(
+      doc_id: Long, major_brand: String, timescale: Long, duration_ticks: Long,
+      duration_ms: Long, width: Long, height: Long, n_bytes: Long, fingerprint: String)
+
+  /** Fixture video params from the id; the oracle uses the same formulas. */
+  def vTimescaleOf(id: Long): Int = (600 * (1 + id % 4)).toInt
+  def vDurTicksOf(id: Long): Int = (vTimescaleOf(id) + (id * 41) % 100000).toInt
+  def vWidthOf(id: Long): Int = (128 + (id * 23) % 1792).toInt
+  def vHeightOf(id: Long): Int = (96 + (id * 29) % 984).toInt
+
+  private def boxHeader(size: Int, tag: String): Array[Byte] =
+    be32(size) ++ tag.getBytes("US-ASCII")
+
+  /** A minimal VALID ISO-BMFF file: `ftyp` (major brand isom), `moov`
+    * containing a version-0 `mvhd` (timescale + duration) and one `trak`
+    * whose version-0 `tkhd` carries 16.16 fixed-point dimensions, then the
+    * content bytes as the `mdat` payload. Box sizes are real and
+    * big-endian throughout, exactly as the spec lays them out. */
+  def mp4Bytes(timescale: Int, durTicks: Int, width: Int, height: Int,
+      content: Array[Byte]): Array[Byte] = {
+    val ftyp = boxHeader(24, "ftyp") ++ "isom".getBytes("US-ASCII") ++ be32(0) ++
+      "isom".getBytes("US-ASCII") ++ "mp41".getBytes("US-ASCII")
+    val mvhd = boxHeader(108, "mvhd") ++ be32(0) /* v0 + flags */ ++
+      be32(0) ++ be32(0) /* creation, modification */ ++
+      be32(timescale) ++ be32(durTicks) ++
+      be32(0x00010000) /* rate 1.0 */ ++ Array[Byte](1, 0) /* volume 1.0 */ ++
+      new Array[Byte](2 + 8) /* reserved */ ++
+      unityMatrix ++ new Array[Byte](24) /* pre_defined */ ++ be32(2) /* next track */
+    val tkhd = boxHeader(92, "tkhd") ++ be32(3) /* v0 + enabled|in-movie */ ++
+      be32(0) ++ be32(0) /* creation, modification */ ++
+      be32(1) /* track_id */ ++ be32(0) /* reserved */ ++ be32(durTicks) ++
+      new Array[Byte](8) /* reserved */ ++
+      new Array[Byte](8) /* layer, alt_group, volume (0 for video), reserved */ ++
+      unityMatrix ++ be32(width << 16) ++ be32(height << 16)
+    val trak = boxHeader(8 + tkhd.length, "trak") ++ tkhd
+    val moov = boxHeader(8 + mvhd.length + trak.length, "moov") ++ mvhd ++ trak
+    val mdat = boxHeader(8 + content.length, "mdat") ++ content
+    ftyp ++ moov ++ mdat
+  }
+
+  private def unityMatrix: Array[Byte] =
+    be32(0x00010000) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000)
+
+  /** Real ISO-BMFF decode: walk the top-level box sequence by declared
+    * sizes, then the `moov` children, extracting movie timescale/duration
+    * from `mvhd`, dimensions from the first `trak`'s `tkhd` (16.16 fixed →
+    * integer part), the major brand from `ftyp`, and the content
+    * fingerprint from the `mdat` payload. Every box size and version byte
+    * is validated — a mis-walked offset fails loudly rather than reading
+    * garbage, and the oracle hash-gate would catch any silent skew because
+    * it predicts every field from doc_id alone. */
+  def decodeMp4(md: java.security.MessageDigest, id: Long, bytes: Array[Byte]): VideoFeature = {
+    var brand: String = null
+    var timescale = -1L; var durTicks = -1L
+    var width = -1L; var height = -1L
+    var mdatOff = -1; var mdatLen = -1
+    var off = 0
+    while (off < bytes.length) {
+      require(off + 8 <= bytes.length, s"MP4: truncated box header at $off")
+      val size = readBe32(bytes, off)
+      val tag = new String(bytes, off + 4, 4, "US-ASCII")
+      require(size >= 8 && off + size <= bytes.length, s"MP4: bad box size $size at $off")
+      tag match {
+        case "ftyp" =>
+          brand = new String(bytes, off + 8, 4, "US-ASCII")
+        case "moov" =>
+          var c = off + 8
+          while (c < off + size) {
+            val cs = readBe32(bytes, c)
+            val ct = new String(bytes, c + 4, 4, "US-ASCII")
+            require(cs >= 8 && c + cs <= off + size, s"MP4: bad moov child size at $c")
+            if (ct == "mvhd") {
+              require(bytes(c + 8) == 0, "MP4: mvhd version != 0")
+              timescale = readBe32(bytes, c + 20).toLong
+              durTicks = readBe32(bytes, c + 24).toLong
+            } else if (ct == "trak" && width < 0) {
+              val ts = readBe32(bytes, c + 8)
+              val tt = new String(bytes, c + 12, 4, "US-ASCII")
+              require(tt == "tkhd" && ts >= 92, "MP4: trak does not start with tkhd")
+              require(bytes(c + 16) == 0, "MP4: tkhd version != 0")
+              width = (readBe32(bytes, c + 8 + 84) >>> 16).toLong
+              height = (readBe32(bytes, c + 8 + 88) >>> 16).toLong
+            }
+            c += cs
+          }
+        case "mdat" =>
+          mdatOff = off + 8; mdatLen = size - 8
+        case _ => () // unknown top-level boxes are legal; sizes skip them
+      }
+      off += size
+    }
+    require(brand != null && timescale > 0 && durTicks >= 0 && width >= 0 && mdatOff >= 0,
+      "MP4: missing required box")
+    md.reset()
+    md.update(bytes, mdatOff, mdatLen)
+    val hex = md.digest().map("%02x".format(_)).mkString
+    VideoFeature(id, brand, timescale, durTicks, durTicks * 1000L / timescale,
+      width, height, bytes.length.toLong, hex)
+  }
+
+  /** Video synthesis + decode pipeline twin of [[audioFeatures]]: same
+    * narrow per-partition shape, ISO-BMFF container. */
+  def videoFeatures(spark: SparkSession, docs: DataFrame): Dataset[VideoFeature] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, content) =>
+          decodeMp4(md, id, mp4Bytes(vTimescaleOf(id), vDurTicksOf(id),
+            vWidthOf(id), vHeightOf(id), content))
+        }
+      }
+  }
+
   /** Real header decode: parse format + dimensions out of the payload bytes.
     * PNG: verify the 8-byte signature, the IHDR tag, and the chunk CRC-32,
     * then read big-endian dims. BMP: verify the magic and BITMAPINFOHEADER
@@ -272,6 +392,12 @@ object Multimodal {
     // sample count and duration
     "mm_audio_features" -> ((spark, sfDir) =>
       audioFeatures(spark, Tables.load(spark, sfDir, "documents")).toDF()),
+    // video twin: real ISO-BMFF box walk (ftyp brand, mvhd movie timescale
+    // + duration, tkhd 16.16 fixed-point dims, mdat fingerprint); the
+    // oracle predicts every field from doc_id alone, so a mis-walked
+    // offset or endianness slip fails the hash gate
+    "mm_video_features" -> ((spark, sfDir) =>
+      videoFeatures(spark, Tables.load(spark, sfDir, "documents")).toDF()),
     // Frame sampling (the video-pipeline stage, exercised over the parsed
     // WAV timeline): explode each media row into up to 8 sampled frames at
     // one per 50 ms, each carrying its timestamp, sample index, and byte
@@ -341,6 +467,18 @@ object Multimodal {
         |       (octet_length(encode(text)) // (2 * (1 + doc_id % 2)) * 1000)
         |         // (8000 + (doc_id * 31) % 40000) AS duration_ms,
         |       44 + octet_length(encode(text)) AS n_bytes,
+        |       md5(text) AS fingerprint
+        |FROM documents""".stripMargin,
+    "mm_video_features" ->
+      """SELECT doc_id,
+        |       'isom' AS major_brand,
+        |       600 * (1 + doc_id % 4) AS timescale,
+        |       600 * (1 + doc_id % 4) + (doc_id * 41) % 100000 AS duration_ticks,
+        |       ((600 * (1 + doc_id % 4) + (doc_id * 41) % 100000) * 1000)
+        |         // (600 * (1 + doc_id % 4)) AS duration_ms,
+        |       128 + (doc_id * 23) % 1792 AS width,
+        |       96 + (doc_id * 29) % 984 AS height,
+        |       248 + octet_length(encode(text)) AS n_bytes,
         |       md5(text) AS fingerprint
         |FROM documents""".stripMargin,
     "mm_frame_sample" ->

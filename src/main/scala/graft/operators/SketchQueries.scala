@@ -1,11 +1,12 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.KmvSketch
+import graft.functions.{Hashing, KmvSketch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Sketch-based summary queries (KMV distinct estimation).
+/** Sketch-based summary queries (KMV distinct estimation + set operations).
   *
   * Each query emits the sketch estimate NEXT TO the exact distinct count,
   * so the oracle validates both the sketch arithmetic (hash-exact, see
@@ -15,6 +16,9 @@ object SketchQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val K = 256
+
+  /** Sketch size for the set-operation query (k-min hash set per source). */
+  val SetK = 64
 
   val queries: Map[String, Q] = Map(
     // per-group sketch: small groups take the exact (<k) path, large ones
@@ -30,8 +34,54 @@ object SketchQueries {
       Tables.load(spark, sfDir, "orders")
         .agg(
           KmvSketch.kmvDistinct(col("o_custkey").cast("string"), K).as("kmv_millis"),
-          countDistinct(col("o_custkey")).as("exact_nd")))
+          countDistinct(col("o_custkey")).as("exact_nd"))),
+    // KMV SET OPERATIONS: pairwise vocabulary-overlap estimates between
+    // document sources from k-min hash sketches alone. The KMV closure
+    // property does the work: the k smallest hashes of A ∪ B are a subset
+    // of kmin(A) ∪ kmin(B), so the union sketch derives from the two
+    // per-source sketches with NO second pass over the data, and
+    // |kminU ∩ A_k ∩ B_k| / k is the standard unbiased Jaccard estimate.
+    // Per-source sketches are materialized relationally (row_number ≤ k
+    // over the hash order — WindowGroupLimit prunes map-side, so no
+    // source's full vocabulary ever crosses the shuffle); everything
+    // downstream touches ≤ 2k rows per source pair. Hashes are md5-hex
+    // (identical bytes and identical lexicographic order in both engines),
+    // so every sketch row and both estimates are engine-exact.
+    "sketch_kmv_jaccard" -> ((spark, sfDir) =>
+      kmvSourceJaccard(Tables.load(spark, sfDir, "documents")))
   )
+
+  /** Pairwise KMV Jaccard estimates between the `source` groups of a
+    * (source, text) frame — see the `sketch_kmv_jaccard` entry for the
+    * closure-property design. */
+  def kmvSourceJaccard(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("source"), explode(Hashing.tokens(col("text"))).as("token"))
+      .select(col("source"), Hashing.hashHex(col("token")).as("hv"))
+      .distinct()
+    val w = Window.partitionBy(col("source")).orderBy(col("hv"))
+    val kmin = tok.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= SetK)
+      .select(col("source"), col("hv")).persist()
+    val a = kmin.select(col("source").as("source_a"), col("hv"))
+    val b = kmin.select(col("source").as("source_b"), col("hv"))
+    val srcPairs = a.select(col("source_a")).distinct()
+      .crossJoin(b.select(col("source_b")).distinct())
+      .filter(col("source_a") < col("source_b"))
+    val uni = srcPairs.join(a, "source_a").select(col("source_a"), col("source_b"), col("hv"))
+      .union(srcPairs.join(b, "source_b").select(col("source_a"), col("source_b"), col("hv")))
+      .distinct()
+    val wp = Window.partitionBy(col("source_a"), col("source_b")).orderBy(col("hv"))
+    uni.withColumn("__rn", row_number().over(wp)).filter(col("__rn") <= SetK)
+      .join(a.withColumn("in_a", lit(1L)), Seq("source_a", "hv"), "left")
+      .join(b.withColumn("in_b", lit(1L)), Seq("source_b", "hv"), "left")
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("k_used"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L).otherwise(0L))
+          .as("n_both"))
+      .select(col("source_a"), col("source_b"), col("k_used"), col("n_both"),
+        (col("n_both").cast("double") / col("k_used")).as("jaccard_est"))
+  }
 
   private val hv = KmvSketch.hashSql("CAST(l_orderkey AS VARCHAR)")
   private val hvCust = KmvSketch.hashSql("CAST(o_custkey AS VARCHAR)")
@@ -62,6 +112,34 @@ object SketchQueries {
          |            ELSE floor(${K - 1}.0 / (MAX(CASE WHEN rn = $K THEN hvv END)
          |                 / 1152921504606846976.0) * 1000.0 + 0.5) END AS BIGINT) AS kmv_millis,
          |       CAST(MIN(nd) AS BIGINT) AS exact_nd
-         |FROM r""".stripMargin
+         |FROM r""".stripMargin,
+    "sketch_kmv_jaccard" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT source, ${Hashing.hashHexSql("t")} AS hv
+         |  FROM (SELECT source, unnest(${Hashing.tokensSql("text")}) AS t FROM documents)),
+         |kmin AS (
+         |  SELECT source, hv FROM (
+         |    SELECT source, hv, ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+         |    FROM tok) t WHERE rn <= $SetK),
+         |srcs AS (SELECT DISTINCT source FROM kmin),
+         |prs AS (
+         |  SELECT a.source AS source_a, b.source AS source_b
+         |  FROM srcs a JOIN srcs b ON a.source < b.source),
+         |uni AS (
+         |  SELECT DISTINCT p.source_a, p.source_b, k.hv
+         |  FROM prs p JOIN kmin k ON k.source = p.source_a OR k.source = p.source_b),
+         |kminu AS (
+         |  SELECT source_a, source_b, hv FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source_a, source_b ORDER BY hv) AS rn
+         |    FROM uni) t WHERE rn <= $SetK)
+         |SELECT u.source_a, u.source_b, COUNT(*) AS k_used,
+         |  CAST(SUM(CASE WHEN ka.hv IS NOT NULL AND kb.hv IS NOT NULL
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |  CAST(SUM(CASE WHEN ka.hv IS NOT NULL AND kb.hv IS NOT NULL
+         |                THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS jaccard_est
+         |FROM kminu u
+         |LEFT JOIN kmin ka ON ka.source = u.source_a AND ka.hv = u.hv
+         |LEFT JOIN kmin kb ON kb.source = u.source_b AND kb.hv = u.hv
+         |GROUP BY u.source_a, u.source_b""".stripMargin
   )
 }

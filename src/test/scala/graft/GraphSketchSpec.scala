@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.{EventsQueries, GraphOps, SketchQueries}
+import org.apache.spark.sql.functions._
+
+/** Round-3 additions: triangle counting, recursive-CTE BFS, changepoint
+  * detection, and KMV set-operation estimates — each pinned on constructed
+  * inputs with known answers (the fixture-scale results are pinned by the
+  * DuckDB oracle gate). */
+class GraphSketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("triangleStats counts each triangle once on a known graph") {
+    // two triangles sharing vertex 3: {1,2,3} and {3,4,5}, plus a pendant
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L), (5L, 6L))
+      .toDF("doc_a", "doc_b")
+    val r = GraphOps.triangleStats(pairs).head()
+    assert(r.getLong(r.fieldIndex("n_vertices")) == 6L)
+    assert(r.getLong(r.fieldIndex("n_edges")) == 7L)
+    assert(r.getLong(r.fieldIndex("n_triangles")) == 2L)
+  }
+
+  test("triangleStats is zero on a triangle-free graph") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val r = GraphOps.triangleStats(pairs).head()
+    assert(r.getLong(r.fieldIndex("n_triangles")) == 0L)
+  }
+
+  test("recursive-CTE BFS: hop distances from %10 seeds, bounded at 4 hops") {
+    // chain from seed 10 longer than the hop bound + a separate seed pair;
+    // symmetric-edge cycles must not diverge (the hop bound terminates them)
+    val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (15L, 16L), (20L, 21L), (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val got = GraphOps.bfsHops(spark, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 0L, 11L -> 1L, 12L -> 2L, 13L -> 3L, 14L -> 4L,
+      20L -> 0L, 21L -> 1L))
+  }
+
+  test("changepoint finds the exact split of a step series") {
+    // one type: 20 values of 10.0 then 30 of 25.0 → split at t=20, gap 15;
+    // a constant series has every split score 0 → tiebreak picks t=1
+    val step = (1 to 50).map(i =>
+      ("step", java.sql.Timestamp.valueOf(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"),
+        i.toLong, if (i <= 20) 10.0 else 25.0))
+    val const = (1 to 10).map(i =>
+      ("const", java.sql.Timestamp.valueOf(f"2024-01-01 01:00:${i % 60}%02d"),
+        (100 + i).toLong, 7.5))
+    val ev = (step ++ const).toDF("event_type", "ts", "event_id", "value")
+    val byType = EventsQueries.changepoint(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(r.fieldIndex("split_idx")),
+        r.getDouble(r.fieldIndex("mean_gap"))))).toMap
+    assert(byType("step")._1 == 20L)
+    assert(math.abs(byType("step")._2 - 15.0) < 1e-9)
+    assert(byType("const")._1 == 1L && byType("const")._2 == 0.0)
+  }
+
+  test("KMV Jaccard estimate tracks the true overlap of synthetic vocabularies") {
+    // A = tokens 0..99, B = 50..149 → true J = 50/150 ≈ 0.333;
+    // C is disjoint from both → J = 0 exactly (no shared hashes at all)
+    def doc(src: String, lo: Int, hi: Int) =
+      (src, (lo until hi).map(i => s"tok$i").mkString(" "))
+    val docs = Seq(doc("a", 0, 100), doc("b", 50, 150), doc("c", 1000, 1100))
+      .toDF("source", "text")
+    val got = SketchQueries.kmvSourceJaccard(docs)
+      .select(col("source_a"), col("source_b"), col("jaccard_est"))
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(math.abs(got(("a", "b")) - 1.0 / 3) < 0.15)
+    assert(got(("a", "c")) == 0.0 && got(("b", "c")) == 0.0)
+  }
+}

@@ -58,4 +58,24 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.decodeMedia(md, 2L, corrupt)
     }
   }
+
+  test("MP4 round-trip: box walk recovers brand, timescale/duration, 16.16 dims") {
+    val bytes = Multimodal.mp4Bytes(1200, 90000, 1280, 720, content)
+    val f = Multimodal.decodeMp4(md, 7L, bytes)
+    assert(f.major_brand == "isom")
+    assert(f.timescale == 1200 && f.duration_ticks == 90000)
+    assert(f.duration_ms == 90000L * 1000 / 1200)
+    assert(f.width == 1280 && f.height == 720)
+    assert(f.n_bytes == 248 + content.length)
+    assert(f.fingerprint == md.digest(content).map("%02x".format(_)).mkString)
+  }
+
+  test("MP4 decode fails loudly on a corrupted box size or missing moov") {
+    val bytes = Multimodal.mp4Bytes(600, 600, 320, 240, content)
+    bytes(3) = 99.toByte // ftyp's declared size no longer matches the walk
+    intercept[IllegalArgumentException](Multimodal.decodeMp4(md, 8L, bytes))
+    // an mdat-only stream parses no moov → must be rejected, not defaulted
+    val mdatOnly = Multimodal.mp4Bytes(600, 600, 320, 240, content).drop(24 + 216)
+    intercept[IllegalArgumentException](Multimodal.decodeMp4(md, 9L, mdatOnly))
+  }
 }
