@@ -42,7 +42,9 @@ object SparkEntry {
     "text_novelty", "events_paths", "pipeline_epoch_shuffle",
     "diff_merkle_pruned", "dedup_incremental", "q_basket_pairs",
     "events_session_window", "ann_pq_topk", "catalog_fk_discovery",
-    "dq_rules_report", "events_rolling_1h")
+    "dq_rules_report", "events_rolling_1h",
+    "dedup_triangles", "dedup_bfs_hops", "events_changepoint",
+    "sketch_kmv_jaccard", "mm_video_features", "ann_hybrid_rrf")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

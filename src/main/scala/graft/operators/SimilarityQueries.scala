@@ -340,6 +340,68 @@ object SimilarityQueries {
       exact.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= TopK)
     }),
+    // HYBRID retrieval (the RAG-serving shape): a lexical leg and a vector
+    // leg retrieve top-20 candidates independently, then RECIPROCAL RANK
+    // FUSION (rrf = Σ 1/(60+rank)) merges them — the standard fusion rule
+    // when the two score scales are incomparable. The corpus is items
+    // holding BOTH a text and an embedding (documents ⋈ embeddings on id).
+    // Text candidates come from the inverted-index discipline (tokens with
+    // df ∈ [2,50] — bounded fan-out, boilerplate never explodes); vector
+    // candidates from the broadcast-probe codegen cosine. Ranks are exact
+    // integers; the only doubles are the 1/(60+rank) terms, identical in
+    // both engines. Each leg is WindowGroupLimit-pruned to its top-20
+    // before the fuse, so the full-outer merge touches ≤40 rows per probe.
+    "ann_hybrid_rrf" -> ((spark, sfDir) => {
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id").as("id"), col("text"))
+      val emb = Tables.load(spark, sfDir, "embeddings")
+      val hybrid = docs
+        .join(emb.select(col("vec_id").as("id"), col("embedding")), "id")
+        .persist() // both retrieval legs scan it
+      // --- lexical leg
+      val tok = hybrid.select(col("id"), explode(Hashing.tokens(col("text"))).as("token"))
+        .distinct()
+      val dfc = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 50)).select(col("token"))
+      val idx = tok.join(dfc, "token").persist() // probe + candidate sides
+      val tcand = idx.filter(col("id") % 100 === 0)
+        .select(col("id").as("probe_id"), col("token"))
+        .join(idx.select(col("id").as("neighbor_id"), col("token")), "token")
+        .filter(col("neighbor_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("neighbor_id"))
+        .agg(count(lit(1)).as("n_shared"))
+      val wT = Window.partitionBy(col("probe_id"))
+        .orderBy(col("n_shared").desc, col("neighbor_id"))
+      val trank = tcand.withColumn("text_rank", row_number().over(wT).cast("long"))
+        .filter(col("text_rank") <= 20)
+        .select(col("probe_id"), col("neighbor_id"), col("text_rank"))
+      // --- vector leg (exact codegen cosine, broadcast probes)
+      val n = hybrid.select(col("id").as("vec_id"), col("embedding"),
+        QuantizedVec.qnormsq(col("embedding")).as("nsq"))
+      val probes = n.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+          col("nsq").as("p_nsq"))
+      val scored = broadcast(probes).join(n, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          QuantizedVec.qcosine(col("p_emb"), col("embedding"),
+            col("p_nsq"), col("nsq")).as("cos"))
+      val wV = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      val vrank = scored.withColumn("vec_rank", row_number().over(wV).cast("long"))
+        .filter(col("vec_rank") <= 20)
+        .select(col("probe_id"), col("neighbor_id"), col("vec_rank"))
+      // --- fuse
+      val fused = trank.join(vrank, Seq("probe_id", "neighbor_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (col("text_rank") + 60), lit(0.0)) +
+            coalesce(lit(1.0) / (col("vec_rank") + 60), lit(0.0)))
+      val wF = Window.partitionBy(col("probe_id"))
+        .orderBy(col("rrf").desc, col("neighbor_id"))
+      fused.withColumn("rank", row_number().over(wF).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("probe_id"), col("neighbor_id"), col("text_rank"),
+          col("vec_rank"), col("rrf"), col("rank"))
+    }),
     "ann_lsh_near_dup" -> ((spark, sfDir) => {
       import spark.implicits._
       Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("embeddings")
@@ -547,6 +609,55 @@ object SimilarityQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
          |                               ORDER BY l2, neighbor_id) AS rank
          |  FROM ex) t WHERE rank <= $TopK""".stripMargin,
+    "ann_hybrid_rrf" ->
+      s"""WITH hd AS (
+         |  SELECT d.doc_id AS id, d.text, e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         |corpus AS (SELECT id AS vec_id, embedding FROM hd),
+         |${qnCte._1} AS (${qnCte._2}),
+         |${normsCte._1} AS (${normsCte._2}),
+         |tok AS (
+         |  SELECT DISTINCT id, unnest(${Hashing.tokensSql("text")}) AS token FROM hd),
+         |dfc AS (
+         |  SELECT token FROM (SELECT token, COUNT(*) AS df FROM tok GROUP BY token) t
+         |  WHERE df BETWEEN 2 AND 50),
+         |idx AS (SELECT t.id, t.token FROM tok t JOIN dfc USING (token)),
+         |tcand AS (
+         |  SELECT a.id AS probe_id, b.id AS neighbor_id, COUNT(*) AS n_shared
+         |  FROM idx a JOIN idx b ON b.token = a.token AND b.id <> a.id
+         |  WHERE a.id % 100 = 0
+         |  GROUP BY a.id, b.id),
+         |trank AS (
+         |  SELECT probe_id, neighbor_id, trk FROM (
+         |    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY n_shared DESC, neighbor_id) AS BIGINT) AS trk
+         |    FROM tcand) t WHERE trk <= 20),
+         |dots AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         |         CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
+         |  FROM qn a JOIN qn b ON a.d = b.d AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 100 = 0
+         |  GROUP BY a.vec_id, b.vec_id),
+         |vscored AS (
+         |  SELECT probe_id, neighbor_id,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
+         |  FROM dots JOIN norms na ON na.vec_id = probe_id
+         |            JOIN norms nb ON nb.vec_id = neighbor_id),
+         |vrank AS (
+         |  SELECT probe_id, neighbor_id, vrk FROM (
+         |    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS vrk
+         |    FROM vscored) t WHERE vrk <= 20),
+         |fused AS (
+         |  SELECT probe_id, neighbor_id,
+         |         t.trk AS text_rank, v.vrk AS vec_rank,
+         |         COALESCE(CAST(1.0 AS DOUBLE) / (t.trk + 60), CAST(0.0 AS DOUBLE)) +
+         |           COALESCE(CAST(1.0 AS DOUBLE) / (v.vrk + 60), CAST(0.0 AS DOUBLE)) AS rrf
+         |  FROM trank t FULL JOIN vrank v USING (probe_id, neighbor_id))
+         |SELECT probe_id, neighbor_id, text_rank, vec_rank, rrf, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |    ORDER BY rrf DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM fused) t WHERE rank <= $TopK""".stripMargin,
     "ann_lsh_near_dup" ->
       s"""WITH corpus AS (
          |$vecCorpusSql

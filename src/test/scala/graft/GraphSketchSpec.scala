@@ -56,6 +56,33 @@ class GraphSketchSpec extends SparkTestBase {
     assert(byType("const")._1 == 1L && byType("const")._2 == 0.0)
   }
 
+  test("hybrid RRF: fused ranking is consistent and dual-leg hits dominate") {
+    val df = graft.SparkEntry.queries("ann_hybrid_rrf")(spark, Sf)
+      .select(col("probe_id"), col("neighbor_id"), col("text_rank"),
+        col("vec_rank"), col("rrf"), col("rank"))
+      .collect()
+    val byProbe = df.groupBy(_.getLong(0))
+    assert(byProbe.nonEmpty)
+    byProbe.foreach { case (_, rows) =>
+      assert(rows.length <= graft.operators.SimilarityQueries.TopK)
+      // rank order agrees with rrf descending
+      val sorted = rows.sortBy(_.getLong(rows.head.fieldIndex("rank")))
+      assert(sorted.map(_.getDouble(sorted.head.fieldIndex("rrf"))).toSeq
+        == rows.map(_.getDouble(rows.head.fieldIndex("rrf"))).toSeq.sorted(Ordering[Double].reverse))
+    }
+    // every row's rrf is exactly the sum of its two reciprocal terms
+    df.foreach { r =>
+      val t = if (r.isNullAt(r.fieldIndex("text_rank"))) 0.0
+        else 1.0 / (r.getLong(r.fieldIndex("text_rank")) + 60)
+      val v = if (r.isNullAt(r.fieldIndex("vec_rank"))) 0.0
+        else 1.0 / (r.getLong(r.fieldIndex("vec_rank")) + 60)
+      assert(r.getDouble(r.fieldIndex("rrf")) == t + v)
+    }
+    // at least one fused result drew from BOTH legs somewhere
+    assert(df.exists(r => !r.isNullAt(r.fieldIndex("text_rank"))
+      && !r.isNullAt(r.fieldIndex("vec_rank"))))
+  }
+
   test("KMV Jaccard estimate tracks the true overlap of synthetic vocabularies") {
     // A = tokens 0..99, B = 50..149 → true J = 50/150 ≈ 0.333;
     // C is disjoint from both → J = 0 exactly (no shared hashes at all)
