@@ -57,13 +57,21 @@ object Tables {
     *
     * `events.parquet` stores TIMESTAMP(NANOS), which Spark's parquet reader
     * rejects; read it as nanos-since-epoch longs and truncate to microsecond
-    * timestamps — the same truncation DuckDB applies, so oracles agree. */
+    * timestamps — the same truncation DuckDB applies, so oracles agree.
+    * Lakes written by other engines often carry TIMESTAMP_NTZ instead;
+    * normalize that to session-local TIMESTAMP too (the session is pinned
+    * UTC, so the cast is a re-tag, not a value change). */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name != "events") df
+    else df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 }
