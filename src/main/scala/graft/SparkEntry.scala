@@ -44,7 +44,8 @@ object SparkEntry {
     "events_session_window", "ann_pq_topk", "catalog_fk_discovery",
     "dq_rules_report", "events_rolling_1h",
     "dedup_triangles", "dedup_bfs_hops", "events_changepoint",
-    "sketch_kmv_jaccard", "mm_video_features", "ann_hybrid_rrf")
+    "sketch_kmv_jaccard", "mm_video_features", "ann_hybrid_rrf",
+    "events_attribution", "events_ab_test")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

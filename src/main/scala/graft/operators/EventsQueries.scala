@@ -257,6 +257,67 @@ object EventsQueries {
     // event kinds and take a running last-view window — ONE shuffle on
     // user_id, linear scan per user, no range explosion. The oracle is
     // DuckDB's native ASOF LEFT JOIN over the same deduped view stream.
+    // Last-touch attribution (the marketing-analytics staple): each
+    // purchase is attributed to the user's most recent click at-or-before
+    // it, but only within a 6-hour window — outside it the purchase is
+    // organic (NULL attribution). Same union + running-last shape as the
+    // as-of join: one user_id shuffle, linear per user, no inequality
+    // join. Gap arithmetic is exact microsecond-epoch integers.
+    "events_attribution" -> ((spark, sfDir) => {
+      val ev = Tables.load(spark, sfDir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("click_id"))
+        .select(col("user_id"), col("ts"), lit(0).as("__kind"), col("click_id"),
+          lit(null).cast("long").as("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), lit(1).as("__kind"),
+          lit(null).cast("long").as("click_id"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("__kind"), coalesce(col("event_id"), col("click_id")))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val windowMs = 6L * 3600 * 1000
+      clicks.unionByName(purchases)
+        .withColumn("__last", last(when(col("__kind") === 0,
+          struct(col("click_id"), col("ts").as("click_ts"))), ignoreNulls = true).over(w))
+        .filter(col("__kind") === 1)
+        .withColumn("gap_ms",
+          expr("(unix_micros(ts) - unix_micros(__last.click_ts)) div 1000"))
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"),
+          when(col("gap_ms") <= windowMs, col("__last.click_id")).as("click_id"),
+          when(col("gap_ms") <= windowMs, col("gap_ms")).as("gap_ms"))
+    }),
+    // A/B experiment readout: users deterministically hash-routed to two
+    // variants (the SAME portable md5 routing as the train/val split —
+    // assignment is reproducible anywhere), then a Welch z-statistic on
+    // purchase values. One aggregation pass: per-variant n/Σx/Σx² in
+    // exact decimal (order-independent), means/variances/z in doubles
+    // with IDENTICAL expression shape in both engines.
+    "events_ab_test" -> ((spark, sfDir) => {
+      val d8 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,8)")
+      val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+      val p = Tables.load(spark, sfDir, "events")
+        .filter(col("event_type") === "purchase")
+        .withColumn("variant",
+          graft.functions.Hashing.hash64(col("user_id").cast("string")) % 2)
+      val m = p.agg(
+        count(when(col("variant") === 0, 1)).as("n_a"),
+        count(when(col("variant") === 1, 1)).as("n_b"),
+        sum(when(col("variant") === 0, d8(col("value")))).as("sa"),
+        sum(when(col("variant") === 1, d8(col("value")))).as("sb"),
+        sum(when(col("variant") === 0, d8(col("value") * col("value")))).as("ssa"),
+        sum(when(col("variant") === 1, d8(col("value") * col("value")))).as("ssb"))
+      m.select(col("n_a"), col("n_b"),
+          (dbl(col("sa")) / col("n_a")).as("mean_a"),
+          (dbl(col("sb")) / col("n_b")).as("mean_b"),
+          ((dbl(col("ssa")) - dbl(col("sa")) * dbl(col("sa")) / col("n_a")) /
+            (col("n_a") - 1)).as("var_a"),
+          ((dbl(col("ssb")) - dbl(col("sb")) * dbl(col("sb")) / col("n_b")) /
+            (col("n_b") - 1)).as("var_b"))
+        .withColumn("z_welch",
+          (col("mean_a") - col("mean_b")) /
+            sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
+    }),
     "events_asof_join" -> ((spark, sfDir) => {
       val ev = Tables.load(spark, sfDir, "events")
       // one view per (user, ts): makes the at-or-before winner unique, so
@@ -652,6 +713,48 @@ object EventsQueries {
          |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
          |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
          |FROM ($sessionizeSql) s GROUP BY user_id, session_id""".stripMargin,
+    "events_attribution" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, MAX(event_id) AS click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |purch AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |j AS (
+        |  SELECT p.event_id AS purchase_id, p.user_id, p.ts, c.click_id,
+        |         (epoch_us(p.ts) - epoch_us(c.ts)) // 1000 AS gap_ms
+        |  FROM purch p ASOF LEFT JOIN clicks c
+        |    ON c.user_id = p.user_id AND c.ts <= p.ts)
+        |SELECT purchase_id, user_id, ts,
+        |  CASE WHEN gap_ms <= 21600000 THEN click_id END AS click_id,
+        |  CASE WHEN gap_ms <= 21600000 THEN gap_ms END AS gap_ms
+        |FROM j""".stripMargin,
+    "events_ab_test" -> {
+      val hv = graft.functions.Hashing.hash64Sql("CAST(user_id AS VARCHAR)")
+      s"""WITH p AS (
+         |  SELECT $hv % 2 AS variant, value
+         |  FROM events WHERE event_type = 'purchase'),
+         |m AS (
+         |  SELECT
+         |    COUNT(CASE WHEN variant = 0 THEN 1 END) AS n_a,
+         |    COUNT(CASE WHEN variant = 1 THEN 1 END) AS n_b,
+         |    SUM(CASE WHEN variant = 0 THEN CAST(value AS DECIMAL(38,8)) END) AS sa,
+         |    SUM(CASE WHEN variant = 1 THEN CAST(value AS DECIMAL(38,8)) END) AS sb,
+         |    SUM(CASE WHEN variant = 0 THEN CAST(value * value AS DECIMAL(38,8)) END) AS ssa,
+         |    SUM(CASE WHEN variant = 1 THEN CAST(value * value AS DECIMAL(38,8)) END) AS ssb
+         |  FROM p),
+         |s AS (
+         |  SELECT n_a, n_b,
+         |    CAST(sa AS DOUBLE) / n_a AS mean_a,
+         |    CAST(sb AS DOUBLE) / n_b AS mean_b,
+         |    (CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / n_a)
+         |      / (n_a - 1) AS var_a,
+         |    (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / n_b)
+         |      / (n_b - 1) AS var_b
+         |  FROM m)
+         |SELECT n_a, n_b, mean_a, mean_b, var_a, var_b,
+         |  (mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b) AS z_welch
+         |FROM s""".stripMargin
+    },
     "events_asof_join" ->
       """WITH views AS (
         |  SELECT user_id, ts, MAX(event_id) AS view_id,
