@@ -59,6 +59,22 @@ class DeterminismSpec extends SparkTestBase {
       }
   }
 
+  test("final round-3 additions are shuffle-partitioning-invariant") {
+    // triangles/bfs: integer graph counts through multi-join plans;
+    // changepoint: exact decimal cross-multiplied argmax; kmv jaccard:
+    // md5-ordered k-min sets; rrf: integer ranks fused in doubles;
+    // attribution: running-last over a unioned timeline; ab test:
+    // decimal moments to a Welch z
+    Seq("dedup_triangles", "dedup_bfs_hops", "events_changepoint",
+      "sketch_kmv_jaccard", "ann_hybrid_rrf", "events_attribution",
+      "events_ab_test", "mm_video_features")
+      .foreach { q =>
+        val a = repartitioned(2)(q)
+        val b = repartitioned(17)(q)
+        assert(a == b && a.nonEmpty, q)
+      }
+  }
+
   test("late round-3 additions are shuffle-partitioning-invariant") {
     // q17: exact-integer threshold inequality + decimal revenue sum;
     // three-way merge: md5 row fingerprints through two full joins;
