@@ -130,5 +130,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           }
           graft.functions.KmvSketch.KmvDistinct(args.head, k).toAggregateExpression()
         }))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("bottomk_sample"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.SampleSketch.BottomKSample].getName, "bottomk_sample"),
+        (args: Seq[Expression]) => {
+          requireArity("bottomk_sample(value, idstr, k)", args, 3)
+          val k = args(2) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case other => throw new IllegalArgumentException(
+              s"bottomk_sample: k must be an integer literal, got $other")
+          }
+          graft.functions.SampleSketch.BottomKSample(args.head, args(1), k)
+            .toAggregateExpression()
+        }))
   }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.{Hashing, KmvSketch}
+import graft.functions.{Hashing, KmvSketch, SampleSketch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -48,8 +48,34 @@ object SketchQueries {
     // (identical bytes and identical lexicographic order in both engines),
     // so every sketch row and both estimates are engine-exact.
     "sketch_kmv_jaccard" -> ((spark, sfDir) =>
-      kmvSourceJaccard(Tables.load(spark, sfDir, "documents")))
+      kmvSourceJaccard(Tables.load(spark, sfDir, "documents"))),
+    // BOTTOM-K SAMPLE QUANTILES: per-type value quantiles from a fixed
+    // O(k)-state sketch ([[graft.functions.SampleSketch]]) instead of the
+    // full rank-arithmetic pass `events_value_quantiles` runs — at 100 TB
+    // the sample crosses the shuffle as k (hash, value) pairs per group
+    // while the exact pass shuffles every row. n_rows rides along from the
+    // same aggregation, and quantile extraction is relational composition
+    // over the returned sorted array (lower discrete quantile at
+    // 1 + floor(p·(m−1))). The md5-ordered sample is engine-exact, so the
+    // oracle checks the APPROXIMATE quantiles bit-for-bit.
+    "sketch_sample_quantiles" -> ((spark, sfDir) => {
+      def q(p: Double, name: String) =
+        element_at(col("samp"),
+          (floor(lit(p) * (size(col("samp")) - 1)) + 1).cast("int")).as(name)
+      Tables.load(spark, sfDir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          SampleSketch.bottomKSample(col("value"), col("event_id").cast("string"), SampleK)
+            .as("samp"),
+          count(lit(1)).as("n_rows"))
+        .select(col("event_type"), col("n_rows"), size(col("samp")).as("m"),
+          q(0.25, "p25"), q(0.50, "p50"), q(0.75, "p75"), q(0.90, "p90"))
+    })
   )
+
+  /** Sample size for the bottom-k quantile sketch (standard error of a
+    * quantile estimate ~ sqrt(p(1-p)/k) ≈ 4.4% of rank at k=128). */
+  val SampleK = 128
 
   /** Pairwise KMV Jaccard estimates between the `source` groups of a
     * (source, text) frame — see the `sketch_kmv_jaccard` entry for the
@@ -140,6 +166,26 @@ object SketchQueries {
          |FROM kminu u
          |LEFT JOIN kmin ka ON ka.source = u.source_a AND ka.hv = u.hv
          |LEFT JOIN kmin kb ON kb.source = u.source_b AND kb.hv = u.hv
-         |GROUP BY u.source_a, u.source_b""".stripMargin
+         |GROUP BY u.source_a, u.source_b""".stripMargin,
+    "sketch_sample_quantiles" ->
+      s"""WITH h AS (
+         |  SELECT event_type, value,
+         |         ${KmvSketch.hashSql("CAST(event_id AS VARCHAR)")} AS hv
+         |  FROM events),
+         |d AS (SELECT DISTINCT event_type, hv, value FROM h),
+         |r AS (
+         |  SELECT event_type, value,
+         |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv, value) AS rn
+         |  FROM d),
+         |s AS (
+         |  SELECT event_type, list(value ORDER BY value) AS samp, COUNT(*) AS m
+         |  FROM r WHERE rn <= $SampleK GROUP BY event_type),
+         |n AS (SELECT event_type, COUNT(*) AS n_rows FROM events GROUP BY event_type)
+         |SELECT s.event_type, n.n_rows, CAST(s.m AS INT) AS m,
+         |  samp[CAST(1 + floor(0.25 * (s.m - 1)) AS BIGINT)] AS p25,
+         |  samp[CAST(1 + floor(0.50 * (s.m - 1)) AS BIGINT)] AS p50,
+         |  samp[CAST(1 + floor(0.75 * (s.m - 1)) AS BIGINT)] AS p75,
+         |  samp[CAST(1 + floor(0.90 * (s.m - 1)) AS BIGINT)] AS p90
+         |FROM s JOIN n ON s.event_type = n.event_type""".stripMargin
   )
 }

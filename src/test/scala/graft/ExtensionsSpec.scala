@@ -29,6 +29,13 @@ class ExtensionsSpec extends SparkTestBase {
         .createOrReplaceTempView("kv")
       val k = s.sql("SELECT kmv_distinct(x, 16) AS nd FROM kv").collect().head
       assert(k.getLong(0) == 3000L)
+
+      // the bottom-k sample aggregate from plain SQL: n < k → the exact
+      // sorted value set comes back
+      Seq((3.0, "a"), (1.0, "b"), (2.0, "c")).toDF("v", "id")
+        .createOrReplaceTempView("sv")
+      val b = s.sql("SELECT bottomk_sample(v, id, 16) AS samp FROM sv").collect().head
+      assert(b.getSeq[Double](0) == Seq(1.0, 2.0, 3.0))
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)

@@ -192,4 +192,18 @@ class PlanQualitySpec extends SparkTestBase {
       assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2000))
     }
   }
+
+  test("bottom-k sample sketch: partial map-side aggregation, single scan, one shuffle") {
+    val p = SparkEntry.queries("sketch_sample_quantiles")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    // TypedImperativeAggregate plans as ObjectHashAggregate with a partial
+    // pass BEFORE the Exchange — the O(k) state, not the rows, crosses the
+    // shuffle — and a merge pass after
+    assert(p.contains("ObjectHashAggregate"), p.take(2000))
+    assert(p.contains("partial_bottomk_sample"), p.take(2000))
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 Exchange, got $exchanges\n" + p.take(2000))
+    val scans = p.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected 1 scan, got $scans\n" + p.take(2000))
+  }
 }
