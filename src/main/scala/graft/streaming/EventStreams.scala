@@ -142,4 +142,21 @@ object EventStreams {
     q.stop()
     spark.table("graft_tumbling")
   }
+
+  /** Streaming bottom-k sample quantiles: the sketch's merge is a set
+    * union + trim — associative, commutative, AND idempotent-under-
+    * -determinism (re-adding a seen row is a no-op), so the SAME
+    * [[graft.functions.SampleSketch.BottomKSample]] aggregate runs as a
+    * native streaming aggregation with its O(k) buffer as the state-store
+    * value per group. Every micro-batch folds into the standing sample;
+    * the continuously-current quantiles are a deterministic function of
+    * the rows seen so far, so the final table equals the batch answer
+    * exactly (pinned by `StreamingSpec`). */
+  def sampleQuantiles(events: DataFrame, k: Int): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(graft.functions.SampleSketch
+        .bottomKSample(col("value"), col("event_id").cast("string"), k).as("samp"))
+      .select(col("event_type"), size(col("samp")).as("m"),
+        element_at(col("samp"),
+          (floor(lit(0.5) * (size(col("samp")) - 1)) + 1).cast("int")).as("p50"))
 }

@@ -130,4 +130,32 @@ class StreamingSpec extends SparkTestBase {
         r.getAs[Long]("session_id")).toMap
     assert(streamed == batch)
   }
+
+  test("streaming bottom-k sample quantiles converge to the batch sketch exactly") {
+    val k = 64
+    val batchEvents = Tables.load(spark, Sf, "events")
+    val batch = EventStreams.sampleQuantiles(batchEvents, k)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+
+    // feed the events in three chunks: the O(k) sketch state folds each
+    // micro-batch into the standing sample; determinism makes the final
+    // table independent of the chunking
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val df = input.toDS().toDF("event_id", "event_type", "value")
+    val q = EventStreams.sampleQuantiles(df, k)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("graft_samp").start()
+    val rows = batchEvents.select("event_id", "event_type", "value")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    try {
+      rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.table("graft_samp")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
 }
