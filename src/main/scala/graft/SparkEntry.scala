@@ -45,7 +45,8 @@ object SparkEntry {
     "dq_rules_report", "events_rolling_1h",
     "dedup_triangles", "dedup_bfs_hops", "events_changepoint",
     "sketch_kmv_jaccard", "mm_video_features", "ann_hybrid_rrf",
-    "events_attribution", "events_ab_test", "sketch_sample_quantiles")
+    "events_attribution", "events_ab_test", "sketch_sample_quantiles",
+    "dedup_pagerank")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

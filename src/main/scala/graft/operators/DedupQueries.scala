@@ -245,6 +245,13 @@ object DedupQueries {
     // n_triangles).
     "dedup_triangles" -> ((spark, sfDir) =>
       GraphOps.triangleStats(simhashPairs(spark, sfDir))),
+    // PageRank centrality of the near-dup graph in exact scaled-integer
+    // arithmetic ([[GraphOps.pageRank]]) — which documents anchor their
+    // duplicate neighborhoods. Integer floor division each step makes the
+    // 5 power iterations bit-for-bit reproducible in both engines; the
+    // oracle runs the identical recurrence as an unrolled CTE chain.
+    "dedup_pagerank" -> ((spark, sfDir) =>
+      GraphOps.pageRank(simhashPairs(spark, sfDir))),
     // Edit-distance verification of near-dup candidates: the banded
     // SimHash pairs (bounded candidate set — never all-pairs) re-checked
     // by levenshtein over a fixed 80-char prefix. Edit distance is O(n²)
@@ -653,6 +660,26 @@ object DedupQueries {
         |        FROM oriented e1
         |        JOIN oriented e2 ON e2.src = e1.dst
         |        JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst) AS n_triangles""".stripMargin),
+    "dedup_pagerank" -> withSql(
+      Seq("corpus" -> corpusSql) ++ simhashCtes ++ Seq(
+        chunksCte,
+        "pairs" -> simhashPairsSelect,
+        "edges" ->
+          """SELECT doc_a AS src, doc_b AS dst FROM pairs
+            |UNION ALL
+            |SELECT doc_b AS src, doc_a AS dst FROM pairs""".stripMargin,
+        "deg" -> "SELECT src AS id, COUNT(*) AS deg FROM edges GROUP BY src",
+        "s0" -> "SELECT id, CAST(1000000 AS BIGINT) AS score FROM deg") ++
+        (1 to GraphOps.PrIters).map { t =>
+          s"s$t" ->
+            s"""SELECT e.dst AS id,
+               |  150000 + (85 * SUM(s.score // d.deg)) // 100 AS score
+               |FROM edges e
+               |JOIN deg d ON d.id = e.src
+               |JOIN s${t - 1} s ON s.id = e.src
+               |GROUP BY e.dst""".stripMargin
+        },
+      s"SELECT id AS doc_id, CAST(score AS BIGINT) AS pr_micro FROM s${GraphOps.PrIters}"),
     "dedup_cluster_sizes" -> withRecursiveSql(
       Seq("corpus" -> corpusSql) ++ simhashCtes ++ Seq(
         chunksCte,

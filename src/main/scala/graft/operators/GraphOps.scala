@@ -104,4 +104,46 @@ object GraphOps {
       DedupQueries.bfsCtes.map { case (n, q) => s"$n AS (\n$q\n)" }.mkString(",\n") +
       "\n" + DedupQueries.bfsSelect)
   }
+
+  /** PageRank centrality over the undirected graph given by unique pairs
+    * (`doc_a` < `doc_b`), in EXACT scaled-integer arithmetic.
+    *
+    * Scores live in micro-units (1.0 → 1 000 000) and every division is
+    * integer floor division, so each of the [[PrIters]] power-iteration
+    * steps is a deterministic function of the previous one — bit-for-bit
+    * identical in Spark (`DIV`) and DuckDB (`//`), unlike double-typed
+    * PageRank where summation order leaks into the low bits. The
+    * truncation error is bounded by 1 micro-unit per neighbor per step —
+    * irrelevant for ranking, decisive for cross-engine hash equality.
+    *
+    * Per-node damping form: s_{t+1}(v) = 0.15 + 0.85 · Σ_{u→v} s_t(u)/deg(u)
+    * (the un-normalized variant that fixes the base mass per node rather
+    * than dividing by N — ranks identically to the classic form). The
+    * iterations unroll into ONE plan: each step is an equi-join with the
+    * static (edges ⋈ deg) frame plus a keyed aggregation — shuffle keys
+    * stay `id` throughout, so at scale every step reuses the same hash
+    * partitioning. Symmetric edges mean every vertex has deg ≥ 1 and
+    * receives mass every step (no dangling-node special case). */
+  def pageRank(pairs: DataFrame, iters: Int = PrIters): DataFrame = {
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // each step scans edges-with-degree once; persist the static frame
+    val edgesDeg = sym
+      .join(sym.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
+      .persist()
+    var scores = edgesDeg.select(col("src").as("id")).distinct()
+      .withColumn("score", lit(1000000L))
+    (1 to iters).foreach { _ =>
+      scores = edgesDeg
+        .join(scores.select(col("id").as("src"), col("score")), "src")
+        .select(col("dst").as("id"), expr("score DIV deg").as("c"))
+        .groupBy(col("id"))
+        .agg(expr("150000 + (85 * SUM(c)) DIV 100").as("score"))
+    }
+    scores.select(col("id").as("doc_id"), col("score").cast("long").as("pr_micro"))
+  }
+
+  /** Fixed PageRank iteration count — shared by the engine plan and the
+    * unrolled oracle CTE chain. */
+  val PrIters = 5
 }

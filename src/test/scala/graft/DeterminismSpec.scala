@@ -65,9 +65,10 @@ class DeterminismSpec extends SparkTestBase {
     // md5-ordered k-min sets; rrf: integer ranks fused in doubles;
     // attribution: running-last over a unioned timeline; ab test:
     // decimal moments to a Welch z
-    Seq("dedup_triangles", "dedup_bfs_hops", "events_changepoint",
-      "sketch_kmv_jaccard", "ann_hybrid_rrf", "events_attribution",
-      "events_ab_test", "mm_video_features")
+    Seq("dedup_triangles", "dedup_bfs_hops", "dedup_pagerank",
+      "events_changepoint", "sketch_kmv_jaccard", "ann_hybrid_rrf",
+      "events_attribution", "events_ab_test", "mm_video_features",
+      "sketch_sample_quantiles")
       .foreach { q =>
         val a = repartitioned(2)(q)
         val b = repartitioned(17)(q)

@@ -26,6 +26,28 @@ class GraphSketchSpec extends SparkTestBase {
     assert(r.getLong(r.fieldIndex("n_triangles")) == 0L)
   }
 
+  test("pageRank matches an independent integer-recurrence reference on a known graph") {
+    // star {1-2,1-3,1-4} plus an edge {3,4}: hub 1 must outrank everyone,
+    // leaf 2 (degree 1) must rank last; scores checked EXACTLY against a
+    // driver-side replay of the same floor-division recurrence
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val got = GraphOps.pageRank(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (3L, 4L))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = edges.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    var s = deg.map { case (v, _) => v -> 1000000L }
+    (1 to GraphOps.PrIters).foreach { _ =>
+      val prev = s
+      s = edges.groupBy(_._2).map { case (v, in) =>
+        v -> (150000L + 85L * in.map { case (u, _) => prev(u) / deg(u) }.sum / 100L)
+      }
+    }
+    assert(got == s, s"engine=$got reference=$s")
+    assert(got(1L) > got(3L) && got(3L) == got(4L) && got(4L) > got(2L), got.toString)
+  }
+
   test("recursive-CTE BFS: hop distances from %10 seeds, bounded at 4 hops") {
     // chain from seed 10 longer than the hop bound + a separate seed pair;
     // symmetric-edge cycles must not diverge (the hop bound terminates them)
