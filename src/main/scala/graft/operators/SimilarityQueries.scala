@@ -41,6 +41,10 @@ object SimilarityQueries {
   /** ADC shortlist width fed to the exact rerank. */
   val PqShortlist = 50
 
+  /** K-means geometry: [[KmK]] clusters, [[KmIters]] Lloyd iterations. */
+  val KmK = 8
+  val KmIters = 3
+
   /** Synthetic near-dup corpus for the LSH query (embeddings has no dups). */
   val vecCorpusSql: String =
     """SELECT vec_id, embedding FROM embeddings
@@ -126,6 +130,70 @@ object SimilarityQueries {
       .join(assigned.select(col("vec_id").as("neighbor_id"), col("label")), "label")
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"))
+
+  // ---- k-means (Lloyd) -----------------------------------------------
+
+  /** Per-(vector, codeword) quantized L2 against a BROADCAST codebook
+    * (k × Dim rows — tiny at any corpus size): one equi-join on `d`, then
+    * a keyed aggregation. Shared by seeding, every Lloyd step, and the
+    * final report, so the distance arithmetic is defined once. */
+  private def kmDist(comp: DataFrame, codebook: DataFrame): DataFrame =
+    comp.join(broadcast(codebook), "d")
+      .groupBy(col("vec_id"), col("c"))
+      .agg(sum((col("qv") - col("qc")) * (col("qv") - col("qc"))).as("dist2"))
+
+  /** Nearest codeword per vector (codeword-asc tiebreak, exact integers). */
+  private def kmArgmin(dist: DataFrame): DataFrame =
+    dist.groupBy(col("vec_id"))
+      .agg(min(struct(col("dist2"), col("c"))).as("__mc"))
+      .select(col("vec_id"), col("__mc.c").as("cluster"),
+        col("__mc.dist2").as("dist2"))
+
+  /** Full Lloyd k-means over quantized components, every step in exact
+    * scaled-integer arithmetic (the actual trained-clustering stage the
+    * IVF queries model with the `label` column): deterministic hash-first
+    * seeds, then [[iters]] assign/update rounds — assignment is the argmin
+    * quantized L2 against the broadcast codebook (equi-join on `d`, no
+    * nested loop), the update is the floor-mean centroid (empty clusters
+    * keep their previous codeword). All [[iters]] rounds unroll into ONE
+    * lazy plan; per round the data-sized shuffles are the two keyed
+    * aggregations (vec_id and (c, d)), both map-side-combined, and only
+    * O(k × Dim) codebook state crosses rounds. Returns the FINAL
+    * assignment (vec_id, cluster, dist2) against the post-update codebook.
+    *
+    * Cluster means stay < 2^53 (|qv| ≤ ~4e6 × corpus) so the floor of the
+    * IEEE double division is exact; dist2 sums stay in BIGINT at fixture
+    * scales (at 100 TB widen the wcss accumulator to DECIMAL(38,0) — the
+    * per-pair dist2 itself is bounded by Dim × (2·4e6)² ≈ 2^62/corpus). */
+  def kmeansAssign(raw: DataFrame, k: Int = KmK, iters: Int = KmIters): DataFrame = {
+    val comp = quantizedComponents(raw.withColumn("label", lit(0)))
+      .drop("label").persist()
+    val wC = Window.orderBy(col("__h"), col("vec_id"))
+    val seedCodes = raw.select(col("vec_id"))
+      .withColumn("__h", Hashing.hashHex(col("vec_id").cast("string")))
+      .orderBy(col("__h"), col("vec_id")).limit(k)
+      .withColumn("c", (row_number().over(wC) - 1).cast("long"))
+      .select(col("vec_id").as("__sv"), col("c"))
+    var cb = comp.join(broadcast(seedCodes), col("vec_id") === col("__sv"))
+      .select(col("c"), col("d"), col("qv").as("qc"))
+    (1 to iters).foreach { _ =>
+      val assign = kmArgmin(kmDist(comp, cb))
+      val means = assign.join(comp, "vec_id")
+        .groupBy(col("cluster"), col("d"))
+        .agg(floor(sum(col("qv")).cast("double") / count(lit(1))).cast("long").as("qm"))
+      cb = cb.join(means.select(col("cluster").as("c"), col("d"), col("qm")),
+          Seq("c", "d"), "left_outer")
+        .select(col("c"), col("d"), coalesce(col("qm"), col("qc")).as("qc"))
+    }
+    kmArgmin(kmDist(comp, cb))
+  }
+
+  /** Per-cluster readout of [[kmeansAssign]]: size and exact within-cluster
+    * sum of squares — the convergence diagnostic a clustering job reports. */
+  def kmeansSummary(raw: DataFrame, k: Int = KmK, iters: Int = KmIters): DataFrame =
+    kmeansAssign(raw, k, iters)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"), sum(col("dist2")).as("wcss"))
 
   /** Offline IVF index build: write the tiny centroid table (+norms) and
     * the per-vector cluster assignment to `dir` as parquet — the index
@@ -340,6 +408,16 @@ object SimilarityQueries {
       exact.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= TopK)
     }),
+    // K-MEANS proper — the offline clustering stage the IVF queries model
+    // with the pre-labeled `label` column (see ann_ivf_topk's scaladoc):
+    // deterministic hash-seeded Lloyd iterations in exact scaled-integer
+    // arithmetic, reported as per-cluster size + exact WCSS. Everything is
+    // equi-joins against a broadcast O(k × Dim) codebook; the oracle
+    // replays the identical recurrence as an unrolled CTE chain, so even
+    // the ITERATIVE trainer is hash-checked, not smoke-tested. Blob
+    // recovery on separated data is pinned by KmeansSpec.
+    "ann_kmeans" -> ((spark, sfDir) =>
+      kmeansSummary(Tables.load(spark, sfDir, "embeddings"))),
     // HYBRID retrieval (the RAG-serving shape): a lexical leg and a vector
     // leg retrieve top-20 candidates independently, then RECIPROCAL RANK
     // FUSION (rrf = Σ 1/(60+rank)) merges them — the standard fusion rule
@@ -609,6 +687,53 @@ object SimilarityQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
          |                               ORDER BY l2, neighbor_id) AS rank
          |  FROM ex) t WHERE rank <= $TopK""".stripMargin,
+    "ann_kmeans" -> {
+      val iterCtes = (1 to KmIters).flatMap { t =>
+        Seq(
+          s"""dist$t AS (
+             |  SELECT q.vec_id, cb.c,
+             |         CAST(SUM((q.qv - cb.qc) * (q.qv - cb.qc)) AS BIGINT) AS dist2
+             |  FROM qn q JOIN cb${t - 1} cb ON cb.d = q.d
+             |  GROUP BY q.vec_id, cb.c)""".stripMargin,
+          s"""assign$t AS (
+             |  SELECT vec_id, c AS cluster FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+             |                                 ORDER BY dist2, c) AS rn
+             |    FROM dist$t) t$t WHERE rn = 1)""".stripMargin,
+          s"""means$t AS (
+             |  SELECT a.cluster, q.d,
+             |         CAST(floor(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS qm
+             |  FROM assign$t a JOIN qn q ON q.vec_id = a.vec_id
+             |  GROUP BY a.cluster, q.d)""".stripMargin,
+          s"""cb$t AS (
+             |  SELECT p.c, p.d, COALESCE(m.qm, p.qc) AS qc
+             |  FROM cb${t - 1} p LEFT JOIN means$t m ON m.cluster = p.c AND m.d = p.d)""".stripMargin)
+      }.mkString(",\n")
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+         |${qnCte._1} AS (${qnCte._2}),
+         |seeds AS (
+         |  SELECT vec_id AS sv, ROW_NUMBER() OVER (
+         |    ORDER BY ${Hashing.hashHexSql("CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS c
+         |  FROM corpus
+         |  ORDER BY ${Hashing.hashHexSql("CAST(vec_id AS VARCHAR)")}, vec_id
+         |  LIMIT $KmK),
+         |cb0 AS (
+         |  SELECT s.c, q.d, q.qv AS qc
+         |  FROM seeds s JOIN qn q ON q.vec_id = s.sv),
+         |$iterCtes,
+         |distf AS (
+         |  SELECT q.vec_id, cb.c,
+         |         CAST(SUM((q.qv - cb.qc) * (q.qv - cb.qc)) AS BIGINT) AS dist2
+         |  FROM qn q JOIN cb$KmIters cb ON cb.d = q.d
+         |  GROUP BY q.vec_id, cb.c),
+         |af AS (
+         |  SELECT vec_id, c AS cluster, dist2 FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |                                 ORDER BY dist2, c) AS rn
+         |    FROM distf) tf WHERE rn = 1)
+         |SELECT cluster, COUNT(*) AS n_members, CAST(SUM(dist2) AS BIGINT) AS wcss
+         |FROM af GROUP BY cluster""".stripMargin
+    },
     "ann_hybrid_rrf" ->
       s"""WITH hd AS (
          |  SELECT d.doc_id AS id, d.text, e.embedding

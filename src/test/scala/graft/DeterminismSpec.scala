@@ -68,7 +68,7 @@ class DeterminismSpec extends SparkTestBase {
     Seq("dedup_triangles", "dedup_bfs_hops", "dedup_pagerank",
       "events_changepoint", "sketch_kmv_jaccard", "ann_hybrid_rrf",
       "events_attribution", "events_ab_test", "mm_video_features",
-      "sketch_sample_quantiles")
+      "sketch_sample_quantiles", "ann_kmeans")
       .foreach { q =>
         val a = repartitioned(2)(q)
         val b = repartitioned(17)(q)
