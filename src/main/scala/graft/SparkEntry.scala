@@ -19,7 +19,7 @@ object SparkEntry {
     DiffQueries.queries ++ Relational.queries ++ EventsQueries.queries ++
       TextQueries.queries ++ DedupQueries.queries ++ SimilarityQueries.queries ++
       Multimodal.queries ++ RenderQueries.queries ++ SketchQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++ LinkageQueries.queries
 
   /** Headline queries timed by [[Bench]] — one representative per module
     * (the full registry runs in Verify; benching all 42 on a cold JVM
@@ -46,7 +46,7 @@ object SparkEntry {
     "dedup_triangles", "dedup_bfs_hops", "events_changepoint",
     "sketch_kmv_jaccard", "mm_video_features", "ann_hybrid_rrf",
     "events_attribution", "events_ab_test", "sketch_sample_quantiles",
-    "dedup_pagerank", "ann_kmeans")
+    "dedup_pagerank", "ann_kmeans", "er_blocked_matches")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -54,5 +54,5 @@ object SparkEntry {
     DiffQueries.oracleSql ++ Relational.oracleSql ++ EventsQueries.oracleSql ++
       TextQueries.oracleSql ++ DedupQueries.oracleSql ++ SimilarityQueries.oracleSql ++
       Multimodal.oracleSql ++ RenderQueries.oracleSql ++ SketchQueries.oracleSql ++
-      PipelineQueries.oracleSql
+      PipelineQueries.oracleSql ++ LinkageQueries.oracleSql
 }
