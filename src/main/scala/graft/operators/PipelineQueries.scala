@@ -120,6 +120,27 @@ object PipelineQueries {
           sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
           sum(col("__w")).as("sum_weight_permille"))
     }),
+    // FIXED-SIZE weighted sampling without replacement (priority sampling,
+    // Duffield–Lund–Thorup): each doc draws priority = hash/weight — the
+    // cross-ratio computed as an exact integer (40-bit md5 hash × 1e6,
+    // floor-divided by the weight), so heavier docs draw systematically
+    // smaller priorities — and the k SMALLEST priorities per stratum win.
+    // This is the primitive the Bernoulli keep-rate stage above cannot
+    // express: the output size is exactly k per stratum regardless of the
+    // weight distribution. Deterministic (reruns/stragglers/oracle agree),
+    // one window shuffle on the stratum key, WindowGroupLimit prunes to
+    // O(k) rows per stratum before anything wide moves.
+    "pipeline_priority_sample" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("priority"), col("doc_id"))
+      graft.Tables.load(spark, sfDir, "documents")
+        .withColumn("weight", least(lit(900L), greatest(lit(100L), expr("n_chars div 2"))))
+        .withColumn("__h40",
+          expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)),1,10),16,10) AS BIGINT)"))
+        .withColumn("priority", expr("(__h40 * 1000000) DIV weight"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= PrioritySampleK)
+        .select(col("lang"), col("doc_id"), col("weight"), col("priority"), col("rn"))
+    }),
     // Sequence packing (concat-then-chunk): assign each document's first
     // token to a fixed 2048-token training sequence by a running token
     // count WITHIN each source shard — packing is per-shard, so no global
@@ -157,6 +178,9 @@ object PipelineQueries {
   )
 
   val SeqLen = 2048
+
+  /** Per-stratum size of the priority sample. */
+  val PrioritySampleK = 20
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_clean_corpus" ->
@@ -222,6 +246,19 @@ object PipelineQueries {
          |  CAST(SUM(CASE WHEN hd < w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  CAST(SUM(w) AS BIGINT) AS sum_weight_permille
          |FROM t GROUP BY lang""".stripMargin,
+    "pipeline_priority_sample" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    CAST(least(900, greatest(100, n_chars // 2)) AS BIGINT) AS weight,
+         |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),1,10)) AS BIGINT) AS h40
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, lang, weight, (h40 * 1000000) // weight AS priority FROM t)
+         |SELECT lang, doc_id, weight, priority, rn FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY priority, doc_id) AS BIGINT) AS rn
+         |  FROM p) q
+         |WHERE rn <= $PrioritySampleK""".stripMargin,
     "pipeline_pack_sequences" ->
       s"""WITH t AS (
          |  SELECT doc_id, source,

@@ -55,4 +55,21 @@ class PipelineOpsSpec extends SparkTestBase {
     }
     assert(g.exists(!_._4)) // the fixture actually has gaps
   }
+
+  test("priority sample: exactly k per stratum, biased toward heavier docs") {
+    val sample = SparkEntry.queries("pipeline_priority_sample")(spark, Sf)
+      .select("lang", "weight").as[(String, Long)].collect()
+    val perLang = sample.groupBy(_._1).view.mapValues(_.length).toMap
+    perLang.values.foreach(n =>
+      assert(n == operators.PipelineQueries.PrioritySampleK, perLang.toString))
+    // priority = hash/weight makes heavier docs win systematically: the
+    // sample's mean weight must exceed the corpus mean (deterministic on
+    // the fixture — both sides are exact)
+    val sampleMean = sample.map(_._2).sum.toDouble / sample.length
+    val corpusMean = Tables.load(spark, Sf, "documents")
+      .selectExpr("CAST(least(900, greatest(100, n_chars div 2)) AS BIGINT)")
+      .as[Long].collect()
+    assert(sampleMean > corpusMean.sum.toDouble / corpusMean.length,
+      s"sample mean $sampleMean not above corpus mean")
+  }
 }
