@@ -168,6 +168,29 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("late round-3 families: equi-joins only, never nested-loop/cartesian") {
+    // k-means (iterative trainer), PageRank (power iterations), blocked
+    // record linkage, and the priority sample: each must plan every join
+    // as an equi-join — a nested loop anywhere means blocking/broadcast
+    // discipline silently broke
+    for (q <- Seq("ann_kmeans", "dedup_pagerank", "er_blocked_matches",
+        "pipeline_priority_sample")) {
+      val p = SparkEntry.queries(q)(spark, Sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        q + ": " + p.take(2000))
+    }
+  }
+
+  test("k-means: the codebook side of every distance join broadcasts") {
+    val p = SparkEntry.queries("ann_kmeans")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    // every Lloyd step joins components against the O(k·Dim) codebook —
+    // those must be broadcast hash joins (component side never re-shuffles
+    // for the join), plus the final report aggregation
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
   test("dq report: all row-level rules evaluate in one aggregation pass") {
     val p = SparkEntry.queries("dq_rules_report")(spark, Sf)
       .queryExecution.executedPlan.toString
