@@ -29,8 +29,11 @@ object GraphOps {
     * component — a deterministic labeling, independent of partitioning and
     * round count. Fails loudly if `maxIter` rounds don't converge. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // pin the (possibly expensive) edge generator: the symmetric union
+    // below references it twice
+    val e0 = edges.select(col("src"), col("dst")).persist()
+    val sym = e0.select(col("src"), col("dst"))
+      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .persist()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -61,7 +64,7 @@ object GraphOps {
       iter += 1
     }
     require(converged, s"connectedComponents: no convergence in $maxIter rounds")
-    sym.unpersist()
+    sym.unpersist(); e0.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("component_id"))
   }
 
@@ -125,8 +128,12 @@ object GraphOps {
     * partitioning. Symmetric edges mean every vertex has deg ≥ 1 and
     * receives mass every step (no dangling-node special case). */
   def pageRank(pairs: DataFrame, iters: Int = PrIters): DataFrame = {
-    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // the pair generator (banded near-dup candidates) is the expensive
+    // input and is referenced twice below (edge side + degree side of the
+    // union) — pin it so building the static frame runs it ONCE
+    val p = pairs.select(col("doc_a"), col("doc_b")).persist()
+    val sym = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
     // each step scans edges-with-degree once; persist the static frame
     val edgesDeg = sym
       .join(sym.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
