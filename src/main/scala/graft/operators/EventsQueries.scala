@@ -553,6 +553,37 @@ object EventsQueries {
           sum(clipped.cast("decimal(38,8)")).cast("double").as("winsorized_sum"),
           sum(when(col("value") < col("lo") || col("value") > col("hi"), 1L)
             .otherwise(0L)).as("n_clipped"))
+    }),
+    // Seasonal-baseline forecasting with a BACKTEST — the ops-monitoring
+    // primitive behind "is today's metric abnormal for this hour": the
+    // per-(type, hour-of-day) mean over a training window becomes the
+    // forecast for a held-out test window, and the report is the exact
+    // integer MAE of that forecast. Values quantize to micro-units
+    // (floor(v·1e6 + 0.5), the QuantizedVec convention) so means (floor
+    // division) and absolute errors are engine-exact; the train/test cut
+    // derives from MAX(day) lazily (broadcast scalar frame, no driver
+    // action). One aggregation per side + a broadcast-sized baseline join.
+    "events_seasonal_forecast" -> ((spark, sfDir) => {
+      val ev = Tables.load(spark, sfDir, "events").select(
+          col("event_type"),
+          expr("CAST(datediff(ts, DATE'2024-01-01') AS BIGINT)").as("day"),
+          expr("(unix_micros(ts) div 3600000000) % 24").as("hod"),
+          expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("q"))
+        .crossJoin(broadcast(
+          Tables.load(spark, sfDir, "events")
+            .agg((max(expr("CAST(datediff(ts, DATE'2024-01-01') AS BIGINT)")) - 1L)
+              .as("__cut"))))
+        .persist() // train + test both scan the bucketed frame
+      val baseline = ev.filter(col("day") < col("__cut"))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(expr("SUM(q) DIV COUNT(1)").as("forecast_micro"))
+      ev.filter(col("day") >= col("__cut"))
+        .join(broadcast(baseline), Seq("event_type", "hod"))
+        .select(col("event_type"), abs(col("q") - col("forecast_micro")).as("err"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_test"),
+          expr("SUM(err) DIV COUNT(1)").as("mae_micro"),
+          max(col("err")).as("max_err_micro"))
     })
   )
 
@@ -898,6 +929,24 @@ object EventsQueries {
         |  MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT)) THEN value END) AS p50,
         |  MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.9 * n) AS BIGINT)) THEN value END) AS p90,
         |  MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.99 * n) AS BIGINT)) THEN value END) AS p99
-        |FROM r GROUP BY event_type""".stripMargin
+        |FROM r GROUP BY event_type""".stripMargin,
+    "events_seasonal_forecast" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |         CAST(datediff('day', DATE '2024-01-01', ts) AS BIGINT) AS day,
+        |         (epoch_us(ts) // 3600000000) % 24 AS hod,
+        |         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS q
+        |  FROM events),
+        |cut AS (SELECT MAX(day) - 1 AS c FROM ev),
+        |baseline AS (
+        |  SELECT event_type, hod,
+        |         CAST(SUM(q) AS BIGINT) // COUNT(*) AS forecast_micro
+        |  FROM ev, cut WHERE day < c GROUP BY event_type, hod),
+        |test AS (SELECT event_type, hod, q FROM ev, cut WHERE day >= c)
+        |SELECT t.event_type, COUNT(*) AS n_test,
+        |  CAST(SUM(ABS(t.q - b.forecast_micro)) AS BIGINT) // COUNT(*) AS mae_micro,
+        |  CAST(MAX(ABS(t.q - b.forecast_micro)) AS BIGINT) AS max_err_micro
+        |FROM test t JOIN baseline b USING (event_type, hod)
+        |GROUP BY t.event_type""".stripMargin
   )
 }

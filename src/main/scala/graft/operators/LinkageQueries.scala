@@ -87,6 +87,25 @@ object LinkageQueries {
     // corruption — the audit table an ER pipeline hands downstream.
     "er_blocked_matches" -> ((spark, sfDir) =>
       matches(Tables.load(spark, sfDir, "customer"))),
+    // SURVIVORSHIP (golden-record construction) — the second half of MDM:
+    // matched records take every field from the authoritative clean side;
+    // unmatched records keep their corrupted fields, flagged provisional
+    // so downstream consumers see data lineage, not silent guesses. One
+    // key equi-join onto the match table; at scale this is the
+    // delta-sized repair pass that runs after each linkage batch.
+    "er_golden_records" -> ((spark, sfDir) => {
+      val customers = Tables.load(spark, sfDir, "customer")
+      matches(customers)
+        .join(dirtySide(customers), Seq("dirty_id"))
+        .join(customers.select(col("c_custkey").as("matched_key"), col("c_name"),
+          col("c_nationkey"), col("c_acctbal")), Seq("matched_key"), "left_outer")
+        .select(col("dirty_id"),
+          coalesce(col("c_name"), col("name_d")).as("name"),
+          coalesce(col("c_nationkey"), col("nation_d")).as("nationkey"),
+          coalesce(col("c_acctbal"), col("bal_d")).as("acctbal"),
+          when(col("matched_key").isNull, "provisional").otherwise("linked")
+            .as("provenance"))
+    }),
     // Exact-integer precision/recall readout: the planted ground truth
     // makes match quality a VERIFIABLE output (is_correct is known), so
     // the oracle hash-checks the evaluation itself.
@@ -131,6 +150,17 @@ object LinkageQueries {
     "er_blocked_matches" ->
       s"""$matchesSql
          |SELECT dirty_id, matched_key, lev, is_correct FROM outcome""".stripMargin,
+    "er_golden_records" ->
+      s"""$matchesSql
+         |SELECT m.dirty_id,
+         |       COALESCE(c.c_name, d.name_d) AS name,
+         |       COALESCE(c.c_nationkey, d.nation_d) AS nationkey,
+         |       COALESCE(c.c_acctbal, d.bal_d) AS acctbal,
+         |       CASE WHEN m.matched_key IS NULL THEN 'provisional' ELSE 'linked' END
+         |         AS provenance
+         |FROM outcome m
+         |JOIN dirty d ON d.dirty_id = m.dirty_id
+         |LEFT JOIN customer c ON c.c_custkey = m.matched_key""".stripMargin,
     "er_match_quality" ->
       s"""$matchesSql
          |SELECT COUNT(*) AS n_records,

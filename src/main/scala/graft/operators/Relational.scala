@@ -418,6 +418,35 @@ object Relational {
         .agg(count(lit(1)).as("n_baskets"))
         .filter(col("n_baskets") >= 2)
     }),
+    // Association rules on top of the basket pairs: support, directional
+    // confidence, and lift as EXACT per-mille integers (cross-multiplied
+    // rationals, no doubles anywhere). The item-count and basket-total
+    // sides broadcast (|items| and 1 row); the only data-sized work is the
+    // same basket self-join the pair query already bounds. At 100 TB the
+    // item-count side switches to a shuffle join if |items| outgrows the
+    // broadcast threshold — the plan shape is otherwise unchanged.
+    "q_association_rules" -> ((spark, sfDir) => {
+      val li = Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .persist() // basket totals, item counts, and both pair legs scan it
+      val nb = li.select(col("l_orderkey")).distinct()
+        .agg(count(lit(1)).as("n_baskets"))
+      val ic = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      a.join(b, "l_orderkey").filter(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+        .join(broadcast(ic.select(col("l_partkey").as("part_a"),
+          col("n_item").as("n_a"))), "part_a")
+        .join(broadcast(ic.select(col("l_partkey").as("part_b"),
+          col("n_item").as("n_b"))), "part_b")
+        .crossJoin(broadcast(nb))
+        .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("(n_ab * 1000) DIV n_a").as("conf_a_to_b_permille"),
+          expr("(n_ab * 1000) DIV n_b").as("conf_b_to_a_permille"),
+          expr("(n_ab * n_baskets * 1000) DIV (n_a * n_b)").as("lift_permille"))
+    }),
     "q_rollup" -> ((spark, sfDir) =>
       Tables.load(spark, sfDir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
@@ -1008,6 +1037,23 @@ object Relational {
         |FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY part_a, part_b
         |HAVING COUNT(*) >= 2""".stripMargin,
+    "q_association_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM li),
+        |ic AS (SELECT l_partkey, COUNT(*) AS n_item FROM li GROUP BY l_partkey),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_ab
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY part_a, part_b
+        |  HAVING COUNT(*) >= 2)
+        |SELECT part_a, part_b, n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+        |  (n_ab * 1000) // ia.n_item AS conf_a_to_b_permille,
+        |  (n_ab * 1000) // ib.n_item AS conf_b_to_a_permille,
+        |  (n_ab * nb.n_baskets * 1000) // (ia.n_item * ib.n_item) AS lift_permille
+        |FROM pairs
+        |JOIN ic ia ON ia.l_partkey = pairs.part_a
+        |JOIN ic ib ON ib.l_partkey = pairs.part_b
+        |CROSS JOIN nb""".stripMargin,
     "q_rollup" ->
       s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
          |  ${decSum4("o_totalprice")} AS total

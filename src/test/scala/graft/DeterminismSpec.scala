@@ -68,7 +68,9 @@ class DeterminismSpec extends SparkTestBase {
     Seq("dedup_triangles", "dedup_bfs_hops", "dedup_pagerank",
       "events_changepoint", "sketch_kmv_jaccard", "ann_hybrid_rrf",
       "events_attribution", "events_ab_test", "mm_video_features",
-      "sketch_sample_quantiles", "ann_kmeans")
+      "sketch_sample_quantiles", "ann_kmeans", "er_blocked_matches",
+      "events_seasonal_forecast", "q_association_rules",
+      "pipeline_priority_sample")
       .foreach { q =>
         val a = repartitioned(2)(q)
         val b = repartitioned(17)(q)

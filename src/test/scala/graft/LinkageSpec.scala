@@ -31,6 +31,24 @@ class LinkageSpec extends SparkTestBase {
     assert(out(13L) == (None, None), out.toString)          // blocking miss
   }
 
+  test("golden records: matched rows take clean fields, misses stay provisional") {
+    import graft.operators.LinkageQueries.{dirtySide, matches}
+    import org.apache.spark.sql.functions._
+    val golden = matches(customers)
+      .join(dirtySide(customers), Seq("dirty_id"))
+      .join(customers.select(col("c_custkey").as("matched_key"), col("c_name"),
+        col("c_nationkey"), col("c_acctbal")), Seq("matched_key"), "left_outer")
+      .select(col("dirty_id"),
+        coalesce(col("c_name"), col("name_d")).as("name"),
+        when(col("matched_key").isNull, "provisional").otherwise("linked").as("prov"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    // matched rows are REPAIRED to the authoritative clean name
+    assert(golden(5L) == ("Customer#000000005", "linked"), golden.toString)
+    assert(golden(11L) == ("Customer#000000011", "linked"), golden.toString)
+    // the blocking miss keeps its corrupted name, flagged provisional
+    assert(golden(13L) == ("Cusomer#000000013", "provisional"), golden.toString)
+  }
+
   test("band-boundary jitter cannot lose a true pair") {
     // bal 498 + jitter (custkey 6 % 7 = 6) crosses the 500 band boundary:
     // the ±1 band explosion must still block the true pair together
