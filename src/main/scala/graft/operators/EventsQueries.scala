@@ -564,15 +564,11 @@ object EventsQueries {
     // derives from MAX(day) lazily (broadcast scalar frame, no driver
     // action). One aggregation per side + a broadcast-sized baseline join.
     "events_seasonal_forecast" -> ((spark, sfDir) => {
-      val ev = Tables.load(spark, sfDir, "events").select(
-          col("event_type"),
-          expr("CAST(datediff(ts, DATE'2024-01-01') AS BIGINT)").as("day"),
-          expr("(unix_micros(ts) div 3600000000) % 24").as("hod"),
-          expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("q"))
+      val ev = seasonalBucketed(Tables.load(spark, sfDir, "events"))
+        .select(col("event_type"), col("day"), col("hod"), col("q"))
         .crossJoin(broadcast(
-          Tables.load(spark, sfDir, "events")
-            .agg((max(expr("CAST(datediff(ts, DATE'2024-01-01') AS BIGINT)")) - 1L)
-              .as("__cut"))))
+          seasonalBucketed(Tables.load(spark, sfDir, "events"))
+            .agg((max(col("day")) - 1L).as("__cut"))))
         .persist() // train + test both scan the bucketed frame
       val baseline = ev.filter(col("day") < col("__cut"))
         .groupBy(col("event_type"), col("hod"))
@@ -586,6 +582,22 @@ object EventsQueries {
           max(col("err")).as("max_err_micro"))
     })
   )
+
+  /** (type, day, hour-of-day, micro-unit value) bucketing shared by the
+    * seasonal-forecast family — batch backtest, offline baseline build,
+    * and the streaming anomaly scorer all derive from the same columns. */
+  def seasonalBucketed(events: DataFrame): DataFrame = events.select(
+    col("*"),
+    expr("CAST(datediff(ts, DATE'2024-01-01') AS BIGINT)").as("day"),
+    expr("(unix_micros(ts) div 3600000000) % 24").as("hod"),
+    expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)").as("q"))
+
+  /** Per-(type, hour-of-day) floor-division mean over ALL given events —
+    * the offline-trained baseline the streaming scorer joins against. */
+  def seasonalBaseline(events: DataFrame): DataFrame =
+    seasonalBucketed(events)
+      .groupBy(col("event_type"), col("hod"))
+      .agg(expr("SUM(q) DIV COUNT(1)").as("forecast_micro"))
 
   private val sessionizeSql: String =
     s"""SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id

@@ -152,6 +152,40 @@ object EventStreams {
     * the continuously-current quantiles are a deterministic function of
     * the rows seen so far, so the final table equals the batch answer
     * exactly (pinned by `StreamingSpec`). */
+  /** Streaming twin of the seasonal-forecast family's SERVING path: live
+    * events score against a STATIC per-(type, hour-of-day) baseline frame
+    * (trained offline — [[graft.operators.EventsQueries.seasonalBaseline]])
+    * via a stream-static equi-join, and events whose micro-unit deviation
+    * exceeds `thresholdMicro` emit as anomalies. Stream-static joins keep
+    * NO join state (the tiny baseline re-broadcasts per micro-batch), so
+    * this is the zero-state anomaly monitor a 100 TB/day event feed wants:
+    * scoring is a stateless projection + filter at scan parallelism.
+    * Equality with the batch scorer over the same input is pinned by
+    * `StreamingSpec`. */
+  def seasonalAnomaly(events: DataFrame, baseline: DataFrame,
+      thresholdMicro: Long): DataFrame =
+    events
+      .withColumn("hod", expr("(unix_micros(ts) div 3600000000) % 24"))
+      .withColumn("q", expr("CAST(floor(value * 1000000 + 0.5) AS BIGINT)"))
+      .join(broadcast(baseline), Seq("event_type", "hod"))
+      .filter(abs(col("q") - col("forecast_micro")) > thresholdMicro)
+      .select(col("event_id"), col("event_type"), col("hod"),
+        (col("q") - col("forecast_micro")).as("deviation_micro"))
+
+  /** Convenience: run [[seasonalAnomaly]] over a bounded parquet-backed
+    * stream to completion. */
+  def runSeasonalAnomalyOnce(spark: SparkSession, eventsDir: String,
+      schema: org.apache.spark.sql.types.StructType, baseline: DataFrame,
+      thresholdMicro: Long): DataFrame = {
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val q = seasonalAnomaly(stream, baseline, thresholdMicro)
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("graft_seasonal_anomaly").start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table("graft_seasonal_anomaly")
+  }
+
   def sampleQuantiles(events: DataFrame, k: Int): DataFrame =
     events.groupBy(col("event_type"))
       .agg(graft.functions.SampleSketch

@@ -25,6 +25,23 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("stream-static seasonal anomaly == batch scorer over the same input") {
+    val batchEvents = Tables.load(spark, Sf, "events")
+    val baseline = graft.operators.EventsQueries.seasonalBaseline(batchEvents).persist()
+    val threshold = 50000000L // 50 value units in micro-units
+    // the same stateless scorer executed as a plain batch query...
+    val batch = EventStreams.seasonalAnomaly(batchEvents, baseline, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    // ...must equal its STREAMING execution over the same rows
+    val dir = java.nio.file.Files.createTempDirectory("graft_anom_in")
+    batchEvents.write.mode("overwrite").parquet(dir.toString)
+    val streamed = EventStreams.runSeasonalAnomalyOnce(spark, dir.toString,
+        batchEvents.schema, baseline, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    baseline.unpersist()
+  }
+
   test("stream-stream interval join == oracle-checked batch interval join") {
     val batchEvents = Tables.load(spark, Sf, "events")
     val batch = EventsQueries.queries("events_interval_join")(spark, Sf)
