@@ -252,6 +252,15 @@ object DedupQueries {
     // oracle runs the identical recurrence as an unrolled CTE chain.
     "dedup_pagerank" -> ((spark, sfDir) =>
       GraphOps.pageRank(simhashPairs(spark, sfDir))),
+    // Label-propagation communities over the near-dup graph — the
+    // mode-label refinement of dedup_components: a bridge edge between two
+    // dense clumps no longer merges them, because one cross-label neighbor
+    // is outvoted. Fixed synchronous rounds with (count DESC, label ASC)
+    // argmax make the trainer deterministic and cross-engine hash-exact
+    // ([[GraphOps.labelPropagation]]); the oracle replays the identical
+    // recurrence as an unrolled CTE chain.
+    "dedup_label_prop" -> ((spark, sfDir) =>
+      GraphOps.labelPropagation(simhashPairs(spark, sfDir))),
     // Edit-distance verification of near-dup candidates: the banded
     // SimHash pairs (bounded candidate set — never all-pairs) re-checked
     // by levenshtein over a fixed 80-char prefix. Edit distance is O(n²)
@@ -680,6 +689,27 @@ object DedupQueries {
                |GROUP BY e.dst""".stripMargin
         },
       s"SELECT id AS doc_id, CAST(score AS BIGINT) AS pr_micro FROM s${GraphOps.PrIters}"),
+    "dedup_label_prop" -> withSql(
+      Seq("corpus" -> corpusSql) ++ simhashCtes ++ Seq(
+        chunksCte,
+        "pairs" -> simhashPairsSelect,
+        "edges" ->
+          """SELECT doc_a AS src, doc_b AS dst FROM pairs
+            |UNION ALL
+            |SELECT doc_b AS src, doc_a AS dst FROM pairs""".stripMargin,
+        "lp0" -> "SELECT DISTINCT src AS id, src AS label FROM edges") ++
+        (1 to GraphOps.LpIters).map { t =>
+          s"lp$t" ->
+            s"""SELECT id, label FROM (
+               |  SELECT id, label,
+               |    ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+               |  FROM (
+               |    SELECT e.dst AS id, l.label, COUNT(*) AS c
+               |    FROM edges e JOIN lp${t - 1} l ON l.id = e.src
+               |    GROUP BY e.dst, l.label) cnt) ranked
+               |WHERE rn = 1""".stripMargin
+        },
+      s"SELECT id AS doc_id, label AS community_id FROM lp${GraphOps.LpIters}"),
     "dedup_cluster_sizes" -> withRecursiveSql(
       Seq("corpus" -> corpusSql) ++ simhashCtes ++ Seq(
         chunksCte,

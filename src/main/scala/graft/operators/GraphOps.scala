@@ -153,4 +153,53 @@ object GraphOps {
   /** Fixed PageRank iteration count — shared by the engine plan and the
     * unrolled oracle CTE chain. */
   val PrIters = 5
+
+  /** Label-propagation community detection over the undirected graph given
+    * by unique pairs (`doc_a` < `doc_b`) — the MODE-based refinement of
+    * [[connectedComponents]]: where components answer "what is reachable",
+    * LPA answers "what clumps densely" (a bridge edge between two near-
+    * cliques leaves them in distinct communities because a single
+    * cross-label neighbor is outvoted).
+    *
+    * Synchronous updates, [[LpIters]] rounds unrolled into ONE lazy plan:
+    * every vertex starts labeled with its own id; each round each vertex
+    * adopts the most frequent label among its NEIGHBORS, ties broken by
+    * the smallest label. The (frequency DESC, label ASC) argmax makes each
+    * round a deterministic function of the previous one — no dependence on
+    * partitioning, task order, or hash seeds — so the whole trainer is
+    * hash-checkable against the oracle's unrolled CTE replay, exactly like
+    * [[pageRank]]. Fixed rounds (not convergence-checked) keep the plan
+    * action-free; synchronous LPA can oscillate on bipartite-ish graphs,
+    * but a fixed horizon makes even an oscillation deterministic.
+    *
+    * Scale: each round is an equi-join with the static symmetric edge
+    * frame (persisted — built once) plus a two-level aggregation, all
+    * keyed by vertex id, so every round reuses the same hash partitioning.
+    * The (id,label) count feeds a `max_by(label, (count, -label))` hash
+    * aggregation — no sort-based window in the loop. */
+  def labelPropagation(pairs: DataFrame, iters: Int = LpIters): DataFrame = {
+    // the pair generator (banded near-dup candidates) is referenced twice
+    // by the symmetric union — pin it so it runs once
+    val p = pairs.select(col("doc_a"), col("doc_b")).persist()
+    val sym = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist() // every round scans it
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    (1 to iters).foreach { _ =>
+      labels = sym
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(max_by(col("label"), struct(col("c"), (-col("label")).as("nl")))
+          .as("label"))
+        .select(col("dst").as("id"), col("label"))
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("community_id"))
+  }
+
+  /** Fixed label-propagation round count — shared by the engine plan and
+    * the unrolled oracle CTE chain. Dup clusters are near-cliques of tiny
+    * diameter; 4 synchronous rounds are past their fixpoint. */
+  val LpIters = 4
 }

@@ -83,10 +83,12 @@ class DeterminismSpec extends SparkTestBase {
     // three-way merge: md5 row fingerprints through two full joins;
     // incremental agg: decimal base+delta fold; novelty: exact rational;
     // ranks: tie-stable rank/dense_rank/cume_dist
+    // label_prop: (count DESC, label ASC) argmax rounds — the tie order,
+    // not arrival order, decides every adopted label
     Seq("q17_small_qty", "diff_three_way", "diff_incremental_agg",
       "text_novelty", "q_window_ranks", "profile_orders",
       "dedup_containment", "events_dau_wau", "events_paths",
-      "pipeline_epoch_shuffle")
+      "pipeline_epoch_shuffle", "dedup_label_prop")
       .foreach { q =>
         val a = repartitioned(2)(q)
         val b = repartitioned(17)(q)

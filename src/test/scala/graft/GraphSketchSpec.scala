@@ -48,6 +48,41 @@ class GraphSketchSpec extends SparkTestBase {
     assert(got(1L) > got(3L) && got(3L) == got(4L) && got(4L) > got(2L), got.toString)
   }
 
+  test("labelPropagation splits a bridged barbell that connectedComponents merges") {
+    // two triangles {1,2,3} and {4,5,6} joined by the bridge edge (3,4):
+    // one reachability component, but LPA's neighbor-majority vote must
+    // keep them as TWO communities (the single cross-label neighbor is
+    // outvoted). Labels checked EXACTLY against a driver-side replay of
+    // the same (count DESC, label ASC) argmax recurrence.
+    val pairList = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L))
+    val got = GraphOps.labelPropagation(pairList.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val nbrs = pairList.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var l = nbrs.keys.map(v => v -> v).toMap
+    (1 to GraphOps.LpIters).foreach { _ =>
+      val prev = l
+      l = nbrs.map { case (v, ns) =>
+        v -> ns.map(prev).groupBy(identity).toSeq
+          .map { case (lab, os) => (lab, os.size) }
+          .minBy { case (lab, c) => (-c, lab) }._1
+      }
+    }
+    assert(got == l, s"engine=$got reference=$l")
+    assert(Set(1L, 2L, 3L).map(got) != Set(4L, 5L, 6L).map(got),
+      s"bridge must not merge the two triangles: $got")
+    assert(Set(1L, 2L, 3L).map(got).size == 1 && Set(4L, 5L, 6L).map(got).size == 1,
+      s"each triangle must agree on one label: $got")
+    // contrast: reachability puts everything in one component
+    val cc = GraphOps.connectedComponents(
+      pairList.toDF("doc_a", "doc_b")
+        .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      .collect().map(_.getLong(1)).toSet
+    assert(cc.size == 1)
+  }
+
   test("recursive-CTE BFS: hop distances from %10 seeds, bounded at 4 hops") {
     // chain from seed 10 longer than the hop bound + a separate seed pair;
     // symmetric-edge cycles must not diverge (the hop bound terminates them)
