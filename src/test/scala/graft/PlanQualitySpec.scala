@@ -174,7 +174,7 @@ class PlanQualitySpec extends SparkTestBase {
     // as an equi-join — a nested loop anywhere means blocking/broadcast
     // discipline silently broke
     for (q <- Seq("ann_kmeans", "dedup_pagerank", "er_blocked_matches",
-        "pipeline_priority_sample")) {
+        "pipeline_priority_sample", "dedup_label_prop")) {
       val p = SparkEntry.queries(q)(spark, Sf)
         .queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
