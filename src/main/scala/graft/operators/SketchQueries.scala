@@ -58,6 +58,40 @@ object SketchQueries {
     // over the returned sorted array (lower discrete quantile at
     // 1 + floor(p·(m−1))). The md5-ordered sample is engine-exact, so the
     // oracle checks the APPROXIMATE quantiles bit-for-bit.
+    // COUNT-MIN FREQUENCY SKETCH: completes the mergeable-sketch trio
+    // (KMV = distinct counts, bottom-k = quantiles, CMS = frequencies).
+    // The sketch is d×w COUNTERS — a plain (row_j, bucket) hash
+    // aggregation over the token stream, so it partial-aggregates
+    // map-side and crosses the shuffle as ≤ d·w rows TOTAL regardless of
+    // corpus size; per-term estimates then need only the O(d·w) sketch
+    // (broadcast) joined against the probe terms: at 100 TB the exact
+    // global term counts this replaces would shuffle the full vocabulary.
+    // Estimates report NEXT TO the exact counts (one-sided error:
+    // est ≥ exact always, overshoot ≤ εN with ε ≈ 2/w), and md5-derived
+    // bucket hashes make the whole sketch a deterministic function of the
+    // input multiset — the DuckDB oracle replays it bit-for-bit.
+    "sketch_cms_terms" -> ((spark, sfDir) => {
+      def buckets(term: org.apache.spark.sql.Column) = explode(array(
+        (0 until CmsD).map(j => struct(lit(j).as("row_j"),
+          (Hashing.hash64(concat_ws(":", lit(j.toString), term)) % CmsW)
+            .as("bucket"))): _*)).as("e")
+      val tok = Tables.load(spark, sfDir, "documents")
+        .select(explode(Hashing.tokens(col("text"))).as("term"))
+        .persist() // sketch build + exact-count probes both scan it
+      val sketch = tok.select(buckets(col("term")))
+        .groupBy(col("e.row_j").as("row_j"), col("e.bucket").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val probes = tok.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+        .withColumn("__rn", row_number().over(
+          Window.orderBy(col("exact_cnt").desc, col("term"))))
+        .filter(col("__rn") <= CmsProbes)
+        .select(col("term"), col("exact_cnt"))
+      probes.select(col("term"), col("exact_cnt"), buckets(col("term")))
+        .select(col("term"), col("exact_cnt"), col("e.row_j"), col("e.bucket"))
+        .join(broadcast(sketch), Seq("row_j", "bucket"))
+        .groupBy(col("term"), col("exact_cnt"))
+        .agg(min(col("c")).as("cms_est"))
+    }),
     "sketch_sample_quantiles" -> ((spark, sfDir) => {
       def q(p: Double, name: String) =
         element_at(col("samp"),
@@ -76,6 +110,16 @@ object SketchQueries {
   /** Sample size for the bottom-k quantile sketch (standard error of a
     * quantile estimate ~ sqrt(p(1-p)/k) ≈ 4.4% of rank at k=128). */
   val SampleK = 128
+
+  /** Count-Min depth (independent hash rows) and width (buckets per row):
+    * overshoot ≤ (2/width)·N with probability 1 − (1/2)^depth. */
+  val CmsD = 4
+  val CmsW = 512
+
+  /** Probe count for the CMS readout: the exact top-N terms, so the
+    * oracle row set exercises the estimator exactly where a heavy-hitter
+    * pipeline would read it. */
+  val CmsProbes = 20
 
   /** Pairwise KMV Jaccard estimates between the `source` groups of a
     * (source, text) frame — see the `sketch_kmv_jaccard` entry for the
@@ -167,6 +211,30 @@ object SketchQueries {
          |LEFT JOIN kmin ka ON ka.source = u.source_a AND ka.hv = u.hv
          |LEFT JOIN kmin kb ON kb.source = u.source_b AND kb.hv = u.hv
          |GROUP BY u.source_a, u.source_b""".stripMargin,
+    "sketch_cms_terms" -> {
+      def bucketSql(jExpr: String, termExpr: String) =
+        s"CAST(concat('0x', substr(md5(CAST(concat($jExpr, ':', $termExpr) " +
+          s"AS VARCHAR)),1,15)) AS BIGINT) % $CmsW"
+      s"""WITH tok AS (
+         |  SELECT unnest(${Hashing.tokensSql("text")}) AS term FROM documents),
+         |js AS (SELECT unnest([${(0 until CmsD).mkString(",")}]) AS row_j),
+         |sketch AS (
+         |  SELECT row_j, ${bucketSql("row_j", "term")} AS bucket, COUNT(*) AS c
+         |  FROM tok CROSS JOIN js GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT term, exact_cnt FROM (
+         |    SELECT term, COUNT(*) AS exact_cnt,
+         |           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rn
+         |    FROM tok GROUP BY term) t
+         |  WHERE rn <= $CmsProbes),
+         |pb AS (
+         |  SELECT p.term, p.exact_cnt, j.row_j,
+         |         ${bucketSql("j.row_j", "p.term")} AS bucket
+         |  FROM probes p CROSS JOIN js j)
+         |SELECT pb.term, pb.exact_cnt, MIN(s.c) AS cms_est
+         |FROM pb JOIN sketch s ON s.row_j = pb.row_j AND s.bucket = pb.bucket
+         |GROUP BY 1, 2""".stripMargin
+    },
     "sketch_sample_quantiles" ->
       s"""WITH h AS (
          |  SELECT event_type, value,

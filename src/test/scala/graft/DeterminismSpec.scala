@@ -88,7 +88,7 @@ class DeterminismSpec extends SparkTestBase {
     Seq("q17_small_qty", "diff_three_way", "diff_incremental_agg",
       "text_novelty", "q_window_ranks", "profile_orders",
       "dedup_containment", "events_dau_wau", "events_paths",
-      "pipeline_epoch_shuffle", "dedup_label_prop")
+      "pipeline_epoch_shuffle", "dedup_label_prop", "sketch_cms_terms")
       .foreach { q =>
         val a = repartitioned(2)(q)
         val b = repartitioned(17)(q)

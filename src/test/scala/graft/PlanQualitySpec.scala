@@ -191,6 +191,16 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
   }
 
+  test("CMS sketch: O(d*w) counter frame broadcasts into the probe join") {
+    val p = SparkEntry.queries("sketch_cms_terms")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    // the bounded sketch side must broadcast (never shuffle the probes
+    // against it) and nothing may plan quadratic
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
   test("dq report: all row-level rules evaluate in one aggregation pass") {
     val p = SparkEntry.queries("dq_rules_report")(spark, Sf)
       .queryExecution.executedPlan.toString
