@@ -71,24 +71,17 @@ object SketchQueries {
     // bucket hashes make the whole sketch a deterministic function of the
     // input multiset — the DuckDB oracle replays it bit-for-bit.
     "sketch_cms_terms" -> ((spark, sfDir) => {
-      def buckets(term: org.apache.spark.sql.Column) = explode(array(
-        (0 until CmsD).map(j => struct(lit(j).as("row_j"),
-          (Hashing.hash64(concat_ws(":", lit(j.toString), term)) % CmsW)
-            .as("bucket"))): _*)).as("e")
       val tok = Tables.load(spark, sfDir, "documents")
         .select(explode(Hashing.tokens(col("text"))).as("term"))
         .persist() // sketch build + exact-count probes both scan it
-      val sketch = tok.select(buckets(col("term")))
-        .groupBy(col("e.row_j").as("row_j"), col("e.bucket").as("bucket"))
-        .agg(count(lit(1)).as("c"))
       val probes = tok.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
         .withColumn("__rn", row_number().over(
           Window.orderBy(col("exact_cnt").desc, col("term"))))
         .filter(col("__rn") <= CmsProbes)
         .select(col("term"), col("exact_cnt"))
-      probes.select(col("term"), col("exact_cnt"), buckets(col("term")))
+      probes.select(col("term"), col("exact_cnt"), cmsCoords(col("term")).as("e"))
         .select(col("term"), col("exact_cnt"), col("e.row_j"), col("e.bucket"))
-        .join(broadcast(sketch), Seq("row_j", "bucket"))
+        .join(broadcast(cmsSketch(tok)), Seq("row_j", "bucket"))
         .groupBy(col("term"), col("exact_cnt"))
         .agg(min(col("c")).as("cms_est"))
     }),
@@ -120,6 +113,24 @@ object SketchQueries {
     * oracle row set exercises the estimator exactly where a heavy-hitter
     * pipeline would read it. */
   val CmsProbes = 20
+
+  /** The [[CmsD]] (row_j, bucket) sketch coordinates of one term
+    * occurrence — shared by the batch build, the probe readout, and the
+    * streaming twin. */
+  def cmsCoords(term: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    explode(array((0 until CmsD).map(j => struct(lit(j).as("row_j"),
+      (Hashing.hash64(concat_ws(":", lit(j.toString), term)) % CmsW)
+        .as("bucket"))): _*))
+
+  /** Count-Min counter frame from a (term) occurrence frame — one hash
+    * aggregation, so it partial-aggregates map-side in batch and runs
+    * UNCHANGED as a streaming state-store aggregation (counters are the
+    * associative/commutative fold Structured Streaming needs; streamed ==
+    * batch pinned by `StreamingSpec`). */
+  def cmsSketch(tokens: DataFrame): DataFrame =
+    tokens.select(cmsCoords(col("term")).as("e"))
+      .groupBy(col("e.row_j").as("row_j"), col("e.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
 
   /** Pairwise KMV Jaccard estimates between the `source` groups of a
     * (source, text) frame — see the `sketch_kmv_jaccard` entry for the

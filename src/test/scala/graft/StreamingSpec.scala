@@ -25,6 +25,30 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("streaming CMS counters == batch CMS sketch over the same corpus") {
+    // the Count-Min build is ONE hash aggregation, so the identical plan
+    // runs as a streaming state-store aggregation: counters fold
+    // associatively/commutatively across micro-batches, and the final
+    // complete-mode table must equal the batch sketch bit-for-bit
+    val docs = Tables.load(spark, Sf, "documents")
+    val toks = docs.select(explode(graft.functions.Hashing.tokens(col("text"))).as("term"))
+    val batch = graft.operators.SketchQueries.cmsSketch(toks)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_in")
+    docs.write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir.toString)
+      .select(explode(graft.functions.Hashing.tokens(col("text"))).as("term"))
+    val q = graft.operators.SketchQueries.cmsSketch(stream)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("graft_cms_stream").start()
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("graft_cms_stream")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("stream-static seasonal anomaly == batch scorer over the same input") {
     val batchEvents = Tables.load(spark, Sf, "events")
     val baseline = graft.operators.EventsQueries.seasonalBaseline(batchEvents).persist()
