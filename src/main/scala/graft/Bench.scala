@@ -62,9 +62,11 @@ object Bench {
         timeout: Duration): Option[Double] = {
       attemptSeq += 1
       val group = s"$name#$attemptSeq"
-      // drop any cached frames (persist()ed dedup intermediates) so every
+      // drop any cached frames (persist()ed dedup intermediates AND
+      // checkpointed graph frames, which bypass the CacheManager) so every
       // attempt pays the full plan cost — best-of-2 must not measure a
       // warm cache left by the previous attempt
+      CacheScope.releaseAll()
       spark.catalog.clearCache()
       quiesce(150)
       val t0 = System.nanoTime()

@@ -16,6 +16,7 @@ object BenchOne {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to n).map { _ =>
+        CacheScope.releaseAll()
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()

@@ -17,8 +17,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // queries persist() intermediates (dedup/IVF); drop them so ~75
-      // queries in one session don't accumulate cached blocks
+      // queries cache intermediates (dedup/IVF persists, graph checkpoint
+      // blocks); release them so ~180 queries in one session don't
+      // accumulate storage
+      CacheScope.releaseAll()
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -150,6 +150,9 @@ final class DbDiffApp(
     // a long-running loop holds at most two pinned snapshots on disk
     beforePin.foreach(deleteRecursively)
     beforePin = afterPin
+    // same discipline for executor storage: any cache a diff variant
+    // registered this iteration is released before the next one starts
+    graft.CacheScope.releaseAll()
     IterationResult(changed, reportPath, feedPath)
   }
 }

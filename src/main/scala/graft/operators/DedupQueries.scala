@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheScope
 import graft.Tables
 import graft.functions.Hashing
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -107,10 +108,10 @@ object DedupQueries {
     // semi-join shuffles — both correct
     // the candidate pairs feed the doc-set prune AND the intersection join
     // — persist so the banded self-join producing them runs once
-    val candP = cand.persist()
+    val candP = cand.transform(CacheScope.cached)
     val candDocs = candP.select(col("doc_a").as("doc_id"))
       .union(candP.select(col("doc_b").as("doc_id"))).distinct()
-    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi").persist()
+    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi").transform(CacheScope.cached)
     val counts = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val sa = shc.select(col("doc_id").as("doc_a"), col("shingle"))
     val sb = shc.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -157,10 +158,10 @@ object DedupQueries {
       // The shingle frame feeds candidate generation AND three legs of the
       // Jaccard verify — persist it so the corpus is tokenized once, not
       // 4-5×. At 100 TB those redundant passes are the dominant cost.
-      val sh = shingles(corpus(spark, sfDir)).persist()
+      val sh = shingles(corpus(spark, sfDir)).transform(CacheScope.cached)
       // both sides of the bucket self-join scan the banded frame — persist
       // it (4 small rows/doc) so the 16 min-aggregates run once, not twice
-      val bb = bands(minhashSigs(sh)).persist()
+      val bb = bands(minhashSigs(sh)).transform(CacheScope.cached)
       val a = bb.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
       val b = bb.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
       val cand = a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
@@ -176,8 +177,8 @@ object DedupQueries {
     // exact integer arithmetic in both engines.
     "dedup_minhash_estimate" -> ((spark, sfDir) => {
       val sh = shingles(corpus(spark, sfDir))
-      val sigs = minhashSigs(sh).persist()
-      val bb = bands(sigs).persist()
+      val sigs = minhashSigs(sh).transform(CacheScope.cached)
+      val bb = bands(sigs).transform(CacheScope.cached)
       val aB = bb.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
       val bB = bb.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
       val cand = aB.join(bB, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
@@ -215,7 +216,7 @@ object DedupQueries {
         .groupBy(col("component_id")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))),
     "dedup_ngram_jaccard" -> ((spark, sfDir) => {
-      val sh = shingles(corpus(spark, sfDir)).persist()
+      val sh = shingles(corpus(spark, sfDir)).transform(CacheScope.cached)
       val probes = sh.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("doc_a"), col("shingle"))
       val others = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -287,7 +288,7 @@ object DedupQueries {
     // all shingles explodes on stopword-like ones. t = 0.5 keeps the
     // prefix-length arithmetic in exact integer division for both engines.
     "dedup_prefix_jaccard" -> ((spark, sfDir) => {
-      val sh = shingles(corpus(spark, sfDir)).persist()
+      val sh = shingles(corpus(spark, sfDir)).transform(CacheScope.cached)
       val gf = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gf"))
       val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("gf"), col("shingle"))
       val wN = Window.partitionBy(col("doc_id"))
@@ -299,7 +300,7 @@ object DedupQueries {
         .withColumn("__n", count(lit(1)).over(wN))
         .filter(expr("__rn <= __n div 2 + 1"))
         .select(col("doc_id"), col("shingle"))
-        .persist()
+        .transform(CacheScope.cached)
       val a = prefix.select(col("doc_id").as("doc_a"), col("shingle"))
       val b = prefix.select(col("doc_id").as("doc_b"), col("shingle"))
       val cand = a.join(b, "shingle").filter(col("doc_a") < col("doc_b"))
@@ -343,8 +344,8 @@ object DedupQueries {
       Tables.load(spark, sfDir, "documents").createOrReplaceTempView("documents")
       val base = spark.sql("SELECT doc_id, text FROM documents")
       val delta = spark.sql(deltaSql)
-      val shBase = shingles(base).persist()   // index-build side: runs once
-      val shDelta = shingles(delta).persist() // the only per-batch tokenize
+      val shBase = shingles(base).transform(CacheScope.cached)   // index-build side: runs once
+      val shDelta = shingles(delta).transform(CacheScope.cached) // the only per-batch tokenize
       val idx = bands(minhashSigs(shBase))
       val probe = bands(minhashSigs(shDelta))
       val cand = probe.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
@@ -383,7 +384,7 @@ object DedupQueries {
       val chunks = TextQueries.chunkFingerprints(corpus(spark, sfDir))
         .select(col("doc_id"), col("chunk_fp"))
         .distinct()
-        .persist()
+        .transform(CacheScope.cached)
       val keep = chunks.groupBy(col("chunk_fp")).agg(count(lit(1)).as("__n"))
         .filter(col("__n") <= 64).select(col("chunk_fp"))
       val cf = chunks.join(keep, "chunk_fp")
@@ -403,7 +404,7 @@ object DedupQueries {
     // containment is then computed over the candidates' FULL shingle
     // sets — the same candidate→exact-verify cascade as the LSH path.
     "dedup_containment" -> ((spark, sfDir) => {
-      val sh = shingles(corpus(spark, sfDir)).persist()
+      val sh = shingles(corpus(spark, sfDir)).transform(CacheScope.cached)
       val capped = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 20)).select(col("shingle"))
       // NOT persisted: idx is a cheap join off the already-persisted sh,
@@ -417,10 +418,10 @@ object DedupQueries {
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("__n_shared"))
         .filter(col("__n_shared") >= 3)
         .select(col("doc_a"), col("doc_b"))
-        .persist()
+        .transform(CacheScope.cached)
       val candDocs = cand.select(col("doc_a").as("doc_id"))
         .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-      val shc = sh.join(candDocs, Seq("doc_id"), "left_semi").persist()
+      val shc = sh.join(candDocs, Seq("doc_id"), "left_semi").transform(CacheScope.cached)
       val counts = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val inter = cand
         .join(shc.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
@@ -448,7 +449,7 @@ object DedupQueries {
           shiftright(col("simhash"), 15 * c).bitwiseAND(32767).as("ckey"))): _*)).as("__c"))
       .select(col("doc_id"), col("simhash"),
         col("__c.chunk").as("chunk"), col("__c.ckey").as("ckey"))
-      .persist() // both join sides scan it: one signature pass, not two
+      .transform(CacheScope.cached) // both join sides scan it: one signature pass, not two
     val a = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
       col("chunk"), col("ckey"))
     val b = chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheScope
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -205,7 +206,7 @@ object EventsQueries {
         .select(col("user_id"),
           expr("CAST(datediff(ts, DATE'2024-01-01') AS BIGINT)").as("day"))
         .distinct()
-        .persist() // feeds both the DAU aggregate and the WAU explode
+        .transform(CacheScope.cached) // feeds both the DAU aggregate and the WAU explode
       val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
       val wau = ud
         .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("day"))
@@ -569,7 +570,7 @@ object EventsQueries {
         .crossJoin(broadcast(
           seasonalBucketed(Tables.load(spark, sfDir, "events"))
             .agg((max(col("day")) - 1L).as("__cut"))))
-        .persist() // train + test both scan the bucketed frame
+        .transform(CacheScope.cached) // train + test both scan the bucketed frame
       val baseline = ev.filter(col("day") < col("__cut"))
         .groupBy(col("event_type"), col("hod"))
         .agg(expr("SUM(q) DIV COUNT(1)").as("forecast_micro"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheScope
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -29,12 +30,14 @@ object GraphOps {
     * component — a deterministic labeling, independent of partitioning and
     * round count. Fails loudly if `maxIter` rounds don't converge. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    // pin the (possibly expensive) edge generator: the symmetric union
-    // below references it twice
+    // pin the (possibly expensive) edge generator while the symmetric union
+    // materializes — it's referenced twice, and the eager checkpoint means
+    // every later round reads a compact leaf instead of re-embedding (and
+    // re-shipping, in each stage's task binary) the generator's lineage
     val e0 = edges.select(col("src"), col("dst")).persist()
-    val sym = e0.select(col("src"), col("dst"))
-      .union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .persist()
+    val sym = CacheScope.pinned(e0.select(col("src"), col("dst"))
+      .union(e0.select(col("dst").as("src"), col("src").as("dst"))))
+    e0.unpersist(blocking = false)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist()
@@ -54,17 +57,19 @@ object GraphOps {
       labels.unpersist()
       // persist caches data but NOT lineage: by round k the logical plan
       // nests k join+agg layers and Catalyst re-analyzes the whole tree
-      // each round (O(k²) planning, eventual stack depth). localCheckpoint
-      // truncates the lineage every few rounds so planning cost stays flat
-      // for high-diameter graphs.
+      // each round (O(k²) planning, eventual stack depth). A pinned
+      // checkpoint truncates the lineage every few rounds so planning cost
+      // stays flat for high-diameter graphs.
       labels =
-        if ((iter + 1) % 5 == 0) { val cp = next.localCheckpoint(true); next.unpersist(); cp }
+        if ((iter + 1) % 5 == 0) { val cp = CacheScope.pinned(next); next.unpersist(); cp }
         else next
       converged = changed == 0
       iter += 1
     }
     require(converged, s"connectedComponents: no convergence in $maxIter rounds")
-    sym.unpersist(); e0.unpersist()
+    // the final labels frame backs the returned (lazy) result — it stays
+    // cached until the harness's next CacheScope.releaseAll()
+    CacheScope.adopt(labels)
     labels.select(col("id").as("doc_id"), col("label").as("component_id"))
   }
 
@@ -81,19 +86,24 @@ object GraphOps {
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
     val aLower = col("da") < col("db") ||
       (col("da") === col("db") && col("doc_a") < col("doc_b"))
-    val e = p
+    // eagerly materialize the oriented edge list (three legs of the
+    // triangle join scan it), then the pair generator can be released:
+    // every downstream count derives from `e` (one row per unique pair)
+    val e = CacheScope.pinned(p
       .join(deg.select(col("id").as("doc_a"), col("deg").as("da")), "doc_a")
       .join(deg.select(col("id").as("doc_b"), col("deg").as("db")), "doc_b")
       .select(when(aLower, col("doc_a")).otherwise(col("doc_b")).as("src"),
-        when(aLower, col("doc_b")).otherwise(col("doc_a")).as("dst"))
-      .persist() // three legs of the triangle join scan it
+        when(aLower, col("doc_b")).otherwise(col("doc_a")).as("dst")))
+    p.unpersist(blocking = false)
     val tri = e.select(col("src").as("a"), col("dst").as("b"))
       .join(e.select(col("src").as("b"), col("dst").as("c")), "b")
       .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
       .agg(count(lit(1)).as("n_triangles"))
-    deg.agg(count(lit(1)).as("n_vertices"))
-      .crossJoin(p.agg(count(lit(1)).as("n_edges")))
-      .crossJoin(tri)
+    val nVerts = e.select(col("src").as("id")).union(e.select(col("dst").as("id")))
+      .distinct().agg(count(lit(1)).as("n_vertices"))
+    nVerts
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .crossJoin(broadcast(tri))
   }
 
   /** BFS hop distances via Spark 4's NATIVE recursive CTE (planned as
@@ -134,10 +144,13 @@ object GraphOps {
     val p = pairs.select(col("doc_a"), col("doc_b")).persist()
     val sym = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    // each step scans edges-with-degree once; persist the static frame
-    val edgesDeg = sym
-      .join(sym.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src")
-      .persist()
+    // each step scans edges-with-degree once; the eager checkpoint
+    // computes the static frame NOW (so the generator cache can be
+    // dropped immediately) and truncates its lineage, keeping the
+    // unrolled steps' plans and task binaries small
+    val edgesDeg = CacheScope.pinned(sym
+      .join(sym.groupBy(col("src")).agg(count(lit(1)).as("deg")), "src"))
+    p.unpersist(blocking = false)
     var scores = edgesDeg.select(col("src").as("id")).distinct()
       .withColumn("score", lit(1000000L))
     (1 to iters).foreach { _ =>
@@ -179,11 +192,15 @@ object GraphOps {
     * aggregation — no sort-based window in the loop. */
   def labelPropagation(pairs: DataFrame, iters: Int = LpIters): DataFrame = {
     // the pair generator (banded near-dup candidates) is referenced twice
-    // by the symmetric union — pin it so it runs once
+    // by the symmetric union — pin it so it runs once; the eager
+    // checkpoint (every round scans it) truncates lineage so the unrolled
+    // rounds plan against a compact leaf, and the generator cache is
+    // dropped as soon as the edges are materialized
     val p = pairs.select(col("doc_a"), col("doc_b")).persist()
-    val sym = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist() // every round scans it
+    val sym = CacheScope.pinned(
+      p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    p.unpersist(blocking = false)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     (1 to iters).foreach { _ =>

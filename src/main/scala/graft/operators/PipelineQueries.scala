@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheScope
 import graft.functions.Hashing
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -93,7 +94,7 @@ object PipelineQueries {
             "i -> concat_ws(' ', slice(__toks, i + 1, 8)))")).as("g"))
         .select(col("doc_id"), md5(col("g")).as("gfp"))
         .distinct()
-        .persist() // feeds both sides of the contamination join
+        .transform(CacheScope.cached) // feeds both sides of the contamination join
       val isBench = col("doc_id") < 100000 && col("doc_id") % 100 === 0
       val bench = grams.filter(isBench)
         .select(col("doc_id").as("bench_id"), col("gfp"))

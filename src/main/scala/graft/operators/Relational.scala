@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheScope
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -428,7 +429,7 @@ object Relational {
     "q_association_rules" -> ((spark, sfDir) => {
       val li = Tables.load(spark, sfDir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
-        .persist() // basket totals, item counts, and both pair legs scan it
+        .transform(CacheScope.cached) // basket totals, item counts, and both pair legs scan it
       val nb = li.select(col("l_orderkey")).distinct()
         .agg(count(lit(1)).as("n_baskets"))
       val ic = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))

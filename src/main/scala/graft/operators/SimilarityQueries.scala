@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheScope
 import graft.Tables
 import graft.functions.{Hashing, QuantizedVec}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -167,7 +168,7 @@ object SimilarityQueries {
     * per-pair dist2 itself is bounded by Dim × (2·4e6)² ≈ 2^62/corpus). */
   def kmeansAssign(raw: DataFrame, k: Int = KmK, iters: Int = KmIters): DataFrame = {
     val comp = quantizedComponents(raw.withColumn("label", lit(0)))
-      .drop("label").persist()
+      .drop("label").transform(CacheScope.cached)
     val wC = Window.orderBy(col("__h"), col("vec_id"))
     val seedCodes = raw.select(col("vec_id"))
       .withColumn("__h", Hashing.hashHex(col("vec_id").cast("string")))
@@ -310,7 +311,7 @@ object SimilarityQueries {
     "ann_ivf_topk" -> ((spark, sfDir) => {
       val raw = Tables.load(spark, sfDir, "embeddings")
       // quantized components feed centroid build, assignment, and routing
-      val qn = quantizedComponents(raw).persist()
+      val qn = quantizedComponents(raw).transform(CacheScope.cached)
       // --- index build: per-label quantized mean, exact in both engines
       // (sum < 2^53 so the double division is correctly rounded IEEE)
       val (cq, cnorms) = centroids(qn)
@@ -318,7 +319,7 @@ object SimilarityQueries {
       // --- assignment scores: nearest centroids via the d equi-join
       // (relational index build — the per-query hot path never does this)
       val ascore = centroidScores(qn.drop("label"), norms, cq, cnorms)
-        .persist() // consumed twice (assignment + probe routing): score once
+        .transform(CacheScope.cached) // consumed twice (assignment + probe routing): score once
       val assigned = topClusters(ascore, 1)
       val probeClusters = topClusters(ascore.filter(col("vec_id") % 100 === 0), NProbe)
         .select(col("vec_id").as("probe_id"), col("label"))
@@ -344,7 +345,7 @@ object SimilarityQueries {
       val raw = Tables.load(spark, sfDir, "embeddings")
       // five consumers (seed codebook, two distance passes, Lloyd means,
       // exact rerank) — materialize the component explosion once
-      val comp = quantizedComponents(raw).drop("label").persist()
+      val comp = quantizedComponents(raw).drop("label").transform(CacheScope.cached)
       // deterministic codebook: hash-first PqK vectors seed the codewords
       val seeds = raw.select(col("vec_id"))
         .withColumn("__h", Hashing.hashHex(col("vec_id").cast("string")))
@@ -378,7 +379,7 @@ object SimilarityQueries {
         .select(col("c"), col("d"), coalesce(col("qm"), col("qc")).as("qc"))
       // per (vector, subspace, codeword) quantized L2 against the refined
       // codebook — probes reuse this frame as their ADC lookup tables
-      val dist = distTo(cb).persist()
+      val dist = distTo(cb).transform(CacheScope.cached)
       val enc = argmin(dist)
         .select(col("vec_id").as("neighbor_id"), col("m").as("em"), col("code"))
       val dt = dist.filter(col("vec_id") % 100 === 0)
@@ -435,13 +436,13 @@ object SimilarityQueries {
       val emb = Tables.load(spark, sfDir, "embeddings")
       val hybrid = docs
         .join(emb.select(col("vec_id").as("id"), col("embedding")), "id")
-        .persist() // both retrieval legs scan it
+        .transform(CacheScope.cached) // both retrieval legs scan it
       // --- lexical leg
       val tok = hybrid.select(col("id"), explode(Hashing.tokens(col("text"))).as("token"))
         .distinct()
       val dfc = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 50)).select(col("token"))
-      val idx = tok.join(dfc, "token").persist() // probe + candidate sides
+      val idx = tok.join(dfc, "token").transform(CacheScope.cached) // probe + candidate sides
       val tcand = idx.filter(col("id") % 100 === 0)
         .select(col("id").as("probe_id"), col("token"))
         .join(idx.select(col("id").as("neighbor_id"), col("token")), "token")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheScope
 import graft.Tables
 import graft.functions.{Hashing, KmvSketch, SampleSketch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -73,7 +74,7 @@ object SketchQueries {
     "sketch_cms_terms" -> ((spark, sfDir) => {
       val tok = Tables.load(spark, sfDir, "documents")
         .select(explode(Hashing.tokens(col("text"))).as("term"))
-        .persist() // sketch build + exact-count probes both scan it
+        .transform(CacheScope.cached) // sketch build + exact-count probes both scan it
       val probes = tok.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
         .withColumn("__rn", row_number().over(
           Window.orderBy(col("exact_cnt").desc, col("term"))))
@@ -143,7 +144,7 @@ object SketchQueries {
     val w = Window.partitionBy(col("source")).orderBy(col("hv"))
     val kmin = tok.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= SetK)
-      .select(col("source"), col("hv")).persist()
+      .select(col("source"), col("hv")).transform(CacheScope.cached)
     val a = kmin.select(col("source").as("source_a"), col("hv"))
     val b = kmin.select(col("source").as("source_b"), col("hv"))
     val srcPairs = a.select(col("source_a")).distinct()

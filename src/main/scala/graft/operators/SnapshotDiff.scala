@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheScope
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -386,7 +387,7 @@ object SnapshotDiff {
     val bn = Normalize.withKey(before, pk)
     val an = Normalize.withKey(after, pk)
     val dirty = merkleSummary(bn, an, nBuckets)
-      .select(col("bucket").as("__bkt")).persist()
+      .select(col("bucket").as("__bkt")).transform(CacheScope.cached)
     def prune(df: DataFrame): DataFrame =
       df.withColumn("__bkt", bucketOf(col(Normalize.KeyCol), nBuckets))
         .join(broadcast(dirty), Seq("__bkt"), "left_semi")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.CacheScope
 import graft.Tables
 import graft.functions.{FreqSketch, Hashing}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -103,7 +104,7 @@ object TextQueries {
     // and chunk-overlap caps.
     "text_inverted_index" -> ((spark, sfDir) => {
       val dt = DedupQueries.shingles(Tables.load(spark, sfDir, "documents"))
-        .persist()
+        .transform(CacheScope.cached)
       val kept = dt.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 20))
       dt.join(kept, "shingle")
@@ -227,7 +228,7 @@ object TextQueries {
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(__toks) - 2), " +
             "i -> concat_ws(' ', __toks[i], __toks[i+1]))")).as("bg"))
-        .persist() // feeds the LM count table AND the scoring join probe
+        .transform(CacheScope.cached) // feeds the LM count table AND the scoring join probe
       val lm = grams.groupBy(col("bg")).agg(count(lit(1)).as("c"))
       grams.join(lm, "bg")
         .groupBy(col("doc_id"))
@@ -245,7 +246,7 @@ object TextQueries {
       val tf = docs
         .select(col("doc_id"), explode(Hashing.tokens(col("text"))).as("word"))
         .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-        .persist() // feeds the df aggregation AND the scoring join
+        .transform(CacheScope.cached) // feeds the df aggregation AND the scoring join
       val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("__n"))
       val w = org.apache.spark.sql.expressions.Window
@@ -308,7 +309,7 @@ object TextQueries {
         .select(col("doc_id"), explode(array_distinct(expr(
           "transform(sequence(0, size(__toks) - 8), " +
             "i -> md5(concat_ws(' ', slice(__toks, i+1, 8))))"))).as("g8"))
-        .persist()
+        .transform(CacheScope.cached)
       val df8 = grams.groupBy(col("g8")).agg(count(lit(1)).as("df"))
       grams.join(df8, "g8")
         .groupBy(col("doc_id"))
@@ -349,7 +350,7 @@ object TextQueries {
     "text_heavy_hitters" -> ((spark, sfDir) => {
       val words = Tables.load(spark, sfDir, "documents")
         .select(explode(Hashing.tokens(col("text"))).as("word"))
-        .persist() // tokenized once: sketch pass + candidate count pass
+        .transform(CacheScope.cached) // tokenized once: sketch pass + candidate count pass
       val cands = words
         .agg(FreqSketch.mgCandidates(col("word"), 127).as("c"))
         .select(explode(col("c")).as("word"))
