@@ -69,15 +69,33 @@ object DedupQueries {
           "i -> concat_ws(' ', __toks[i], __toks[i+1], __toks[i+2]))")).as("shingle"))
       .distinct()
 
-  /** 16 minhashes per doc from ONE md5 per shingle: the base 60-bit hash is
-    * reduced mod P once, then each of the 16 signature lanes is a linear
-    * permutation minimized by a plain min-aggregate — one shingle explosion,
-    * one shuffle, 16 integer ops per shingle in whole-stage codegen. */
-  def minhashSigs(sh: DataFrame): DataFrame = {
-    val base = pmod(Hashing.hash64(col("shingle")), lit(MinhashP))
+  /** Fingerprint-only twin of [[shingles]]: distinct 60-bit shingle hashes
+    * per document, for the minhash family — signatures, banding, and the
+    * set-intersection verify only ever consume `hash64(shingle)`, so the
+    * dedupe shuffle and every cached/verify frame downstream carry 8-byte
+    * hashes instead of ~25-byte shingle strings. Operators whose SEMANTICS
+    * touch shingle text (prefix-filter ordering ties, df-capped inverted
+    * index) stay on [[shingles]]. Hash collisions (~1e-10 at fixture
+    * vocabulary) would surface as an oracle hash mismatch. */
+  def shingleHashes(corpus: DataFrame): DataFrame =
+    corpus
+      .withColumn("__toks", Hashing.tokens(col("text")))
+      .filter(size(col("__toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(__toks) - 3), " +
+          "i -> concat_ws(' ', __toks[i], __toks[i+1], __toks[i+2]))")).as("shingle"))
+      .select(col("doc_id"), Hashing.hash64(col("shingle")).as("sh64"))
+      .distinct()
+
+  /** 16 minhashes per doc from ONE md5 per shingle ([[shingleHashes]]'s
+    * `sh64`): the 60-bit hash is reduced mod P once, then each of the 16
+    * signature lanes is a linear permutation minimized by a plain
+    * min-aggregate — one shingle explosion, one shuffle, 16 integer ops per
+    * shingle in whole-stage codegen. */
+  def minhashSigs(shh: DataFrame): DataFrame = {
     val mins = (0 until NumHashes).map(j =>
       min((lit(minhashA(j)) * col("__hm") + lit(minhashB(j))) % lit(MinhashP)).as(s"m$j"))
-    sh.withColumn("__hm", base)
+    shh.withColumn("__hm", pmod(col("sh64"), lit(MinhashP)))
       .groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
@@ -92,38 +110,46 @@ object DedupQueries {
       .select(col("doc_id"), col("__b.band").as("band"), col("__b.bkey").as("bkey"))
   }
 
-  /** Exact Jaccard for a candidate-pair set via shingle-set intersection.
+  /** Exact Jaccard for a candidate-pair set via packed shingle-hash sets.
     *
-    * Only shingles of docs that appear in some candidate pair participate —
-    * a broadcast semi-join prunes the shingle frame BEFORE the three
-    * verify legs, so the intersection join shuffles the candidates'
-    * shingles, not the corpus's. (Per-doc shingle counts are unchanged by
-    * the pruning: they're grouped per doc, and every doc that reaches the
-    * output survives the semi-join.) */
-  def jaccard(cand: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    // no broadcast() hint: the candidate-doc set scales with the corpus's
-    // dup rate (only per-bucket fan-out is bounded), so forcing a driver
-    // collect here would become the bottleneck the prune exists to remove;
-    // under the threshold Spark broadcasts on its own, above it the
-    // semi-join shuffles — both correct
-    // the candidate pairs feed the doc-set prune AND the intersection join
-    // — persist so the banded self-join producing them runs once
+    * Only shingles of docs that appear in some candidate pair participate:
+    * a semi-join prunes the shingle frame, then each candidate doc's
+    * shingle-hash set is packed ONCE into an array and the intersection is
+    * a codegen `array_intersect` in the pair projection — no third join, no
+    * re-aggregation over exploded candidate shingles. The earlier 3-leg
+    * intersection join shuffled Σ pairs × shingles-per-doc rows; this ships
+    * each doc's set once per pair side as 8-byte hashes (at 100 TB that is
+    * the difference between shuffling candidate text and shuffling
+    * fingerprints). 60-bit hashes stand in for the shingle strings — at
+    * fixture scale the collision odds are ~1e-10 per corpus, and the oracle
+    * (raw-string intersection) would surface one as a hash mismatch.
+    * (Per-doc set sizes are unchanged by the pruning: sets are grouped per
+    * doc, and every doc that reaches the output survives the semi-join.) */
+  def jaccard(cand: DataFrame, shh: DataFrame, threshold: Double): DataFrame = {
+    // no broadcast() hint on the prune: the candidate-doc set scales with
+    // the corpus's dup rate (only per-bucket fan-out is bounded), so
+    // forcing a driver collect here would become the bottleneck; under the
+    // threshold Spark broadcasts on its own, above it the semi-join
+    // shuffles — both correct.
+    // the candidate pairs feed the doc-set prune AND the verify join —
+    // cache so the banded self-join producing them runs once
     val candP = cand.transform(CacheScope.cached)
     val candDocs = candP.select(col("doc_a").as("doc_id"))
       .union(candP.select(col("doc_b").as("doc_id"))).distinct()
-    val shc = sh.join(candDocs, Seq("doc_id"), "left_semi").transform(CacheScope.cached)
-    val counts = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val sa = shc.select(col("doc_id").as("doc_a"), col("shingle"))
-    val sb = shc.select(col("doc_id").as("doc_b"), col("shingle"))
-    val inter = candP
-      .join(sa, "doc_a").join(sb, Seq("doc_b", "shingle"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-    inter
-      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+    // both pair sides pull from the packed sets — cache the one-pass pack
+    val sets = shh.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("sh64")).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n_sh"))
+      .transform(CacheScope.cached)
+    candP
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("hs").as("ha"), col("n_sh").as("n_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("hs").as("hb"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("__c", size(array_intersect(col("ha"), col("hb"))).cast("long"))
       .select(col("doc_a"), col("doc_b"),
-        (col("n_common").cast("double") /
-          (col("n_a") + col("n_b") - col("n_common"))).as("jaccard"))
+        (col("__c").cast("double") / (col("n_a") + col("n_b") - col("__c"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -155,10 +181,10 @@ object DedupQueries {
           (col("doc_id") =!= col("canonical_id")).as("is_dup"))
     }),
     "dedup_minhash_lsh" -> ((spark, sfDir) => {
-      // The shingle frame feeds candidate generation AND three legs of the
-      // Jaccard verify — persist it so the corpus is tokenized once, not
+      // The (hashed) shingle frame feeds candidate generation AND the
+      // Jaccard verify — cache it so the corpus is tokenized once, not
       // 4-5×. At 100 TB those redundant passes are the dominant cost.
-      val sh = shingles(corpus(spark, sfDir)).transform(CacheScope.cached)
+      val sh = shingleHashes(corpus(spark, sfDir)).transform(CacheScope.cached)
       // both sides of the bucket self-join scan the banded frame — persist
       // it (4 small rows/doc) so the 16 min-aggregates run once, not twice
       val bb = bands(minhashSigs(sh)).transform(CacheScope.cached)
@@ -176,7 +202,7 @@ object DedupQueries {
     // verify is a 16-integer comparison per pair, and the lane count is
     // exact integer arithmetic in both engines.
     "dedup_minhash_estimate" -> ((spark, sfDir) => {
-      val sh = shingles(corpus(spark, sfDir))
+      val sh = shingleHashes(corpus(spark, sfDir))
       val sigs = minhashSigs(sh).transform(CacheScope.cached)
       val bb = bands(sigs).transform(CacheScope.cached)
       val aB = bb.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
@@ -216,11 +242,11 @@ object DedupQueries {
         .groupBy(col("component_id")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))),
     "dedup_ngram_jaccard" -> ((spark, sfDir) => {
-      val sh = shingles(corpus(spark, sfDir)).transform(CacheScope.cached)
+      val sh = shingleHashes(corpus(spark, sfDir)).transform(CacheScope.cached)
       val probes = sh.filter(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("doc_a"), col("shingle"))
-      val others = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-      val cand = probes.join(others, "shingle")
+        .select(col("doc_id").as("doc_a"), col("sh64"))
+      val others = sh.select(col("doc_id").as("doc_b"), col("sh64"))
+      val cand = probes.join(others, "sh64")
         .filter(col("doc_a") =!= col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
       jaccard(cand, sh, 0.2)
@@ -344,8 +370,8 @@ object DedupQueries {
       Tables.load(spark, sfDir, "documents").createOrReplaceTempView("documents")
       val base = spark.sql("SELECT doc_id, text FROM documents")
       val delta = spark.sql(deltaSql)
-      val shBase = shingles(base).transform(CacheScope.cached)   // index-build side: runs once
-      val shDelta = shingles(delta).transform(CacheScope.cached) // the only per-batch tokenize
+      val shBase = shingleHashes(base).transform(CacheScope.cached)   // index-build side: runs once
+      val shDelta = shingleHashes(delta).transform(CacheScope.cached) // the only per-batch tokenize
       val idx = bands(minhashSigs(shBase))
       val probe = bands(minhashSigs(shDelta))
       val cand = probe.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))

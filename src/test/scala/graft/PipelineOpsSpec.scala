@@ -12,10 +12,10 @@ class PipelineOpsSpec extends SparkTestBase {
   test("prefix filtering loses no pair: result equals all-shingle-join Jaccard at t=0.5") {
     // brute-force candidates: join on EVERY shingle (correct but unbounded
     // fan-out); the prefix filter must reproduce its >= 0.5 result exactly
-    val sh = DedupQueries.shingles(DedupQueries.corpus(spark, Sf)).persist()
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val cand = a.join(b, "shingle").filter(col("doc_a") < col("doc_b"))
+    val sh = DedupQueries.shingleHashes(DedupQueries.corpus(spark, Sf)).persist()
+    val a = sh.select(col("doc_id").as("doc_a"), col("sh64"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("sh64"))
+    val cand = a.join(b, "sh64").filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     val brute = DedupQueries.jaccard(cand, sh, 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
