@@ -347,8 +347,10 @@ object SnapshotDiff {
     * aggregation per side (no join of row data at all), its output is
     * KB-sized regardless of input size, and the subsequent pruned diff
     * joins only dirty-bucket rows. (*modulo 60-bit-hash-sum collisions —
-    * the standard anti-entropy trade, cf. Merkle-tree replica repair; a
-    * production profile widens the checksum to 128 bits.)
+    * the standard anti-entropy trade, cf. Merkle-tree replica repair.
+    * [[merkleDirty128]] IS the production profile: 128 checksum bits via
+    * two xxhash64 lanes; this md5-derived single-lane variant exists so
+    * the summary itself stays DuckDB-replayable, `diff_merkle_dirty`.)
     *
     * Output (dirty buckets only): `bucket, b_rows, a_rows, b_sum, a_sum`.
     * Empty ⇔ snapshots are (checksum-)identical, so `diff(A, A)` prunes
@@ -377,6 +379,38 @@ object SnapshotDiff {
   private def bucketOf(key: Column, nBuckets: Int): Column =
     pmod(graft.functions.Hashing.hash64(key), lit(nBuckets.toLong))
 
+  /** The PRODUCTION checksum profile [[merkleSummary]]'s doc promises: the
+    * same bucket summary with a 128-bit checksum — TWO independent
+    * codegen'd xxhash64 lanes (the [[fusedReport]] fingerprint discipline:
+    * multi-column hashing folds each value in with its length, no
+    * separator string, no MessageDigest on the hot path), each lane an
+    * exact decimal sum reduced mod 10¹⁸ per bucket. Two 60-bit-sum lanes
+    * put a false-clean bucket at ~2⁻¹²⁰ — negligible at any lake size,
+    * where one lane's 2⁻⁶⁰ is not. These checksums never surface in an
+    * oracle-checked output (the pruned diff's oracle is the UNPRUNED
+    * diff), so no cross-engine hash parity constrains the choice —
+    * [[merkleSummary]] keeps the md5-derived single lane exactly so the
+    * summary itself stays DuckDB-replayable (`diff_merkle_dirty`).
+    * Returns dirty buckets only, as `bucket` plus per-side row counts. */
+  def merkleDirty128(bn: DataFrame, an: DataFrame, nBuckets: Int): DataFrame = {
+    def side(df: DataFrame, p: String): DataFrame = {
+      val cols = df.columns.filterNot(_ == Normalize.KeyCol).toIndexedSeq.map(col)
+      df.select(
+          bucketOf(col(Normalize.KeyCol), nBuckets).as("bucket"),
+          xxhash64(cols: _*).cast("decimal(38,0)").as("__h1"),
+          xxhash64(lit(1L) +: cols: _*).cast("decimal(38,0)").as("__h2"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as(s"${p}_rows"),
+          (sum(col("__h1")) % lit(1000000000000000000L)).cast("long").as(s"${p}_s1"),
+          (sum(col("__h2")) % lit(1000000000000000000L)).cast("long").as(s"${p}_s2"))
+    }
+    side(bn, "b").join(side(an, "a"), Seq("bucket"), "full_outer")
+      .filter(coalesce(col("b_rows"), lit(0L)) =!= coalesce(col("a_rows"), lit(0L)) ||
+        coalesce(col("b_s1"), lit(0L)) =!= coalesce(col("a_s1"), lit(0L)) ||
+        coalesce(col("b_s2"), lit(0L)) =!= coalesce(col("a_s2"), lit(0L)))
+      .select(col("bucket"))
+  }
+
   /** Shared prune scaffolding: normalize both sides and semi-join each
     * against the broadcast dirty-bucket list. The dirty frame is persisted
     * so the summary aggregation runs once, not once per side — the
@@ -386,7 +420,7 @@ object SnapshotDiff {
       nBuckets: Int): (DataFrame, DataFrame) = {
     val bn = Normalize.withKey(before, pk)
     val an = Normalize.withKey(after, pk)
-    val dirty = merkleSummary(bn, an, nBuckets)
+    val dirty = merkleDirty128(bn, an, nBuckets)
       .select(col("bucket").as("__bkt")).transform(CacheScope.cached)
     def prune(df: DataFrame): DataFrame =
       df.withColumn("__bkt", bucketOf(col(Normalize.KeyCol), nBuckets))
@@ -485,8 +519,8 @@ object SnapshotDiff {
       nBuckets: Int): DataFrame = {
     val bn = Normalize.withKey(before, pk)
     val an = Normalize.withKey(after, pk)
-    val dirty: Seq[Long] = merkleSummary(bn, an, nBuckets)
-      .select(col("bucket")).collect().map(_.getLong(0)).toIndexedSeq
+    val dirty: Seq[Long] = merkleDirty128(bn, an, nBuckets)
+      .collect().map(_.getLong(0)).toIndexedSeq
     def prune(df: DataFrame): DataFrame =
       df.filter(bucketOf(col(Normalize.KeyCol), nBuckets).isInCollection(dirty))
     diffNormalized(oneRowPerKey(prune(bn)), oneRowPerKey(prune(an)))
