@@ -156,9 +156,9 @@ object DiffQueries {
       // extra shuffle).
       "diff_changefeed" -> ((spark, sfDir) => {
         Tables.diffable.map { t =>
-          val d = SnapshotDiff.diff(
-            Tables.load(spark, sfDir, t.name), after(spark, sfDir, t), t.pk)
-          SnapshotDiff.feed(d, t.name, t.cols)
+          SnapshotDiff.feedCompact(
+            Tables.load(spark, sfDir, t.name), after(spark, sfDir, t),
+            t.pk, t.name, t.cols)
         }.reduce(_.unionByName(_))
       }),
       // Three-way merge: two branches diverged from one base snapshot,

@@ -256,6 +256,56 @@ object SnapshotDiff {
       col("diff_status"), col("modified_columns"), col("side"),
       md5(concat_ws("\u0001", cols.map(col): _*)).as("row_fp"))
 
+  /** [[diff]]→[[feed]] fused over a PACKED row form — the multi-table
+    * changefeed's plan-cost fix. The wide diff compiles a per-column
+    * `when`-tree whose generated code is unique per table schema: unioning
+    * nine tables meant nine wide whole-stage-codegen plans compiled in one
+    * query, and at sf0.1 the driver's cost was planning/codegen, not data
+    * (round-3 finding). Here each table is first packed to the GENERIC
+    * shape `(__key, array<string> of normalized values)`, so the join, the
+    * positional compare (one `zip_with` instead of n_cols branches), the
+    * classification, and the feed projection are the SAME tiny plan — and
+    * the same generated classes, JIT-shared across all tables — with only
+    * the scan+pack projection differing per table.
+    *
+    * Semantics are exactly [[diff]]'s: same full-outer join on the derived
+    * key (duplicate-key multiplicities preserved), same positional string
+    * compare, same modified-column list in column order, same
+    * BEFORE-then-AFTER emission — `diff_changefeed`'s oracle stays the
+    * unchanged per-table wide-diff SQL. */
+  def feedCompact(before: DataFrame, after: DataFrame, pk: Seq[String],
+      tableName: String, cols: Seq[String]): DataFrame = {
+    def pack(df: DataFrame, out: String): DataFrame = {
+      val n = Normalize.withKey(df, pk)
+      n.select(col(Normalize.KeyCol), array(cols.map(col): _*).as(out))
+    }
+    val j = pack(before, "__b")
+      .join(pack(after, "__a"), Seq(Normalize.KeyCol), "full_outer")
+    val names = array(cols.map(lit(_)): _*)
+    // positional compare: names of differing positions, in column order
+    // (normalized values are never null, so element inequality is exact)
+    val neq = zip_with(col("__b"), col("__a"), (bv, av) => bv =!= av)
+    val modList = concat_ws(",",
+      filter(zip_with(names, neq, (n, d) => when(d, n)), x => x.isNotNull))
+    val status = when(col("__b").isNull, Inserted)
+      .when(col("__a").isNull, Deleted)
+      .when(modList === "", NotModified)
+      .otherwise(Updated)
+    def sideRow(side: String, vals: Column): Column =
+      struct(lit(side).as("side"), vals.as("vals"))
+    val rows = when(status === Inserted, array(sideRow("AFTER", col("__a"))))
+      .when(status === Deleted, array(sideRow("BEFORE", col("__b"))))
+      .when(status === Updated,
+        array(sideRow("BEFORE", col("__b")), sideRow("AFTER", col("__a"))))
+      .otherwise(array())
+    j.select(col(Normalize.KeyCol), status.as("diff_status"),
+        when(status === Updated, modList).otherwise(lit("")).as("modified_columns"),
+        explode(rows).as("__r"))
+      .select(lit(tableName).as("table_name"), col(Normalize.KeyCol),
+        col("diff_status"), col("modified_columns"), col("__r.side").as("side"),
+        md5(concat_ws("\u0001", col("__r.vals"))).as("row_fp"))
+  }
+
   /** Diff across a schema change: the snapshots disagree on shape (columns
     * added and/or dropped between them). The reference's branch for this is
     * degenerate — a column-count mismatch marks EVERY column modified
