@@ -134,13 +134,22 @@ final class DbDiffApp(
       Some(p)
     } else None
 
-    // styled report (S8) for tables with changes
+    // styled report (S8) for tables with changes: `-o x.xlsx` selects the
+    // reference's actual workbook format, anything else the HTML twin
     val reportPath = if (outName.nonEmpty) {
-      val sections = diffs.collect { case (t, d) if changed(t.name) > 0 =>
-        t -> RenderQueries.htmlRows(d, t.cols)
+      if (outName.endsWith(".xlsx")) {
+        val sections = diffs.collect { case (t, d) if changed(t.name) > 0 =>
+          t -> RenderQueries.xlsxCells(d, t.cols)
+        }
+        val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(outName))
+        try ReportSink.writeXlsx(sections, os) finally os.close()
+      } else {
+        val sections = diffs.collect { case (t, d) if changed(t.name) > 0 =>
+          t -> RenderQueries.htmlRows(d, t.cols)
+        }
+        val w = new BufferedWriter(new FileWriter(outName))
+        try ReportSink.writeHtml(sections, w) finally w.close()
       }
-      val w = new BufferedWriter(new FileWriter(outName))
-      try ReportSink.writeHtml(sections, w) finally w.close()
       Some(outName)
     } else None
 

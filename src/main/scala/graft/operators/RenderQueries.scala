@@ -77,6 +77,32 @@ object RenderQueries {
         .as("tr"))
   }
 
+  /** Excel-sheet renderer — the reference's ACTUAL S8 sink
+    * (`cmd/dbdiff/main.go:204-246`): one `(__key, side, xc)` row per diff
+    * row, `xc` = the row's SpreadsheetML cell run as inline-string `<c>`
+    * elements — style `s="3"` (black thin border) on the status cell and
+    * unmodified cells, `s="4"` (yellow fill, red border) on exactly the
+    * cells named in `modified_columns`, mirroring the reference's
+    * modCellStyle/unmodCellStyle split keyed off `ModifiedColumnIndex`
+    * (`main.go:235-243`). Same classification expression as [[htmlRows]];
+    * same distributed-projection scale shape. Cells carry no `r=`
+    * coordinate (OOXML lays r-less cells out sequentially), so the run is
+    * position-independent: [[graft.app.ReportSink.writeXlsx]] wraps it in
+    * `<row r="...">` while streaming, and the leading `<c/>` pads column A
+    * (the reference's 2-column offset, `main.go:101-102`). */
+  def xlsxCells(diffed: DataFrame, cols: Seq[String]): DataFrame = {
+    val mods = split(col("modified_columns"), ",")
+    val cells = cols.map { c =>
+      val open = when(array_contains(mods, c), lit("<c t=\"inlineStr\" s=\"4\"><is><t>"))
+        .otherwise(lit("<c t=\"inlineStr\" s=\"3\"><is><t>"))
+      concat(open, esc(col(c)), lit("</t></is></c>"))
+    }
+    val statusC = concat(lit("<c t=\"inlineStr\" s=\"3\"><is><t>"), esc(statusCell),
+      lit("</t></is></c>"))
+    diffed.select(col(Normalize.KeyCol), col("side"),
+      concat(lit("<c/>") +: statusC +: cells: _*).as("xc"))
+  }
+
   val queries: Map[String, Q] = Map(
     "render_console_orders" -> ((spark, sfDir) => {
       val t = Tables.orders

@@ -107,6 +107,62 @@ class DbDiffAppSpec extends SparkTestBase {
     assert(!html2.contains("<table>"))
   }
 
+  test("S8: -o out.xlsx writes the reference's styled workbook (modified-cell runs)") {
+    val tables = Seq(Tables.region, Tables.customer)
+    var mutated = false
+    val source = (t: TableDef) => {
+      val base = Tables.load(spark, Sf, t.name)
+      if (mutated) {
+        base.createOrReplaceTempView(t.name)
+        spark.sql(Mutations.afterSql(t.name))
+      } else base
+    }
+    val app = new DbDiffApp(spark, tables, source, _ => (), maxConsoleRows = 0)
+    mutated = true
+    val out = Files.createTempFile("dbdiff", ".xlsx").toString
+    val r = app.iterate(out)
+    assert(r.totalChanged > 0 && r.reportPath.contains(out))
+
+    // the workbook is a well-formed zip with every required OOXML part
+    val zf = new java.util.zip.ZipFile(out)
+    try {
+      val names = {
+        val e = zf.entries(); val b = Seq.newBuilder[String]
+        while (e.hasMoreElements) b += e.nextElement().getName
+        b.result().toSet
+      }
+      assert(Set("[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+        "xl/_rels/workbook.xml.rels", "xl/styles.xml",
+        "xl/worksheets/sheet1.xml").subsetOf(names), names)
+      def read(n: String): String =
+        new String(zf.getInputStream(zf.getEntry(n)).readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+      // styles: the reference's fills — orange table-name, green header,
+      // yellow modified (cmd/dbdiff/main.go:116-155)
+      val styles = read("xl/styles.xml")
+      assert(styles.contains("FFFFC000") && styles.contains("FF92D050") &&
+        styles.contains("FFFFFF00") && styles.contains("FFFF0000"))
+      val sheet = read("xl/worksheets/sheet1.xml")
+      // table-name + header blocks per table, from B2 (column-A pad cell)
+      assert(sheet.contains("<is><t>TableName</t></is>"))
+      assert(sheet.contains("<is><t>region</t></is>") &&
+        sheet.contains("<is><t>customer</t></is>"))
+      assert(sheet.contains("s=\"2\"><is><t>(diff)</t></is>"))
+      // data rows: status labels incl. the literal double space, and
+      // MODIFIED-cell style runs (s="4") on updated rows only
+      assert(sheet.contains("<is><t>UPD BEFORE</t></is>") &&
+        sheet.contains("<is><t>UPD  AFTER</t></is>"))
+      assert(sheet.contains("s=\"4\"><is><t>"))
+      // unmodified cells ride the bordered style
+      assert(sheet.contains("s=\"3\"><is><t>INSERTED</t></is>"))
+      // XML must parse — a malformed sheet breaks every consumer
+      javax.xml.parsers.DocumentBuilderFactory.newInstance()
+        .newDocumentBuilder()
+        .parse(new java.io.ByteArrayInputStream(
+          sheet.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    } finally zf.close()
+  }
+
   test("change-feed sink: iteration writes one fixed-width feed; counts match the diffs") {
     val tables = Seq(Tables.region, Tables.customer)
     var mutated = false
