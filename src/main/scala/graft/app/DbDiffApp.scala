@@ -183,7 +183,8 @@ object DbDiffApp {
   def jdbcSource(spark: SparkSession, url: String, schema: String,
       props: Map[String, String] = Map.empty): TableDef => DataFrame =
     t => graft.sources.JdbcSnapshots.snapshot(
-      spark, url, s"$schema.${t.name}", None, None, 1, props)
+      spark, url, graft.sources.JdbcSnapshots.qualifiedTable(schema, t.name),
+      None, None, 1, props)
 
   /** Catalog-driven table discovery over JDBC (S3/S4): table list + PKs
     * from the live catalog, column lists from the scan schema, and the
@@ -194,7 +195,9 @@ object DbDiffApp {
     graft.sources.JdbcSnapshots.catalog(spark, dialect, url, schema, props).map {
       case (name, pks) =>
         val cols = graft.sources.JdbcSnapshots
-          .snapshot(spark, url, s"$schema.$name", None, None, 1, props)
+          .snapshot(spark, url,
+            graft.sources.JdbcSnapshots.qualifiedTable(schema, name),
+            None, None, 1, props)
           .columns.toSeq
         TableDef(name, cols, if (pks.nonEmpty) pks else cols)
     }

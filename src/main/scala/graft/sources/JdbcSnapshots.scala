@@ -48,7 +48,7 @@ object JdbcSnapshots {
     case "derby" =>
       s"""SELECT t.tablename AS table_name FROM sys.systables t
          |JOIN sys.sysschemas s ON t.schemaid = s.schemaid
-         |WHERE t.tabletype = 'T' AND s.schemaname = '${schema.replace("'", "''")}'
+         |WHERE t.tabletype = 'T' AND s.schemaname = ${sqlStringLiteral(schema)}
          |ORDER BY t.tablename""".stripMargin
     case d => throw new IllegalArgumentException(s"unsupported dialect: $d")
   }
@@ -56,34 +56,65 @@ object JdbcSnapshots {
   /** Reference PK queries per dialect (`dbutil.go:41-114`), parameterized by
     * table; ordered by ordinal_position — PK column order is load-bearing
     * for key concat (SURVEY §2.6 O2). The table name comes from the live
-    * catalog but is still escaped before interpolation: an unusual name
-    * (embedded quote) must not break or inject into the source query. */
+    * catalog (the reference binds it as a prepared-statement parameter)
+    * but is still escaped before interpolation: an unusual name (embedded
+    * quote) must not break or inject into the source query. The constraint
+    * joins match on catalog + schema + name, as the reference does —
+    * constraint NAMES are only unique per schema, so the name-only join
+    * would cross-pollute PKs between schemas. */
   def pkSql(dialect: String, rawTable: String, schema: String): String = {
-    val table = rawTable.replace("'", "''")
+    val table = sqlStringLiteral(rawTable)
     dialect match {
     case "postgresql" =>
       s"""SELECT kcu.column_name
          |FROM information_schema.table_constraints tc
          |JOIN information_schema.constraint_column_usage ccu
-         |  ON tc.constraint_name = ccu.constraint_name
+         |  ON tc.constraint_catalog = ccu.constraint_catalog
+         | AND tc.constraint_schema = ccu.constraint_schema
+         | AND tc.constraint_name = ccu.constraint_name
          |JOIN information_schema.key_column_usage kcu
-         |  ON tc.constraint_name = kcu.constraint_name
+         |  ON tc.constraint_catalog = kcu.constraint_catalog
+         | AND tc.constraint_schema = kcu.constraint_schema
+         | AND tc.constraint_name = kcu.constraint_name
          | AND ccu.column_name = kcu.column_name
-         |WHERE tc.constraint_type = 'PRIMARY KEY' AND tc.table_name = '$table'
+         |WHERE tc.constraint_type = 'PRIMARY KEY' AND tc.table_name = $table
          |ORDER BY kcu.ordinal_position""".stripMargin
     case "mysql" =>
       s"""SELECT column_name FROM information_schema.columns
-         |WHERE table_schema = database() AND table_name = '$table'
+         |WHERE table_schema = database() AND table_name = $table
          |  AND column_key = 'PRI' ORDER BY ordinal_position""".stripMargin
     case "mssql" =>
       s"""SELECT kcu.column_name
          |FROM information_schema.table_constraints tc
          |JOIN information_schema.key_column_usage kcu
-         |  ON tc.constraint_name = kcu.constraint_name
-         |WHERE tc.constraint_type = 'PRIMARY KEY' AND tc.table_name = '$table'
+         |  ON tc.constraint_catalog = kcu.constraint_catalog
+         | AND tc.constraint_schema = kcu.constraint_schema
+         | AND tc.constraint_name = kcu.constraint_name
+         |WHERE tc.constraint_type = 'PRIMARY KEY' AND tc.table_name = $table
          |ORDER BY kcu.ordinal_position""".stripMargin
     case d => throw new IllegalArgumentException(s"unsupported dialect: $d")
     }
+  }
+
+  /** A SQL single-quoted string literal of `v`: embedded quotes doubled,
+    * the ANSI escape every target dialect shares. Control characters are
+    * rejected outright — no real catalog emits them, and refusing beats
+    * trusting dialect-specific backslash behavior. */
+  def sqlStringLiteral(v: String): String = {
+    require(!v.exists(_ < ' '), s"control character in identifier: ${v.map(_.toInt)}")
+    "'" + v.replace("'", "''") + "'"
+  }
+
+  /** The reference's snapshot-query qualification (`extract_data.go:29-35`):
+    * `SELECT * FROM <schema><table>` where the configured schema INCLUDES
+    * its trailing dot (`configuration_test.go:87`). Accepts all three
+    * conventions a user writes — "sch." (reference form), "sch" (dot
+    * added), "" (bare table) — and never produces `sch..table`. */
+  def qualifiedTable(schema: String, table: String): String = {
+    val s = schema.trim
+    if (s.isEmpty) table
+    else if (s.endsWith(".")) s + table
+    else s + "." + table
   }
 
   private def jdbc(spark: SparkSession, url: String, query: String,
