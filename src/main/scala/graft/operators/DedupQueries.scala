@@ -327,9 +327,15 @@ object DedupQueries {
         .filter(expr("__rn <= __n div 2 + 1"))
         .select(col("doc_id"), col("shingle"))
         .transform(CacheScope.cached)
-      val a = prefix.select(col("doc_id").as("doc_a"), col("shingle"))
-      val b = prefix.select(col("doc_id").as("doc_b"), col("shingle"))
-      val cand = a.join(b, "shingle").filter(col("doc_a") < col("doc_b"))
+      // the self-join key is the shingle's 60-bit fingerprint, not the
+      // string: the ORDER (gf, shingle) that defines the prefix is
+      // string-exact above, but bucket membership only needs equality —
+      // 8-byte shuffle keys, same candidates modulo hash collision
+      val a = prefix.select(col("doc_id").as("doc_a"),
+        Hashing.hash64(col("shingle")).as("__sh"))
+      val b = prefix.select(col("doc_id").as("doc_b"),
+        Hashing.hash64(col("shingle")).as("__sh"))
+      val cand = a.join(b, "__sh").filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
       // Set-array verification instead of the 3-leg intersection join:
       // each doc's shingle-hash set ships ONCE per pair side and the
@@ -429,17 +435,20 @@ object DedupQueries {
     // explodes), pairs need ≥3 shared indexed shingles, and exact
     // containment is then computed over the candidates' FULL shingle
     // sets — the same candidate→exact-verify cascade as the LSH path.
+    // The whole pipeline rides [[shingleHashes]]: df counting, index
+    // join keys, and the packed-set verify all consume 8-byte shingle
+    // fingerprints, never the strings (collisions would surface as an
+    // oracle hash mismatch — the string-set oracle is unchanged).
     "dedup_containment" -> ((spark, sfDir) => {
-      val sh = shingles(corpus(spark, sfDir)).transform(CacheScope.cached)
-      val capped = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-        .filter(col("df").between(2, 20)).select(col("shingle"))
-      // NOT persisted: idx is a cheap join off the already-persisted sh,
-      // and materializing the wide (doc, shingle-string) frame costs more
-      // than recomputing that join (measured at sf0.1). The candidate
-      // PAIRS below are small and feed two consumers — those do persist.
-      val idx = sh.join(capped, "shingle")
-      val cand = idx.select(col("doc_id").as("doc_a"), col("shingle"))
-        .join(idx.select(col("doc_id").as("doc_b"), col("shingle")), "shingle")
+      val sh = shingleHashes(corpus(spark, sfDir)).transform(CacheScope.cached)
+      val capped = sh.groupBy(col("sh64")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 20)).select(col("sh64"))
+      // NOT cached: idx is a cheap join off the already-cached sh; the
+      // candidate PAIRS below are small and feed two consumers — those
+      // do cache.
+      val idx = sh.join(capped, "sh64")
+      val cand = idx.select(col("doc_id").as("doc_a"), col("sh64"))
+        .join(idx.select(col("doc_id").as("doc_b"), col("sh64")), "sh64")
         .filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("__n_shared"))
         .filter(col("__n_shared") >= 3)
@@ -447,15 +456,20 @@ object DedupQueries {
         .transform(CacheScope.cached)
       val candDocs = cand.select(col("doc_a").as("doc_id"))
         .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-      val shc = sh.join(candDocs, Seq("doc_id"), "left_semi").transform(CacheScope.cached)
-      val counts = shc.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val inter = cand
-        .join(shc.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-        .join(shc.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_common"))
-      inter
-        .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
-        .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      // pack each candidate doc's fingerprint set once; the intersection
+      // is a codegen array op in the pair projection — no third join, no
+      // exploded candidate-shingle re-aggregation (the same verify shape
+      // as [[jaccard]], asymmetric denominator)
+      val sets = sh.join(candDocs, Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id")).agg(collect_set(col("sh64")).as("hs"))
+        .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n_sh"))
+        .transform(CacheScope.cached)
+      cand
+        .join(sets.select(col("doc_id").as("doc_a"),
+          col("hs").as("ha"), col("n_sh").as("n_a")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"),
+          col("hs").as("hb"), col("n_sh").as("n_b")), "doc_b")
+        .withColumn("n_common", size(array_intersect(col("ha"), col("hb"))).cast("long"))
         .withColumn("containment",
           col("n_common").cast("double") / least(col("n_a"), col("n_b")))
         .filter(col("containment") >= 0.6)
