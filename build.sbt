@@ -1,7 +1,13 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
 name := "dbdiffspark"
-// Spark jars ship with the image at /opt/spark/jars (zero-egress):
+// Spark jars ship with the image at /opt/spark/jars (zero-egress).
+// PINNED to Spark 4.1.x: the two 17-line shims in
+// src/main/scala/org/apache/spark/sql/graftshim (ColumnShim for
+// Expression<->Column on Spark 4's ColumnNode API, RddShim for releasing
+// localCheckpoint storage) reach private[sql] internals whose shape is
+// stable within 4.1 but not guaranteed across minor versions — re-verify
+// both files (they are the complete internal surface) on any Spark bump.
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything
 // else is intentionally not resolvable (COURSIER_MODE=offline).
