@@ -37,6 +37,10 @@ object DbDiffMain {
       case _                   =>
     }
     if (args.contains("--demo")) demo = true
+    // S10 behind a flag: the reference always spawns the OS viewer on
+    // macOS/Windows (main.go:261-269); a Spark deployment is usually
+    // headless, so spawning is opt-in
+    val open = args.contains("-open")
 
     val config =
       if (demo && !java.nio.file.Files.exists(java.nio.file.Paths.get(conf)))
@@ -89,6 +93,7 @@ object DbDiffMain {
       val r = app.iterate(out)
       println(s"[ResultOutput] See ${r.reportPath.getOrElse("(no report)")} " +
         s"— ${r.totalChanged} changed keys across ${r.changedKeys.count(_._2 > 0)} tables")
+      if (open) r.reportPath.foreach(ReportSink.openInViewer(_))
     }
 
     if (demo) {

@@ -207,6 +207,24 @@ object ReportSink {
     written
   }
 
+  /** S10 (`cmd/dbdiff/main.go:261-269`): hand the written report to the
+    * OS viewer. The reference spawns `/usr/bin/open` (macOS) or `cmd /C`
+    * (Windows) and `log.Fatalf`s on failure; here Linux additionally gets
+    * `xdg-open`, failure is NON-fatal (a headless deployment has no
+    * viewer, and killing the diff loop over a cosmetic spawn is the wrong
+    * trade), and the launcher is injectable so the spec pins the exact
+    * command without spawning anything. Returns whether a viewer launched. */
+  def openInViewer(path: String,
+      os: String = sys.props.getOrElse("os.name", "").toLowerCase,
+      launch: Seq[String] => Unit = cmd => { new ProcessBuilder(cmd: _*).start(); () }): Boolean = {
+    val cmd =
+      if (os.contains("mac") || os.contains("darwin")) Some(Seq("/usr/bin/open", path))
+      else if (os.contains("win")) Some(Seq("cmd", "/C", path))
+      else if (os.contains("linux")) Some(Seq("xdg-open", path))
+      else None
+    cmd.exists { c => try { launch(c); true } catch { case _: Throwable => false } }
+  }
+
   /** S7 console sink: streams renderer lines to `out`, at most `maxRows`
     * (the reference prints every changed row, `main.go:204-231` — unbounded
     * stdout is exactly what breaks at scale, so the cap is explicit). */

@@ -163,6 +163,24 @@ class DbDiffAppSpec extends SparkTestBase {
     } finally zf.close()
   }
 
+  test("S10: viewer spawn builds the reference's command per OS, non-fatal on failure") {
+    var launched = Seq.empty[String]
+    val capture = (c: Seq[String]) => { launched = c }
+    // the reference's two platforms, byte for byte (main.go:261-269)
+    assert(ReportSink.openInViewer("r.xlsx", "mac os x", capture))
+    assert(launched == Seq("/usr/bin/open", "r.xlsx"))
+    assert(ReportSink.openInViewer("r.xlsx", "windows 11", capture))
+    assert(launched == Seq("cmd", "/C", "r.xlsx"))
+    // the linux extension
+    assert(ReportSink.openInViewer("r.xlsx", "linux", capture))
+    assert(launched == Seq("xdg-open", "r.xlsx"))
+    // unknown platform: no spawn, no failure
+    assert(!ReportSink.openInViewer("r.xlsx", "plan9", capture))
+    // a failing launcher is contained (the reference log.Fatalf's here)
+    assert(!ReportSink.openInViewer("r.xlsx", "linux",
+      _ => throw new java.io.IOException("no viewer")))
+  }
+
   test("change-feed sink: iteration writes one fixed-width feed; counts match the diffs") {
     val tables = Seq(Tables.region, Tables.customer)
     var mutated = false

@@ -226,6 +226,48 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("changefeed: the packed generic shape — one array compare, no wide side-columns") {
+    val p = plan("diff_changefeed")
+    // the full-outer diff join survives (duplicate-key multiplicity)...
+    assert(p.contains("FullOuter"), p.take(2000))
+    // ...but classification/compare happens on the packed arrays (one
+    // zip_with), never on per-column __b_/__a_ renames — that wide shape
+    // is exactly what cost 9 distinct codegen plans before feedCompact
+    assert(p.contains("zip_with"), p.take(2000))
+    assert(!p.contains("__b_"), "wide per-column diff shape leaked back in")
+  }
+
+  test("iterative graph trainers: unrolled steps read the checkpoint leaf, not the generator") {
+    // CacheScope.pinned truncates the static frame's lineage: the
+    // returned plan must hang off an in-memory RDD scan, with the simhash
+    // candidate generator (parquet scan + joins) nowhere in its tree —
+    // that is what keeps per-stage task binaries small and repeat runs flat
+    Seq("dedup_pagerank", "dedup_label_prop").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Scan ExistingRDD"), s"$q: no checkpoint leaf\n${p.take(1500)}")
+      assert(!p.contains("FileScan"), s"$q: generator lineage leaked past the checkpoint")
+    }
+  }
+
+  test("merkle 128-bit summary: row data aggregates before any join") {
+    import org.apache.spark.sql.functions.col
+    val t = Tables.part
+    val bn = graft.operators.Normalize.withKey(Tables.load(spark, Sf, t.name), t.pk)
+    val an = graft.operators.Normalize.withKey(
+      Tables.load(spark, Sf, t.name).withColumn("p_size", col("p_size") + 1), t.pk)
+    val d = SnapshotDiff.merkleDirty128(bn, an, 64)
+    val p = d.queryExecution.executedPlan.toString
+    // two xxhash64 lanes in the summary projection
+    assert(p.contains("xxhash64"), p.take(1500))
+    // the only join is between the two <=64-row bucket summaries: every
+    // HashAggregate sits BELOW the join in the tree, so the plan text
+    // after the last Aggregate contains no Join operator
+    val lastAgg = p.lastIndexOf("HashAggregate")
+    val joinIdx = p.indexOf("SortMergeJoin") max p.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0 && lastAgg > joinIdx,
+      "row data reached the join unaggregated:\n" + p.take(1500))
+  }
+
   test("bottom-k sample sketch: partial map-side aggregation, single scan, one shuffle") {
     val p = SparkEntry.queries("sketch_sample_quantiles")(spark, Sf)
       .queryExecution.executedPlan.toString
