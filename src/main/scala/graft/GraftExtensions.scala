@@ -131,6 +131,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.KmvSketch.KmvDistinct(args.head, k).toAggregateExpression()
         }))
     e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("hll_distinct"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[graft.functions.HllSketch.HllDistinct].getName, "hll_distinct"),
+        (args: Seq[Expression]) => {
+          requireArity("hll_distinct(str)", args, 1)
+          graft.functions.HllSketch.HllDistinct(args.head).toAggregateExpression()
+        }))
+    e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("bottomk_sample"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[graft.functions.SampleSketch.BottomKSample].getName, "bottomk_sample"),

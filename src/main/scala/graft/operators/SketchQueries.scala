@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.CacheScope
 import graft.Tables
-import graft.functions.{Hashing, KmvSketch, SampleSketch}
+import graft.functions.{Hashing, HllSketch, KmvSketch, SampleSketch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -36,6 +36,32 @@ object SketchQueries {
         .agg(
           KmvSketch.kmvDistinct(col("o_custkey").cast("string"), K).as("kmv_millis"),
           countDistinct(col("o_custkey")).as("exact_nd"))),
+    // HYPERLOGLOG, global: the canonical cardinality sketch next to KMV —
+    // 256 max-registers (O(m) mergeable state vs KMV's k-set), emitted as
+    // exact integer state (S, empty-register count) plus the raw estimate
+    // in a pinned-op-order milli-unit LONG, all replayed bit-for-bit by
+    // the oracle ([[graft.functions.HllSketch]]). Consumers apply the
+    // small-range correction from (S, zero_regs); libm ln() is the one
+    // piece no cross-engine hash gate can pin.
+    "sketch_hll_global" -> ((spark, sfDir) =>
+      Tables.load(spark, sfDir, "orders")
+        .agg(
+          HllSketch.hllDistinct(col("o_custkey").cast("string")).as("h"),
+          countDistinct(col("o_custkey")).as("exact_nd"))
+        .select(col("h.s").as("s"), col("h.zero_regs").as("zero_regs"),
+          col("h.raw_millis").as("raw_millis"), col("exact_nd"))),
+    // HYPERLOGLOG, grouped: per-source distinct-token cardinality — the
+    // shape a corpus profile runs at 100 TB (per-group 256-byte partial
+    // state through one map-side-combined shuffle; the exact countDistinct
+    // alongside is the fixture-scale anchor the oracle compares).
+    "sketch_hll_sources" -> ((spark, sfDir) =>
+      Tables.load(spark, sfDir, "documents")
+        .select(col("source"), explode(Hashing.tokens(col("text"))).as("token"))
+        .groupBy(col("source"))
+        .agg(HllSketch.hllDistinct(col("token")).as("h"),
+          countDistinct(col("token")).as("exact_nd"))
+        .select(col("source"), col("h.s").as("s"), col("h.zero_regs").as("zero_regs"),
+          col("h.raw_millis").as("raw_millis"), col("exact_nd"))),
     // KMV SET OPERATIONS: pairwise vocabulary-overlap estimates between
     // document sources from k-min hash sketches alone. The KMV closure
     // property does the work: the k smallest hashes of A ∪ B are a subset
@@ -168,7 +194,57 @@ object SketchQueries {
   private val hv = KmvSketch.hashSql("CAST(l_orderkey AS VARCHAR)")
   private val hvCust = KmvSketch.hashSql("CAST(o_custkey AS VARCHAR)")
 
+  /** HLL register rho for a DuckDB BIGINT hash column named `hv`:
+    * 53 − bitlength of the 52-bit tail (53 for a zero tail), via
+    * `bin()`'s no-leading-zeros rendering. */
+  private val rhoSql =
+    """CASE WHEN (hv & ((1::BIGINT << 52) - 1)) = 0 THEN 53
+      |     ELSE 53 - length(bin(hv & ((1::BIGINT << 52) - 1))) END""".stripMargin
+
+  /** The pinned-op-order raw HLL estimate over an integer register sum
+    * column `s` — byte-identical expression text to the engine's
+    * [[graft.functions.HllSketch]] eval. */
+  private val hllEstSql =
+    "CAST(floor(0.7213 / (1 + 1.079/256) * 65536 * 9007199254740992 " +
+      "/ CAST(s AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
+
   val oracleSql: Map[String, String] = Map(
+    "sketch_hll_global" ->
+      s"""WITH hh AS (SELECT $hvCust AS hv FROM orders),
+         |mr AS (SELECT hv >> 52 AS bucket, MAX($rhoSql) AS m FROM hh GROUP BY 1),
+         |regs AS (
+         |  SELECT COALESCE(mr.m, 0) AS m
+         |  FROM (SELECT unnest(range(0, 256)) AS bucket) g
+         |  LEFT JOIN mr ON mr.bucket = g.bucket),
+         |agg AS (
+         |  SELECT CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT) AS s,
+         |         CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_regs
+         |  FROM regs),
+         |ex AS (SELECT COUNT(DISTINCT o_custkey) AS exact_nd FROM orders)
+         |SELECT s, zero_regs, $hllEstSql AS raw_millis, CAST(exact_nd AS BIGINT) AS exact_nd
+         |FROM agg CROSS JOIN ex""".stripMargin,
+    "sketch_hll_sources" ->
+      s"""WITH tok AS (
+         |  SELECT source, unnest(${Hashing.tokensSql("text")}) AS token FROM documents),
+         |hh AS (SELECT source, ${KmvSketch.hashSql("token")} AS hv FROM tok),
+         |mr AS (SELECT source, hv >> 52 AS bucket, MAX($rhoSql) AS m
+         |       FROM hh GROUP BY 1, 2),
+         |grid AS (
+         |  SELECT s.source, g.bucket
+         |  FROM (SELECT DISTINCT source FROM tok) s
+         |  CROSS JOIN (SELECT unnest(range(0, 256)) AS bucket) g),
+         |regs AS (
+         |  SELECT grid.source, COALESCE(mr.m, 0) AS m
+         |  FROM grid LEFT JOIN mr ON mr.source = grid.source AND mr.bucket = grid.bucket),
+         |agg AS (
+         |  SELECT source,
+         |         CAST(SUM(1::BIGINT << (53 - m)) AS BIGINT) AS s,
+         |         CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zero_regs
+         |  FROM regs GROUP BY source),
+         |ex AS (SELECT source, COUNT(DISTINCT token) AS exact_nd FROM tok GROUP BY source)
+         |SELECT a.source, a.s, a.zero_regs, $hllEstSql AS raw_millis,
+         |       CAST(ex.exact_nd AS BIGINT) AS exact_nd
+         |FROM agg a JOIN ex ON ex.source = a.source""".stripMargin,
     "sketch_kmv_groups" ->
       s"""WITH h AS (
          |  SELECT l_returnflag, l_linestatus, $hv AS hvv
