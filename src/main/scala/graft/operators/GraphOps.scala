@@ -112,7 +112,12 @@ object GraphOps {
     * [[graft.operators.DedupQueries.bfsCtes]] verbatim — the same SQL text
     * the DuckDB oracle executes. */
   def bfsHops(spark: org.apache.spark.sql.SparkSession, pairs: DataFrame): DataFrame = {
-    pairs.select(col("doc_a"), col("doc_b")).createOrReplaceTempView("pairs")
+    // materialize the pair generator ONCE before the recursion: UnionLoop
+    // re-reads the anchor/edge relations every iteration, and without the
+    // pin each of the ≤4 hops would re-run the whole banded simhash
+    // self-join instead of scanning a tiny in-memory leaf
+    CacheScope.pinned(pairs.select(col("doc_a"), col("doc_b")))
+      .createOrReplaceTempView("pairs")
     spark.sql("WITH RECURSIVE\n" +
       DedupQueries.bfsCtes.map { case (n, q) => s"$n AS (\n$q\n)" }.mkString(",\n") +
       "\n" + DedupQueries.bfsSelect)
