@@ -443,10 +443,11 @@ object DedupQueries {
       val sh = shingleHashes(corpus(spark, sfDir)).transform(CacheScope.cached)
       val capped = sh.groupBy(col("sh64")).agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 20)).select(col("sh64"))
-      // NOT cached: idx is a cheap join off the already-cached sh; the
-      // candidate PAIRS below are small and feed two consumers — those
-      // do cache.
-      val idx = sh.join(capped, "sh64")
+      // cached since the fingerprint rewrite: both sides of the pair
+      // self-join scan idx, and at 16 bytes/row materializing it now costs
+      // less than re-running the df join per side (the string-frame
+      // version measured the other way around)
+      val idx = sh.join(capped, "sh64").transform(CacheScope.cached)
       val cand = idx.select(col("doc_id").as("doc_a"), col("sh64"))
         .join(idx.select(col("doc_id").as("doc_b"), col("sh64")), "sh64")
         .filter(col("doc_a") < col("doc_b"))
