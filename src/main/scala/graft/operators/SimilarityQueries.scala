@@ -167,8 +167,13 @@ object SimilarityQueries {
     * scales (at 100 TB widen the wcss accumulator to DECIMAL(38,0) — the
     * per-pair dist2 itself is bounded by Dim × (2·4e6)² ≈ 2^62/corpus). */
   def kmeansAssign(raw: DataFrame, k: Int = KmK, iters: Int = KmIters): DataFrame = {
-    val comp = quantizedComponents(raw.withColumn("label", lit(0)))
-      .drop("label").transform(CacheScope.cached)
+    // eager checkpoint, not a plain cache: every Lloyd round references
+    // comp twice (distance pass + mean recompute) and the FINAL argmin
+    // embeds the whole unrolled codebook lineage — a truncated leaf keeps
+    // those plans and their task binaries flat, the same discipline as
+    // GraphOps' static frames
+    val comp = CacheScope.pinned(
+      quantizedComponents(raw.withColumn("label", lit(0))).drop("label"))
     val wC = Window.orderBy(col("__h"), col("vec_id"))
     val seedCodes = raw.select(col("vec_id"))
       .withColumn("__h", Hashing.hashHex(col("vec_id").cast("string")))
@@ -345,7 +350,7 @@ object SimilarityQueries {
       val raw = Tables.load(spark, sfDir, "embeddings")
       // five consumers (seed codebook, two distance passes, Lloyd means,
       // exact rerank) — materialize the component explosion once
-      val comp = quantizedComponents(raw).drop("label").transform(CacheScope.cached)
+      val comp = CacheScope.pinned(quantizedComponents(raw).drop("label"))
       // deterministic codebook: hash-first PqK vectors seed the codewords
       val seeds = raw.select(col("vec_id"))
         .withColumn("__h", Hashing.hashHex(col("vec_id").cast("string")))
