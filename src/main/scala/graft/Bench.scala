@@ -7,8 +7,9 @@ import scala.concurrent.duration._
 /** Benchmark main: times the headline queries and prints one JSON line.
   *
   * This container intermittently wedges one task of a multi-stage query at
-  * 100% CPU for 70-150s (environment fault, not plan cost — see
-  * .claude/skills/verify/SKILL.md). So every query runs BEST-OF-2
+  * 100% CPU for 70-150s (environment fault, not plan cost — observed across
+  * rounds as load-average waves unrelated to the query under test). So
+  * every query runs BEST-OF-2
   * unconditionally: two watchdogged attempts, best time wins — a stall
   * would have to hit both attempts (~6% per query) to contaminate the
   * recorded number. If both attempts time out, one final attempt runs with
@@ -151,13 +152,17 @@ object Bench {
     }.mkString("{", ",", "}")
     val timeouts = attemptLog.valuesIterator.flatten.count(_ == -2.0)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    // TWO self-sufficient JSON lines, summary FIRST: the driver's capture
-    // truncates long streams from the tail (round 3 lost the totals), so
-    // the compact line — metric, total, per-query seconds — leads, and the
-    // attempt-level detail rides a second full line. Either line alone
-    // satisfies the "metric":"total" contract.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","timeouts":$timeouts,"sf":"$sfDir","queries":$qs}""")
+    // THREE self-sufficient JSON lines, compact summary FIRST and LAST:
+    // the round-3 capture lost the totals by truncating the stream tail,
+    // but the round-4 capture kept the tail and truncated the HEAD — so
+    // the compact line (metric, total, per-query seconds) brackets the
+    // attempt-level detail line. Whichever end survives truncation, the
+    // remaining text contains a complete "metric":"total" record.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","timeouts":$timeouts,"sf":"$sfDir","queries":$qs}"""
+    println(compact)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$att,"timeouts":$timeouts,"sf":"$sfDir"}""")
+    println(compact)
     spark.stop()
   }
 }

@@ -40,10 +40,25 @@ import org.apache.spark.sql.graftshim.RddShim
   * `CacheHygieneSpec`). Frames returned by a query are valid until then —
   * a released plain cache silently recomputes, but a released CHECKPOINT
   * frame cannot (its lineage is truncated), so run the action before the
-  * next release point. That is exactly the registry's usage pattern.
+  * next release point. That is exactly the registry's usage pattern. A
+  * caller that must hold a frame across a release point can assert the
+  * contract explicitly with [[requireLive]] — it fails by name instead of
+  * with an opaque block-fetch error.
   */
 object CacheScope {
   private val live = new ConcurrentLinkedQueue[() => Unit]()
+
+  /** Ids of checkpoint RDDs whose blocks [[releaseAll]] already dropped.
+    * Unlike a released plain cache (which silently recomputes), a released
+    * checkpoint frame CANNOT recompute — its lineage is truncated — so a
+    * late action fails deep in block-fetch with no hint of the cause.
+    * [[requireLive]] turns that into an explicit, named failure. Bounded:
+    * cleared once it exceeds a generous cap (stale ids only ever produce a
+    * false NEGATIVE — the original obscure error — never a false trip,
+    * because RDD ids are never reused within a SparkContext). */
+  private val releasedPins =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  private val ReleasedPinCap = 65536
 
   /** `df.persist()` + register release at the next [[releaseAll]]. */
   def cached(df: DataFrame): DataFrame = {
@@ -57,10 +72,29 @@ object CacheScope {
   def pinned(df: DataFrame): DataFrame = {
     val cp = df.localCheckpoint(eager = true)
     RddShim.leafRdd(cp) match {
-      case Some(rdd) => live.add(() => { rdd.unpersist(blocking = false); () })
+      case Some(rdd) => live.add(() => {
+        if (releasedPins.size > ReleasedPinCap) releasedPins.clear()
+        releasedPins.add(rdd.id)
+        rdd.unpersist(blocking = false); ()
+      })
       case None      => live.add(() => { cp.unpersist(blocking = false); () })
     }
     cp
+  }
+
+  /** Fail fast, by name, if `df`'s plan references a pinned frame that a
+    * [[releaseAll]] has already dropped. A caller holding a registry frame
+    * across a release point can run this before its action to get
+    * "frame used after CacheScope.releaseAll" instead of an unrecoverable
+    * block-fetch error from deep inside the scheduler. Returns `df`
+    * unchanged so it chains: `CacheScope.requireLive(df).count()`. */
+  def requireLive(df: DataFrame): DataFrame = {
+    val dead = RddShim.allLeafRdds(df).filter(r => releasedPins.contains(r.id))
+    if (dead.nonEmpty) throw new IllegalStateException(
+      s"frame used after CacheScope.releaseAll: checkpoint RDD(s) " +
+        s"${dead.map(_.id).mkString(",")} were released and cannot " +
+        "recompute (lineage truncated); re-run the query function")
+    df
   }
 
   /** Register an already-persisted frame for release at [[releaseAll]]. */

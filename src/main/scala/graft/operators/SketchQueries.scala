@@ -174,7 +174,7 @@ object SketchQueries {
     val a = kmin.select(col("source").as("source_a"), col("hv"))
     val b = kmin.select(col("source").as("source_b"), col("hv"))
     val srcPairs = a.select(col("source_a")).distinct()
-      .crossJoin(b.select(col("source_b")).distinct())
+      .crossJoin(broadcast(b.select(col("source_b")).distinct()))
       .filter(col("source_a") < col("source_b"))
     val uni = srcPairs.join(a, "source_a").select(col("source_a"), col("source_b"), col("hv"))
       .union(srcPairs.join(b, "source_b").select(col("source_a"), col("source_b"), col("hv")))

@@ -63,7 +63,7 @@ object JdbcSnapshots {
     * constraint NAMES are only unique per schema, so the name-only join
     * would cross-pollute PKs between schemas. */
   def pkSql(dialect: String, rawTable: String, schema: String): String = {
-    val table = sqlStringLiteral(rawTable)
+    val table = sqlStringLiteral(rawTable, dialect)
     dialect match {
     case "postgresql" =>
       s"""SELECT kcu.column_name
@@ -99,9 +99,20 @@ object JdbcSnapshots {
   /** A SQL single-quoted string literal of `v`: embedded quotes doubled,
     * the ANSI escape every target dialect shares. Control characters are
     * rejected outright — no real catalog emits them, and refusing beats
-    * trusting dialect-specific backslash behavior. */
-  def sqlStringLiteral(v: String): String = {
+    * trusting dialect-specific backslash behavior. MySQL's default
+    * `sql_mode` (without NO_BACKSLASH_ESCAPES) treats `\` inside a string
+    * literal as an escape introducer, so a name ending in `\` would turn
+    * the closing `''` into `\''` — an escaped quote plus a dangling quote,
+    * unbalancing the literal. No single rendering is correct under both
+    * sql_mode settings (`\\` means one backslash with escapes on, two with
+    * them off), and the server's mode is invisible from here — so names
+    * containing a backslash are rejected outright for mysql, the same
+    * refuse-don't-guess posture as control characters. */
+  def sqlStringLiteral(v: String, dialect: String = "ansi"): String = {
     require(!v.exists(_ < ' '), s"control character in identifier: ${v.map(_.toInt)}")
+    if (dialect == "mysql")
+      require(!v.contains('\\'),
+        s"backslash in identifier is ambiguous under mysql sql_mode: $v")
     "'" + v.replace("'", "''") + "'"
   }
 

@@ -21,4 +21,13 @@ object RddShim {
     case LogicalRDD(_, rdd, _, _, _, _) => Some(rdd)
     case _ => None
   }
+
+  /** Every checkpoint / existing-RDD leaf anywhere in `df`'s plan — a
+    * derived frame (filter/join/agg over a pinned frame) still references
+    * the checkpointed RDD as one of its leaves. Used by
+    * [[graft.CacheScope.requireLive]] to detect use-after-release. */
+  def allLeafRdds(df: DataFrame): Seq[RDD[_]] =
+    df.queryExecution.analyzed.collectLeaves().collect {
+      case LogicalRDD(_, rdd, _, _, _, _) => rdd
+    }
 }

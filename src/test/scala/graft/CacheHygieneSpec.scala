@@ -40,4 +40,16 @@ class CacheHygieneSpec extends SparkTestBase {
     CacheScope.releaseAll()
     CacheScope.releaseAll()
   }
+
+  test("requireLive names a pinned frame used after releaseAll") {
+    import spark.implicits._
+    val pinnedFrame = CacheScope.pinned(Seq(1, 2, 3).toDF("v"))
+    val derived = pinnedFrame.filter($"v" > 1) // plan references the pin leaf
+    assert(CacheScope.requireLive(derived).count() == 2) // live: passes through
+    CacheScope.releaseAll()
+    val e = intercept[IllegalStateException](CacheScope.requireLive(derived))
+    assert(e.getMessage.contains("frame used after CacheScope.releaseAll"))
+    // a frame with no released pin leaf is untouched
+    assert(CacheScope.requireLive(Seq(1).toDF("v")).count() == 1)
+  }
 }
