@@ -131,17 +131,20 @@ object DedupQueries {
     // forcing a driver collect here would become the bottleneck; under the
     // threshold Spark broadcasts on its own, above it the semi-join
     // shuffles — both correct.
-    // the candidate pairs feed the doc-set prune AND the verify join —
-    // cache so the banded self-join producing them runs once
-    val candP = cand.transform(CacheScope.cached)
+    // the candidate pairs feed the doc-set prune AND the verify join — pin
+    // (eager checkpoint) so the self-join producing them runs exactly once,
+    // as its own job, before either consumer scans the result; a lazy
+    // persist here lets the prune and the verify race to populate the cache
+    val candP = cand.transform(CacheScope.pinned)
     val candDocs = candP.select(col("doc_a").as("doc_id"))
       .union(candP.select(col("doc_b").as("doc_id"))).distinct()
-    // both pair sides pull from the packed sets — cache the one-pass pack
+    // both pair sides pull from the packed sets — pin the one-pass pack so
+    // the two verify-join sides read a checkpoint leaf, not a racing cache
     val sets = shh.join(candDocs, Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(collect_set(col("sh64")).as("hs"))
       .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n_sh"))
-      .transform(CacheScope.cached)
+      .transform(CacheScope.pinned)
     candP
       .join(sets.select(col("doc_id").as("doc_a"),
         col("hs").as("ha"), col("n_sh").as("n_a")), "doc_a")
@@ -182,12 +185,18 @@ object DedupQueries {
     }),
     "dedup_minhash_lsh" -> ((spark, sfDir) => {
       // The (hashed) shingle frame feeds candidate generation AND the
-      // Jaccard verify — cache it so the corpus is tokenized once, not
-      // 4-5×. At 100 TB those redundant passes are the dominant cost.
-      val sh = shingleHashes(corpus(spark, sfDir)).transform(CacheScope.cached)
-      // both sides of the bucket self-join scan the banded frame — persist
-      // it (4 small rows/doc) so the 16 min-aggregates run once, not twice
-      val bb = bands(minhashSigs(sh)).transform(CacheScope.cached)
+      // Jaccard verify — PIN it (eager checkpoint, not lazy persist) so the
+      // corpus is tokenized exactly once in its own linear job before any
+      // self-join starts. At 100 TB those redundant passes are the dominant
+      // cost; and a lazy cache scanned concurrently by both sides of the
+      // downstream self-join makes the first attempt race its own cache
+      // population — the repeat-run variance the graph family had until its
+      // static frames were pinned.
+      val sh = shingleHashes(corpus(spark, sfDir)).transform(CacheScope.pinned)
+      // both sides of the bucket self-join scan the banded frame — pin it
+      // too (4 small rows/doc) so the 16 min-aggregates run once, eagerly,
+      // and the self-join reads a compact checkpoint leaf from both sides
+      val bb = bands(minhashSigs(sh)).transform(CacheScope.pinned)
       val a = bb.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
       val b = bb.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
       val cand = a.join(b, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
@@ -242,7 +251,9 @@ object DedupQueries {
         .groupBy(col("component_id")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))),
     "dedup_ngram_jaccard" -> ((spark, sfDir) => {
-      val sh = shingleHashes(corpus(spark, sfDir)).transform(CacheScope.cached)
+      // pinned, not cached: probes/others are both sides of a self-join
+      // over this frame (same rationale as dedup_minhash_lsh)
+      val sh = shingleHashes(corpus(spark, sfDir)).transform(CacheScope.pinned)
       val probes = sh.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("doc_a"), col("sh64"))
       val others = sh.select(col("doc_id").as("doc_b"), col("sh64"))
