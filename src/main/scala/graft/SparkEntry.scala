@@ -47,7 +47,8 @@ object SparkEntry {
     "sketch_kmv_jaccard", "mm_video_features", "ann_hybrid_rrf",
     "events_attribution", "events_ab_test", "sketch_sample_quantiles",
     "dedup_pagerank", "ann_kmeans", "er_blocked_matches",
-    "dedup_label_prop", "sketch_cms_terms", "sketch_hll_sources")
+    "dedup_label_prop", "sketch_cms_terms", "sketch_hll_sources",
+    "stream_tumbling")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

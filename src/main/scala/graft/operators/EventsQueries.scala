@@ -82,6 +82,14 @@ object EventsQueries {
           sum(col("value").cast("decimal(38,4)")).cast("double").as("total_value"))
         .select(col("window.start").as("bucket_start"), col("event_type"),
           col("n_events"), col("total_value"))),
+    // The SAME tumbling aggregation as a real Structured Streaming query
+    // (readStream → watermark → window → Complete-mode memory sink, run to
+    // completion): Complete mode retains every window in the state store,
+    // so the final table equals the batch answer exactly and the one
+    // DuckDB oracle pins both. Registered here (not only spec-pinned) so
+    // the state-store aggregation path has a bench-recorded number.
+    "stream_tumbling" -> ((spark, sfDir) =>
+      graft.streaming.EventStreams.runTumblingRawOnce(spark, sfDir)),
     // Rolling 1-hour per-user aggregates via a TIME-VALUED RANGE frame
     // (each row's frame is [ts − 1h, ts] by timestamp value, not row
     // count — irregular event spacing makes ROWS frames wrong here).
@@ -666,6 +674,13 @@ object EventsQueries {
          |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
          |FROM s GROUP BY user_id, sid""".stripMargin,
     "events_tumbling" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start, event_type,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY bucket_start, event_type""".stripMargin,
+    // identical oracle: the Complete-mode streaming run must reproduce the
+    // batch tumbling aggregation bit-for-bit
+    "stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS bucket_start, event_type,
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value

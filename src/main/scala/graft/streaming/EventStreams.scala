@@ -193,4 +193,44 @@ object EventStreams {
       .select(col("event_type"), size(col("samp")).as("m"),
         element_at(col("samp"),
           (floor(lit(0.5) * (size(col("samp")) - 1)) + 1).cast("int")).as("p50"))
+
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run [[tumblingCounts]] as a real Structured Streaming query straight
+    * off the raw fixture parquet (nanos-ts normalization inlined into the
+    * stream, mirroring [[graft.Tables.load]]) and return the final
+    * Complete-mode table. Complete mode keeps every window in the state
+    * store, so the result equals the batch tumbling aggregation exactly —
+    * which makes this entry DuckDB-oracle-checkable AND bench-timeable:
+    * the recorded seconds cover source listing, micro-batch planning and
+    * the state-store aggregation path end-to-end. The query name is
+    * uniquified per call so a watchdog-cancelled attempt's still-draining
+    * stream can never collide with a retry. */
+  def runTumblingRawOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val path = s"$sfDir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file stream source requires a DIRECTORY: driver fixtures are
+    // single files, so stream the parent dir with a name filter; generated
+    // scale-up fixtures are directories and stream directly
+    val raw =
+      if (new java.io.File(path).isDirectory)
+        spark.readStream.schema(schema).parquet(path)
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+    val ev = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+    val name = s"graft_stream_tumbling_${runSeq.incrementAndGet()}"
+    val q = tumblingCounts(ev)
+      .writeStream.outputMode(OutputMode.Complete).format("memory")
+      .queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
 }
