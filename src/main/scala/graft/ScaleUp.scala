@@ -59,7 +59,7 @@ object ScaleUp {
     def inflate(df: DataFrame, shifts: Map[String, Long],
         extra: (DataFrame, org.apache.spark.sql.Column) => DataFrame = (d, _) => d): DataFrame = {
       val withR = df.withColumn("__r",
-        explode(sequence(lit(0), lit(factor - 1))).cast("long"))
+        explode(sequence(lit(0L), lit(factor - 1L))))
       val shifted = shifts.foldLeft(withR) { case (d, (k, s)) =>
         d.withColumn(k, col(k) + col("__r") * lit(s))
       }

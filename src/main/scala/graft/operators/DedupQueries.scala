@@ -212,8 +212,11 @@ object DedupQueries {
     // exact integer arithmetic in both engines.
     "dedup_minhash_estimate" -> ((spark, sfDir) => {
       val sh = shingleHashes(corpus(spark, sfDir))
-      val sigs = minhashSigs(sh).transform(CacheScope.cached)
-      val bb = bands(sigs).transform(CacheScope.cached)
+      // pinned: sigs is scanned by the band build AND both estimate-join
+      // sides, bb by both bucket self-join sides — concurrent consumers
+      // of a lazy persist race its population (minhash-family fix)
+      val sigs = minhashSigs(sh).transform(CacheScope.pinned)
+      val bb = bands(sigs).transform(CacheScope.pinned)
       val aB = bb.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
       val bB = bb.select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
       val cand = aB.join(bB, Seq("band", "bkey")).filter(col("doc_a") < col("doc_b"))
@@ -325,19 +328,20 @@ object DedupQueries {
     // all shingles explodes on stopword-like ones. t = 0.5 keeps the
     // prefix-length arithmetic in exact integer division for both engines.
     "dedup_prefix_jaccard" -> ((spark, sfDir) => {
-      val sh = shingles(corpus(spark, sfDir)).transform(CacheScope.cached)
+      // pinned, not lazily cached: sh feeds the frequency count, the
+      // prefix build and the packed-set build; the prefix frame is
+      // scanned by BOTH candidate self-join sides — the same concurrent-
+      // consumer cache race as the banded minhash frame before pinning
+      val sh = shingles(corpus(spark, sfDir)).transform(CacheScope.pinned)
       val gf = sh.groupBy(col("shingle")).agg(count(lit(1)).as("gf"))
       val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("gf"), col("shingle"))
       val wN = Window.partitionBy(col("doc_id"))
-      // both sides of the candidate self-join scan the prefix frame —
-      // persist it so the frequency join + window passes run once, not
-      // twice (the same both-sides rule as the banded minhash frame)
       val prefix = sh.join(gf, "shingle")
         .withColumn("__rn", row_number().over(wOrd).cast("long"))
         .withColumn("__n", count(lit(1)).over(wN))
         .filter(expr("__rn <= __n div 2 + 1"))
         .select(col("doc_id"), col("shingle"))
-        .transform(CacheScope.cached)
+        .transform(CacheScope.pinned)
       // the self-join key is the shingle's 60-bit fingerprint, not the
       // string: the ORDER (gf, shingle) that defines the prefix is
       // string-exact above, but bucket membership only needs equality —
@@ -387,8 +391,8 @@ object DedupQueries {
       Tables.load(spark, sfDir, "documents").createOrReplaceTempView("documents")
       val base = spark.sql("SELECT doc_id, text FROM documents")
       val delta = spark.sql(deltaSql)
-      val shBase = shingleHashes(base).transform(CacheScope.cached)   // index-build side: runs once
-      val shDelta = shingleHashes(delta).transform(CacheScope.cached) // the only per-batch tokenize
+      val shBase = shingleHashes(base).transform(CacheScope.pinned)   // index-build side: runs once
+      val shDelta = shingleHashes(delta).transform(CacheScope.pinned) // the only per-batch tokenize
       val idx = bands(minhashSigs(shBase))
       val probe = bands(minhashSigs(shDelta))
       val cand = probe.select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
@@ -427,7 +431,7 @@ object DedupQueries {
       val chunks = TextQueries.chunkFingerprints(corpus(spark, sfDir))
         .select(col("doc_id"), col("chunk_fp"))
         .distinct()
-        .transform(CacheScope.cached)
+        .transform(CacheScope.pinned)
       val keep = chunks.groupBy(col("chunk_fp")).agg(count(lit(1)).as("__n"))
         .filter(col("__n") <= 64).select(col("chunk_fp"))
       val cf = chunks.join(keep, "chunk_fp")
@@ -451,21 +455,24 @@ object DedupQueries {
     // fingerprints, never the strings (collisions would surface as an
     // oracle hash mismatch — the string-set oracle is unchanged).
     "dedup_containment" -> ((spark, sfDir) => {
-      val sh = shingleHashes(corpus(spark, sfDir)).transform(CacheScope.cached)
+      // pinned (eager checkpoint), not lazily cached: sh feeds the df
+      // count, the index join AND the packed-set build, and idx is
+      // scanned by BOTH sides of the pair self-join — lazy persists
+      // scanned concurrently by two join sides race their own cache
+      // population on the first attempt, the repeat-run pathology the
+      // minhash and graph families had until their shared frames were
+      // checkpoint-pinned
+      val sh = shingleHashes(corpus(spark, sfDir)).transform(CacheScope.pinned)
       val capped = sh.groupBy(col("sh64")).agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 20)).select(col("sh64"))
-      // cached since the fingerprint rewrite: both sides of the pair
-      // self-join scan idx, and at 16 bytes/row materializing it now costs
-      // less than re-running the df join per side (the string-frame
-      // version measured the other way around)
-      val idx = sh.join(capped, "sh64").transform(CacheScope.cached)
+      val idx = sh.join(capped, "sh64").transform(CacheScope.pinned)
       val cand = idx.select(col("doc_id").as("doc_a"), col("sh64"))
         .join(idx.select(col("doc_id").as("doc_b"), col("sh64")), "sh64")
         .filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("__n_shared"))
         .filter(col("__n_shared") >= 3)
         .select(col("doc_a"), col("doc_b"))
-        .transform(CacheScope.cached)
+        .transform(CacheScope.pinned)
       val candDocs = cand.select(col("doc_a").as("doc_id"))
         .union(cand.select(col("doc_b").as("doc_id"))).distinct()
       // pack each candidate doc's fingerprint set once; the intersection
@@ -475,7 +482,7 @@ object DedupQueries {
       val sets = sh.join(candDocs, Seq("doc_id"), "left_semi")
         .groupBy(col("doc_id")).agg(collect_set(col("sh64")).as("hs"))
         .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n_sh"))
-        .transform(CacheScope.cached)
+        .transform(CacheScope.pinned)
       cand
         .join(sets.select(col("doc_id").as("doc_a"),
           col("hs").as("ha"), col("n_sh").as("n_a")), "doc_a")
@@ -501,7 +508,9 @@ object DedupQueries {
           shiftright(col("simhash"), 15 * c).bitwiseAND(32767).as("ckey"))): _*)).as("__c"))
       .select(col("doc_id"), col("simhash"),
         col("__c.chunk").as("chunk"), col("__c.ckey").as("ckey"))
-      .transform(CacheScope.cached) // both join sides scan it: one signature pass, not two
+      // pinned: BOTH self-join sides scan it concurrently — a lazy persist
+      // races its own population on the first pass (minhash-family fix)
+      .transform(CacheScope.pinned)
     val a = chunks.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
       col("chunk"), col("ckey"))
     val b = chunks.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
