@@ -37,6 +37,12 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", "134217728")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // Spark 4's recursive-CTE safety valve caps ACCUMULATED rows across
+      // iterations at 1M by default — a data-size limit, not a depth limit,
+      // so it trips on legitimate input growth (the sf1 BFS walks >1M
+      // frontier rows). Our recursions are depth-bounded in the SQL itself
+      // (hop < 4); raise the row valve so data scale doesn't abort them.
+      .config("spark.sql.cteRecursionRowLimit", "1000000000")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
 

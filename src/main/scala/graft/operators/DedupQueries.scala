@@ -265,14 +265,13 @@ object DedupQueries {
         .select(col("doc_a"), col("doc_b")).distinct()
       jaccard(cand, sh, 0.2)
     }),
-    // BFS hop distances over the near-dup pair graph, written as a NATIVE
-    // recursive CTE (Spark 4's WITH RECURSIVE, planned as UnionLoop) — the
-    // DECLARATIVE twin of [[GraphOps]]'s imperative label-propagation loop.
-    // The SAME SQL text runs in both engines (the oracle differs only in
-    // how the `pairs` relation is produced), so the recursion semantics —
-    // UNION ALL frontier expansion bounded by the hop predicate — are
-    // pinned cross-engine. The hop bound caps path explosion on the cyclic
-    // (symmetric) edge set; MIN(hop) collapses paths to distances.
+    // BFS hop distances over the near-dup pair graph: level-synchronous
+    // frontier expansion (per-hop work bounded by the edge count — see
+    // [[GraphOps.bfsHops]] for why the declarative UNION ALL recursion
+    // path-explodes in dense clusters). The recursion semantics stay pinned
+    // cross-engine: the DuckDB oracle runs the recursive-CTE form
+    // ([[bfsCtes]], MIN(hop) over the walk), Spark 4's native WITH
+    // RECURSIVE twin is spec-checked equal ([[graft.RecursiveBfsSpec]]).
     "dedup_bfs_hops" -> ((spark, sfDir) =>
       GraphOps.bfsHops(spark, simhashPairs(spark, sfDir))),
     // Triangle count of the near-dup pair graph — the clustering-coefficient

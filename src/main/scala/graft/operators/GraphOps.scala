@@ -106,12 +106,56 @@ object GraphOps {
       .crossJoin(broadcast(tri))
   }
 
-  /** BFS hop distances via Spark 4's NATIVE recursive CTE (planned as
-    * UnionLoop) — the declarative twin of [[connectedComponents]]'s
-    * imperative loop. Registers `pairs` as a temp view and runs
-    * [[graft.operators.DedupQueries.bfsCtes]] verbatim — the same SQL text
-    * the DuckDB oracle executes. */
+  /** BFS hop distances (MIN over walks of length ≤ 4 from the seed set) by
+    * level-synchronous frontier expansion: each hop joins the CURRENT
+    * frontier with the edge list, dedups the targets, and anti-joins the
+    * already-visited set — so per-hop work is bounded by the edge count and
+    * total rows by 5·|V|, regardless of cluster density.
+    *
+    * The declarative twin — the recursive CTE the DuckDB oracle runs
+    * verbatim ([[graft.operators.DedupQueries.bfsCtes]], UNION ALL frontier
+    * expansion + MIN(hop)) — counts PATHS, not vertices: inside a dense
+    * near-dup cluster (degree d) the walk materializes ~d⁴ rows per seed,
+    * which blows past any row budget once clusters grow (observed: 12.7k
+    * walk rows at sf0.1 → 111.5M at sf1 for a 36× edge increase; Spark 4
+    * additionally cannot dedup inside the recursion —
+    * UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE). Min-hop-per-vertex is the same
+    * answer computed vertex-wise; [[graft.RecursiveBfsSpec]] pins engine ≡
+    * native-recursive-CTE ([[bfsHopsRecursiveCte]]) on the fixture graph. */
   def bfsHops(spark: org.apache.spark.sql.SparkSession, pairs: DataFrame): DataFrame = {
+    // pin the pair generator: the symmetric edge frame is scanned once per
+    // hop (4×) plus the seed scan — without the checkpoint each hop would
+    // re-run the banded simhash self-join that produced the pairs
+    val p = CacheScope.pinned(pairs.select(col("doc_a"), col("doc_b")))
+    val edges = CacheScope.pinned(
+      p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(p.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    val seeds = CacheScope.pinned(
+      edges.filter(col("src") % 10 === 0).select(col("src").as("id")).distinct()
+        .withColumn("hop", lit(0L)))
+    var visited = seeds // min-hop per vertex: BFS order guarantees first touch = min
+    var frontier = seeds
+    for (h <- 1 to 4) {
+      // next frontier: neighbors of the current one, minus anything already
+      // reached (visited carries every vertex with hop < h). Pinned: it is
+      // scanned by the next hop's join AND by the growing visited union.
+      val next = CacheScope.pinned(
+        frontier.join(edges, frontier("id") === edges("src"))
+          .select(edges("dst").as("id")).distinct()
+          .join(visited.select(col("id")), Seq("id"), "left_anti")
+          .withColumn("hop", lit(h.toLong)))
+      visited = visited.union(next)
+      frontier = next
+    }
+    visited.select(col("id").as("doc_id"), col("hop").as("hops"))
+  }
+
+  /** The declarative BFS: Spark 4's NATIVE recursive CTE (planned as
+    * UnionLoop), running [[graft.operators.DedupQueries.bfsCtes]] — the
+    * same SQL text the DuckDB oracle executes. Correct at any scale but
+    * path-enumerating (see [[bfsHops]]); kept as the spec-pinned semantic
+    * reference for the frontier implementation. */
+  def bfsHopsRecursiveCte(spark: org.apache.spark.sql.SparkSession, pairs: DataFrame): DataFrame = {
     // materialize the pair generator ONCE before the recursion: UnionLoop
     // re-reads the anchor/edge relations every iteration, and without the
     // pin each of the ≤4 hops would re-run the whole banded simhash
