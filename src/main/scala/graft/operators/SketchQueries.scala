@@ -3,7 +3,7 @@ package graft.operators
 import graft.CacheScope
 import graft.Tables
 import graft.functions.{Hashing, HllSketch, KmvSketch, SampleSketch}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -76,6 +76,11 @@ object SketchQueries {
     // so every sketch row and both estimates are engine-exact.
     "sketch_kmv_jaccard" -> ((spark, sfDir) =>
       kmvSourceJaccard(Tables.load(spark, sfDir, "documents"))),
+    // THETA-STYLE SET OPERATIONS: union / intersection / difference
+    // cardinality estimates per source pair, computed from the per-source
+    // KMV sketches alone — see [[kmvSourceSetops]].
+    "sketch_kmv_setops" -> ((spark, sfDir) =>
+      kmvSourceSetops(Tables.load(spark, sfDir, "documents"))),
     // BOTTOM-K SAMPLE QUANTILES: per-type value quantiles from a fixed
     // O(k)-state sketch ([[graft.functions.SampleSketch]]) instead of the
     // full rank-arithmetic pass `events_value_quantiles` runs — at 100 TB
@@ -191,6 +196,69 @@ object SketchQueries {
         (col("n_both").cast("double") / col("k_used")).as("jaccard_est"))
   }
 
+  /** KMV cardinality estimate in milli-units from a sketch's row count `n`
+    * and kept-max hash `mx` (15-hex-digit md5 prefix): exact `n·1000` while
+    * the sketch holds everything (n < k), else the classic (k−1)/θ with
+    * θ = mx/2⁶⁰ — operation order pinned to the oracle's SQL text so the
+    * double arithmetic is bit-identical cross-engine. */
+  private def kmvMillisFromMax(n: Column, mx: Column): Column =
+    when(n < SetK, n * lit(1000L)).otherwise(
+      floor(lit(63.0) / (conv(mx, 16, 10).cast("double") / lit(1152921504606846976.0))
+        * 1000.0 + 0.5).cast("long"))
+
+  /** Theta-sketch-style SET OPERATIONS between the `source` groups of a
+    * (source, text) frame: per-pair estimates of |A∪B| (from the union
+    * sketch — the KMV closure property again), |A∩B| (inclusion via the
+    * matched-hash fraction of the union sketch), and |A\B| / |B\A|
+    * (inclusion–exclusion against the per-source estimates). All milli-unit
+    * BIGINTs with pinned-op-order arithmetic, so the DuckDB oracle replays
+    * every approximate answer bit-for-bit. At 100 TB the data pass is the
+    * per-source bottom-k sketch build (WindowGroupLimit prunes map-side);
+    * every set operation is then O(k) per pair on sketches alone —
+    * the workflow that answers "how much does corpus A overlap corpus B"
+    * without ever joining the corpora. */
+  def kmvSourceSetops(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("source"), explode(Hashing.tokens(col("text"))).as("token"))
+      .select(col("source"), Hashing.hashHex(col("token")).as("hv"))
+      .distinct()
+    val w = Window.partitionBy(col("source")).orderBy(col("hv"))
+    val kmin = tok.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= SetK)
+      .select(col("source"), col("hv")).transform(CacheScope.cached)
+    val per = kmin.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_s"), max(col("hv")).as("mx_s"))
+      .select(col("source"), kmvMillisFromMax(col("n_s"), col("mx_s")).as("millis_s"))
+    val a = kmin.select(col("source").as("source_a"), col("hv"))
+    val b = kmin.select(col("source").as("source_b"), col("hv"))
+    val srcPairs = a.select(col("source_a")).distinct()
+      .crossJoin(broadcast(b.select(col("source_b")).distinct()))
+      .filter(col("source_a") < col("source_b"))
+    val uni = srcPairs.join(a, "source_a").select(col("source_a"), col("source_b"), col("hv"))
+      .union(srcPairs.join(b, "source_b").select(col("source_a"), col("source_b"), col("hv")))
+      .distinct()
+    val wp = Window.partitionBy(col("source_a"), col("source_b")).orderBy(col("hv"))
+    uni.withColumn("__rn", row_number().over(wp)).filter(col("__rn") <= SetK)
+      .join(a.withColumn("in_a", lit(1L)), Seq("source_a", "hv"), "left")
+      .join(b.withColumn("in_b", lit(1L)), Seq("source_b", "hv"), "left")
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("k_used"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L).otherwise(0L))
+          .as("n_both"),
+        max(col("hv")).as("mx_u"))
+      .withColumn("union_millis", kmvMillisFromMax(col("k_used"), col("mx_u")))
+      .join(broadcast(per.select(col("source").as("source_a"),
+        col("millis_s").as("__am"))), "source_a")
+      .join(broadcast(per.select(col("source").as("source_b"),
+        col("millis_s").as("__bm"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("k_used"), col("n_both"),
+        col("union_millis"),
+        floor(col("n_both").cast("double") * col("union_millis") / col("k_used"))
+          .cast("long").as("inter_millis"),
+        greatest(col("union_millis") - col("__bm"), lit(0L)).as("only_a_millis"),
+        greatest(col("union_millis") - col("__am"), lit(0L)).as("only_b_millis"))
+  }
+
   private val hv = KmvSketch.hashSql("CAST(l_orderkey AS VARCHAR)")
   private val hvCust = KmvSketch.hashSql("CAST(o_custkey AS VARCHAR)")
 
@@ -299,6 +367,53 @@ object SketchQueries {
          |LEFT JOIN kmin ka ON ka.source = u.source_a AND ka.hv = u.hv
          |LEFT JOIN kmin kb ON kb.source = u.source_b AND kb.hv = u.hv
          |GROUP BY u.source_a, u.source_b""".stripMargin,
+    "sketch_kmv_setops" ->
+      s"""WITH tok AS (
+         |  SELECT DISTINCT source, ${Hashing.hashHexSql("t")} AS hv
+         |  FROM (SELECT source, unnest(${Hashing.tokensSql("text")}) AS t FROM documents)),
+         |kmin AS (
+         |  SELECT source, hv FROM (
+         |    SELECT source, hv, ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+         |    FROM tok) t WHERE rn <= $SetK),
+         |per AS (
+         |  SELECT source,
+         |         CASE WHEN COUNT(*) < $SetK THEN COUNT(*) * 1000
+         |              ELSE CAST(floor(63.0 / (CAST(concat('0x', MAX(hv)) AS BIGINT)
+         |                   / 1152921504606846976.0) * 1000.0 + 0.5) AS BIGINT) END AS millis_s
+         |  FROM kmin GROUP BY source),
+         |srcs AS (SELECT DISTINCT source FROM kmin),
+         |prs AS (
+         |  SELECT a.source AS source_a, b.source AS source_b
+         |  FROM srcs a JOIN srcs b ON a.source < b.source),
+         |uni AS (
+         |  SELECT DISTINCT p.source_a, p.source_b, k.hv
+         |  FROM prs p JOIN kmin k ON k.source = p.source_a OR k.source = p.source_b),
+         |kminu AS (
+         |  SELECT source_a, source_b, hv FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY source_a, source_b ORDER BY hv) AS rn
+         |    FROM uni) t WHERE rn <= $SetK),
+         |pairagg AS (
+         |  SELECT u.source_a, u.source_b, COUNT(*) AS k_used,
+         |    CAST(SUM(CASE WHEN ka.hv IS NOT NULL AND kb.hv IS NOT NULL
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+         |    MAX(u.hv) AS mx_u
+         |  FROM kminu u
+         |  LEFT JOIN kmin ka ON ka.source = u.source_a AND ka.hv = u.hv
+         |  LEFT JOIN kmin kb ON kb.source = u.source_b AND kb.hv = u.hv
+         |  GROUP BY u.source_a, u.source_b),
+         |um AS (
+         |  SELECT source_a, source_b, k_used, n_both,
+         |         CASE WHEN k_used < $SetK THEN k_used * 1000
+         |              ELSE CAST(floor(63.0 / (CAST(concat('0x', mx_u) AS BIGINT)
+         |                   / 1152921504606846976.0) * 1000.0 + 0.5) AS BIGINT) END AS union_millis
+         |  FROM pairagg)
+         |SELECT um.source_a, um.source_b, um.k_used, um.n_both, um.union_millis,
+         |  CAST(floor(CAST(um.n_both AS DOUBLE) * um.union_millis / um.k_used) AS BIGINT)
+         |    AS inter_millis,
+         |  greatest(um.union_millis - pb.millis_s, 0) AS only_a_millis,
+         |  greatest(um.union_millis - pa.millis_s, 0) AS only_b_millis
+         |FROM um JOIN per pa ON pa.source = um.source_a
+         |        JOIN per pb ON pb.source = um.source_b""".stripMargin,
     "sketch_cms_terms" -> {
       def bucketSql(jExpr: String, termExpr: String) =
         s"CAST(concat('0x', substr(md5(CAST(concat($jExpr, ':', $termExpr) " +

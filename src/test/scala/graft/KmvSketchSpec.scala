@@ -25,6 +25,37 @@ class KmvSketchSpec extends SparkTestBase {
     assert(math.abs(est - n) / n < 0.15, s"estimate $est vs true $n")
   }
 
+  test("setops estimates are internally consistent and track exact cardinalities") {
+    // two sources with a planted 50% overlap, vocab far above SetK so both
+    // take the estimator path; plus a tiny third source on the exact path
+    val docs = (
+      (1 to 40).map(i => ("srcA", (0 until 50).map(j => s"w${i * 50 + j}").mkString(" "))) ++
+      (1 to 40).map(i => ("srcB", (0 until 50).map(j => s"w${1000 + i * 50 + j}").mkString(" "))) ++
+      Seq(("srcC", "alpha beta gamma"))
+    ).toDF("source", "text")
+    val r = operators.SketchQueries.kmvSourceSetops(docs)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    // internal consistency on every pair: inter ≤ union, diffs ≤ union, ≥ 0
+    r.values.foreach { x =>
+      val (union, inter, oa, ob) = (x.getLong(4), x.getLong(5), x.getLong(6), x.getLong(7))
+      assert(inter >= 0 && inter <= union && oa >= 0 && oa <= union && ob >= 0 && ob <= union)
+    }
+    // A vocab = w50..w2049 (2000), B = w2050..w3049 overlapping A in w2050..?
+    // A tokens: i in 1..40, j 0..49 → 50..2049; B: 2050..3049 → actually
+    // disjoint by construction above? w indices for B start at 1000+50+0=1050
+    // → B = 1050..3049, so |A∩B| = 1050..2049 = 1000, |A∪B| = 50..3049 = 3000.
+    val ab = r(("srcA", "srcB"))
+    assert(math.abs(ab.getLong(4) / 1000.0 - 3000) / 3000.0 < 0.5,
+      s"union est ${ab.getLong(4)}")
+    assert(math.abs(ab.getLong(5) / 1000.0 - 1000) / 1000.0 < 0.6,
+      s"inter est ${ab.getLong(5)}")
+    // srcC is exact-path (3 tokens < SetK): A∪C ≈ |A| + 3
+    val ac = r(("srcA", "srcC"))
+    assert(math.abs(ac.getLong(4) / 1000.0 - 2003) / 2003.0 < 0.5,
+      s"union est ${ac.getLong(4)}")
+    assert(ac.getLong(5) == 0L) // no shared vocab → zero matched hashes
+  }
+
   test("duplicates do not move the estimate (set semantics)") {
     val base = (1 to 5000).map(i => ("g", s"v$i"))
     val dup = base ++ base ++ base
