@@ -90,6 +90,10 @@ object EventsQueries {
     // the state-store aggregation path has a bench-recorded number.
     "stream_tumbling" -> ((spark, sfDir) =>
       graft.streaming.EventStreams.runTumblingRawOnce(spark, sfDir)),
+    // The sliding-window twin, run the same way: every event lands in two
+    // windows, so this times the state store holding ~2x the live groups.
+    "stream_sliding" -> ((spark, sfDir) =>
+      graft.streaming.EventStreams.runSlidingRawOnce(spark, sfDir)),
     // Rolling 1-hour per-user aggregates via a TIME-VALUED RANGE frame
     // (each row's frame is [ts − 1h, ts] by timestamp value, not row
     // count — irregular event spacing makes ROWS frames wrong here).
@@ -685,6 +689,18 @@ object EventsQueries {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
         |FROM events GROUP BY bucket_start, event_type""".stripMargin,
+    // identical oracle to events_sliding: the Complete-mode streaming run
+    // must reproduce the batch sliding aggregation bit-for-bit
+    "stream_sliding" ->
+      """WITH b AS (
+        |  SELECT event_type, value,
+        |         unnest([time_bucket(INTERVAL '5 minutes', ts),
+        |                 time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+        |           AS bucket_start
+        |  FROM events)
+        |SELECT bucket_start, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(38,4))) AS DOUBLE) AS total_value
+        |FROM b GROUP BY bucket_start, event_type""".stripMargin,
     "events_pattern_match" ->
       """WITH su AS (
         |  SELECT user_id, MIN(ts) AS t_signup FROM events

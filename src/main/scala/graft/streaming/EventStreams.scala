@@ -196,17 +196,39 @@ object EventStreams {
 
   private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
-  /** Run [[tumblingCounts]] as a real Structured Streaming query straight
-    * off the raw fixture parquet (nanos-ts normalization inlined into the
-    * stream, mirroring [[graft.Tables.load]]) and return the final
-    * Complete-mode table. Complete mode keeps every window in the state
-    * store, so the result equals the batch tumbling aggregation exactly —
-    * which makes this entry DuckDB-oracle-checkable AND bench-timeable:
-    * the recorded seconds cover source listing, micro-batch planning and
-    * the state-store aggregation path end-to-end. The query name is
-    * uniquified per call so a watchdog-cancelled attempt's still-draining
-    * stream can never collide with a retry. */
-  def runTumblingRawOnce(spark: SparkSession, sfDir: String): DataFrame = {
+  /** [[tumblingCounts]] as a real Structured Streaming query over the raw
+    * fixture parquet, run to completion — see [[runWindowedRawOnce]]. */
+  def runTumblingRawOnce(spark: SparkSession, sfDir: String): DataFrame =
+    runWindowedRawOnce(spark, sfDir, tumblingCounts, "tumbling")
+
+  /** Watermarked SLIDING-window aggregation (10-minute windows every
+    * 5 minutes): each event lands in two windows, so the state store holds
+    * ~2× the live window groups of the tumbling query — the heavier
+    * streaming-aggregation shape, timed separately for exactly that
+    * reason. Output schema matches the batch `events_sliding` twin. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(38,4)")).cast("double").as("total_value"))
+      .select(col("window.start").as("bucket_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  def runSlidingRawOnce(spark: SparkSession, sfDir: String): DataFrame =
+    runWindowedRawOnce(spark, sfDir, slidingCounts, "sliding")
+
+  /** Run a windowed streaming aggregation straight off the raw fixture
+    * parquet (nanos-ts normalization inlined, mirroring
+    * [[graft.Tables.load]]) and return the final Complete-mode table —
+    * Complete mode keeps every window in the state store, so the result
+    * equals the batch aggregation exactly: DuckDB-oracle-checkable AND
+    * bench-timeable (source listing + micro-batch planning + state-store
+    * path end-to-end). Query names are uniquified per call so a
+    * watchdog-cancelled attempt's still-draining stream can never collide
+    * with a retry. */
+  private def runWindowedRawOnce(spark: SparkSession, sfDir: String,
+      agg: DataFrame => DataFrame, label: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val path = s"$sfDir/events.parquet"
     val schema = spark.read.parquet(path).schema
@@ -226,8 +248,8 @@ object EventStreams {
         raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
-    val name = s"graft_stream_tumbling_${runSeq.incrementAndGet()}"
-    val q = tumblingCounts(ev)
+    val name = s"graft_stream_${label}_${runSeq.incrementAndGet()}"
+    val q = agg(ev)
       .writeStream.outputMode(OutputMode.Complete).format("memory")
       .queryName(name).start()
     try q.processAllAvailable() finally q.stop()
