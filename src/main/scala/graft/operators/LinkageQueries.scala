@@ -28,12 +28,24 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB: every join is an equi-join on a low-cardinality composite
   * block key; per-block fan-out is bounded by block size (nation × segment
-  * × 500-wide balance band), the standard ER blocking trade. Edit-distance
+  * × [[BandWidth]]-wide balance band), the standard ER blocking trade —
+  * and the band width is the knob that scales block COUNT with data
+  * (see [[BandWidth]]). Edit-distance
   * runs on candidate pairs only. Skewed blocks would salt like any keyed
   * join ([[SkewJoin]]).
   */
 object LinkageQueries {
   type Q = (SparkSession, String) => DataFrame
+
+  /** Balance-band blocking width. The dirty side's balance jitter is
+    * bounded (+0..6), so ANY width ≥ 7 keeps the ±1-band explosion
+    * lossless for true pairs; the width then ONLY controls block
+    * granularity — and block count is what must scale with data (the sf1
+    * run showed the earlier 500-wide bands going quadratic: fixed block
+    * count × 10× rows per block = 100× candidate pairs). 50 keeps
+    * per-block size ~constant a decade up and sharpens precision (fewer
+    * coincidental same-block lev≤2 neighbors) — both oracle-checked. */
+  val BandWidth = 50
 
   /** One deletion for everyone (4th char); a second deletion (7th char)
     * for every 11th record; nation shifted for every 13th (blocked away —
@@ -60,13 +72,13 @@ object LinkageQueries {
   def matches(customers: DataFrame): DataFrame = {
     val dirty = dirtySide(customers).withColumn("band",
       explode(expr(
-        """array(CAST(floor(bal_d/500) AS BIGINT) - 1,
-          |      CAST(floor(bal_d/500) AS BIGINT),
-          |      CAST(floor(bal_d/500) AS BIGINT) + 1)""".stripMargin)))
+        s"""array(CAST(floor(bal_d/$BandWidth) AS BIGINT) - 1,
+           |      CAST(floor(bal_d/$BandWidth) AS BIGINT),
+           |      CAST(floor(bal_d/$BandWidth) AS BIGINT) + 1)""".stripMargin)))
     val clean = customers.select(
       col("c_custkey").as("cand_key"), col("c_name"),
       col("c_nationkey").as("nation_d"), col("c_mktsegment").as("seg_d"),
-      expr("CAST(floor(c_acctbal/500) AS BIGINT)").as("band"))
+      expr(s"CAST(floor(c_acctbal/$BandWidth) AS BIGINT)").as("band"))
     // blocking equi-join; a candidate's single band hits exactly one of the
     // dirty row's 3 exploded bands, so no dedup is needed
     val cands = dirty.join(clean, Seq("nation_d", "seg_d", "band"))
@@ -132,9 +144,9 @@ object LinkageQueries {
        |  FROM dirty d
        |  JOIN customer c
        |    ON c.c_nationkey = d.nation_d AND c.c_mktsegment = d.seg_d
-       |   AND CAST(floor(c.c_acctbal/500) AS BIGINT)
-       |         BETWEEN CAST(floor(d.bal_d/500) AS BIGINT) - 1
-       |             AND CAST(floor(d.bal_d/500) AS BIGINT) + 1
+       |   AND CAST(floor(c.c_acctbal/$BandWidth) AS BIGINT)
+       |         BETWEEN CAST(floor(d.bal_d/$BandWidth) AS BIGINT) - 1
+       |             AND CAST(floor(d.bal_d/$BandWidth) AS BIGINT) + 1
        |  WHERE levenshtein(c.c_name, d.name_d) <= 2),
        |best AS (
        |  SELECT dirty_id, cand_key, lev FROM (

@@ -50,8 +50,9 @@ class LinkageSpec extends SparkTestBase {
   }
 
   test("band-boundary jitter cannot lose a true pair") {
-    // bal 498 + jitter (custkey 6 % 7 = 6) crosses the 500 band boundary:
-    // the ±1 band explosion must still block the true pair together
+    // bal 498 + jitter (custkey 6 % 7 = 6) crosses a band boundary
+    // (498 → band 9, 504 → band 10 at BandWidth 50): the ±1 band
+    // explosion must still block the true pair together
     val edge = Seq((6L, "Customer#000000006", 1, 498.0, "BUILDING"))
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
     val out = LinkageQueries.matches(edge).collect()

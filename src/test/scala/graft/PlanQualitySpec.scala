@@ -281,4 +281,32 @@ class PlanQualitySpec extends SparkTestBase {
     val scans = p.linesIterator.count(_.contains("FileScan parquet"))
     assert(scans == 1, s"expected 1 scan, got $scans\n" + p.take(2000))
   }
+
+  test("kmv setops: map-side WindowGroupLimit sketch build; per-source frames broadcast") {
+    val df = SparkEntry.queries("sketch_kmv_setops")(spark, Sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the bottom-k per source must prune map-side (row_number <= k as a
+    // WindowGroupLimit) — without it the full per-source vocabulary
+    // crosses the shuffle and the sketch build stops being the only
+    // data-sized pass
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
+    // the O(sources) millis frames join the O(pairs·k) union sketch by
+    // broadcast, never by shuffling the sketch side
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("frontier BFS: no recursion node; hop joins read checkpoint leaves") {
+    val df = SparkEntry.queries("dedup_bfs_hops")(spark, Sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the scale path is the level-synchronous loop — the path-enumerating
+    // UnionLoop must never reappear in the engine plan
+    assert(!p.contains("UnionLoop"), p.take(2000))
+    // every hop scans the pinned edge frame as a compact RDD leaf (the
+    // banded simhash generator must not be re-embedded per hop)
+    assert(p.contains("Scan ExistingRDD"), p.take(2000))
+    assert(!p.contains("FileScan parquet"),
+      "a hop join re-embedded the pair generator:\n" + p.take(2000))
+    CacheScope.releaseAll()
+  }
 }
