@@ -45,6 +45,13 @@ object Bench {
       graft.operators.DiffQueries.after(spark, sfDir, Tables.region),
       Tables.region.pk, "region", Tables.region.cols).count()
     catch { case _: Throwable => () }
+    // the flagship wide diff generates schema-SPECIFIC classes (17-column
+    // stringify/compare/explode) that none of the warmups above compile —
+    // at sf1 C2 tiering on that code dominated both timed attempts (25.5
+    // -> 11.0 -> 3.5s across warm reruns). Run it once untimed so the
+    // recorded number measures the plan, consistent with diff_report.
+    try SparkEntry.queries("diff_lineitem")(spark, sfDir).count()
+    catch { case _: Throwable => () }
 
     var attemptSeq = 0
     // A cancelled attempt's wedged task can ignore its interrupt and keep a
