@@ -18,7 +18,8 @@ class CacheHygieneSpec extends SparkTestBase {
   test("10 registry queries leave no persistent RDDs after releaseAll") {
     val names = Seq("dedup_minhash_lsh", "dedup_pagerank", "dedup_label_prop",
       "dedup_components", "dedup_triangles", "dedup_containment",
-      "ann_ivf_topk", "text_tfidf_top3", "sketch_kmv_groups", "diff_report")
+      "ann_ivf_topk", "text_tfidf_top3", "sketch_kmv_groups", "diff_report",
+      "dedup_bfs_hops", "sketch_kmv_setops")
     // neutralize anything earlier suites in this shared JVM left behind —
     // the assertion is about what THESE queries leave, not JVM history
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))

@@ -85,10 +85,13 @@ class DeterminismSpec extends SparkTestBase {
     // ranks: tie-stable rank/dense_rank/cume_dist
     // label_prop: (count DESC, label ASC) argmax rounds — the tie order,
     // not arrival order, decides every adopted label
+    // round-5: frontier BFS (min-hop per vertex must not depend on
+    // frontier-join task order), kmv setops (pinned-op-order millis)
     Seq("q17_small_qty", "diff_three_way", "diff_incremental_agg",
       "text_novelty", "q_window_ranks", "profile_orders",
       "dedup_containment", "events_dau_wau", "events_paths",
-      "pipeline_epoch_shuffle", "dedup_label_prop", "sketch_cms_terms")
+      "pipeline_epoch_shuffle", "dedup_label_prop", "sketch_cms_terms",
+      "dedup_bfs_hops", "sketch_kmv_setops")
       .foreach { q =>
         val a = repartitioned(2)(q)
         val b = repartitioned(17)(q)
