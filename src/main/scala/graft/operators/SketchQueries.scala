@@ -81,6 +81,52 @@ object SketchQueries {
     // KMV sketches alone — see [[kmvSourceSetops]].
     "sketch_kmv_setops" -> ((spark, sfDir) =>
       kmvSourceSetops(Tables.load(spark, sfDir, "documents"))),
+    // HLL MERGEABILITY, demonstrated relationally: per-source register
+    // frames (group-max of rho per bucket — the HLL state as ROWS) merge
+    // into the global sketch by a second bucket-max across sources, the
+    // exact 2-level aggregation tree a 1000-executor cluster runs; the
+    // merged estimate is emitted NEXT TO the direct single-pass build over
+    // the same token stream plus a merge_exact flag, and the oracle
+    // replays register construction, merge, and both estimates
+    // bit-for-bit. At 100 TB only the ≤256-row register frames cross the
+    // second aggregation — the property that makes per-shard sketch
+    // tables composable into corpus-level distinct counts without
+    // re-touching data.
+    "sketch_hll_merge" -> ((spark, sfDir) => {
+      val hh = Tables.load(spark, sfDir, "documents")
+        .select(col("source"), explode(Hashing.tokens(col("text"))).as("token"))
+        .select(col("source"), col("token"), Hashing.hash64(col("token")).as("hv"))
+        .transform(CacheScope.cached) // register builds + exact count share it
+      // rho over the 52-bit tail via bin() (no-leading-zeros bit length) —
+      // the same construction the DuckDB oracle uses, so registers agree
+      val tail = col("hv").bitwiseAND(lit((1L << 52) - 1))
+      val rho = when(tail === lit(0L), lit(53)).otherwise(lit(53) - length(bin(tail)))
+      val mr = hh
+        .select(col("source"), shiftright(col("hv"), 52).as("bucket"), rho.as("r"))
+        .groupBy(col("source"), col("bucket")).agg(max(col("r")).as("m"))
+      def sketchAgg(regs: DataFrame): DataFrame = regs
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - m)")).as("__sp"),
+          count(lit(1)).as("__np"))
+        .select(
+          (col("__sp") + (lit(256L) - col("__np")) * lit(1L << 53)).as("s"),
+          (lit(256L) - col("__np")).as("zero_regs"))
+      val estC = floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256)) * 65536
+        * 9007199254740992L / col("s").cast("double") * 1000 + 0.5).cast("long")
+      // merge path: bucket-max ACROSS the per-source register frames
+      val merged = sketchAgg(mr.groupBy(col("bucket")).agg(max(col("m")).as("m")))
+        .select(col("s").as("merged_s"), col("zero_regs").as("merged_zero_regs"),
+          estC.as("merged_raw_millis"))
+      // direct path: one global register build over the same stream
+      val direct = sketchAgg(hh
+          .select(shiftright(col("hv"), 52).as("bucket"), rho.as("r"))
+          .groupBy(col("bucket")).agg(max(col("r")).as("m")))
+        .select(col("s").as("direct_s"))
+      val exact = hh.agg(countDistinct(col("token")).as("exact_nd"))
+      merged.crossJoin(broadcast(direct)).crossJoin(broadcast(exact))
+        .select(col("merged_s"), col("merged_zero_regs"), col("merged_raw_millis"),
+          col("direct_s"), (col("merged_s") === col("direct_s")).as("merge_exact"),
+          col("exact_nd"))
+    }),
     // BOTTOM-K SAMPLE QUANTILES: per-type value quantiles from a fixed
     // O(k)-state sketch ([[graft.functions.SampleSketch]]) instead of the
     // full rank-arithmetic pass `events_value_quantiles` runs — at 100 TB
@@ -367,6 +413,33 @@ object SketchQueries {
          |LEFT JOIN kmin ka ON ka.source = u.source_a AND ka.hv = u.hv
          |LEFT JOIN kmin kb ON kb.source = u.source_b AND kb.hv = u.hv
          |GROUP BY u.source_a, u.source_b""".stripMargin,
+    "sketch_hll_merge" -> {
+      val estOf = (s: String) =>
+        "CAST(floor(0.7213 / (1 + 1.079/256) * 65536 * 9007199254740992 " +
+          s"/ CAST($s AS DOUBLE) * 1000 + 0.5) AS BIGINT)"
+      s"""WITH tok AS (
+         |  SELECT source, unnest(${Hashing.tokensSql("text")}) AS token FROM documents),
+         |hh AS (SELECT source, token, ${KmvSketch.hashSql("token")} AS hv FROM tok),
+         |mr AS (SELECT source, hv >> 52 AS bucket, MAX($rhoSql) AS m
+         |       FROM hh GROUP BY 1, 2),
+         |mm AS (SELECT bucket, MAX(m) AS m FROM mr GROUP BY bucket),
+         |ma AS (
+         |  SELECT CAST(SUM(1::BIGINT << (53 - m))
+         |           + (256 - COUNT(*)) * (1::BIGINT << 53) AS BIGINT) AS s,
+         |         CAST(256 - COUNT(*) AS BIGINT) AS zero_regs
+         |  FROM mm),
+         |dm AS (SELECT hv >> 52 AS bucket, MAX($rhoSql) AS m FROM hh GROUP BY 1),
+         |da AS (
+         |  SELECT CAST(SUM(1::BIGINT << (53 - m))
+         |           + (256 - COUNT(*)) * (1::BIGINT << 53) AS BIGINT) AS s
+         |  FROM dm),
+         |ex AS (SELECT COUNT(DISTINCT token) AS exact_nd FROM hh)
+         |SELECT ma.s AS merged_s, ma.zero_regs AS merged_zero_regs,
+         |       ${estOf("ma.s")} AS merged_raw_millis,
+         |       da.s AS direct_s, ma.s = da.s AS merge_exact,
+         |       CAST(ex.exact_nd AS BIGINT) AS exact_nd
+         |FROM ma CROSS JOIN da CROSS JOIN ex""".stripMargin
+    },
     "sketch_kmv_setops" ->
       s"""WITH tok AS (
          |  SELECT DISTINCT source, ${Hashing.hashHexSql("t")} AS hv
