@@ -77,6 +77,33 @@ object PipelineQueries {
           sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
           max(thresh).as("target_permille"))
     }),
+    // TEMPERATURE-balanced mixture (the standard LLM-pretraining
+    // re-weighting): sample source s at a rate ∝ n_s^(α−1) with α = 1/2,
+    // i.e. keep-rate √(n_min/n_s), so effective sizes flatten toward
+    // uniform while larger sources still contribute more — normalized so
+    // the smallest source keeps everything. The rate computes from ONE
+    // tiny per-source count frame (broadcast back); routing is the same
+    // content-free md5 per-mille threshold the split/mixture ops use, so
+    // all sampling stages compose and replay identically on any cluster
+    // shape. √ and the single divide run in pinned op order, so even the
+    // double-typed rate is engine-exact.
+    "pipeline_temperature_mix" -> ((spark, sfDir) => {
+      val d = graft.Tables.load(spark, sfDir, "documents")
+      val sizes = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val mn = sizes.agg(min(col("n_docs")).as("mn"))
+      val withRate = sizes.crossJoin(broadcast(mn))
+        .withColumn("keep_permille",
+          floor(sqrt(col("mn").cast("double") / col("n_docs").cast("double"))
+            * 1000.0 + 0.5).cast("long"))
+        .select(col("source"), col("n_docs"), col("keep_permille"))
+      val hd = pmod(Hashing.hash64(col("doc_id").cast("string")), lit(1000L))
+      d.join(broadcast(withRate), Seq("source"))
+        .withColumn("__keep", hd < col("keep_permille"))
+        .groupBy(col("source"))
+        .agg(max(col("n_docs")).as("n_docs"),
+          max(col("keep_permille")).as("keep_permille"),
+          sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"))
+    }),
     // Benchmark decontamination: flag training documents that share any
     // 8-gram with the held-out benchmark set (every original doc with
     // doc_id % 100 == 0 plays the benchmark; the dup-extended corpus
@@ -211,6 +238,21 @@ object PipelineQueries {
         |           ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 15), doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 5""".stripMargin,
+    "pipeline_temperature_mix" ->
+      s"""WITH sizes AS (
+         |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+         |mn AS (SELECT MIN(n_docs) AS mn FROM sizes),
+         |rates AS (
+         |  SELECT source, n_docs,
+         |         CAST(floor(sqrt(CAST(mn AS DOUBLE) / CAST(n_docs AS DOUBLE))
+         |              * 1000.0 + 0.5) AS BIGINT) AS keep_permille
+         |  FROM sizes CROSS JOIN mn)
+         |SELECT d.source, MAX(r.n_docs) AS n_docs,
+         |       MAX(r.keep_permille) AS keep_permille,
+         |       CAST(SUM(CASE WHEN ${Hashing.hash64Sql("CAST(d.doc_id AS VARCHAR)")} % 1000
+         |                     < r.keep_permille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM documents d JOIN rates r ON r.source = d.source
+         |GROUP BY d.source""".stripMargin,
     "pipeline_source_mixture" ->
       s"""SELECT source, COUNT(*) AS n_docs,
          |  CAST(SUM(CASE WHEN ${Hashing.hash64Sql("CAST(doc_id AS VARCHAR)")} % 1000
