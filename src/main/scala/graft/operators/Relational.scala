@@ -448,6 +448,56 @@ object Relational {
           expr("(n_ab * 1000) DIV n_b").as("conf_b_to_a_permille"),
           expr("(n_ab * n_baskets * 1000) DIV (n_a * n_b)").as("lift_permille"))
     }),
+    // Frequent triples with APRIORI candidate pruning — the classic
+    // distributed market-basket step up from pairs: the frequent-pair set
+    // L2 (support ≥ 2) generates candidate triples by self-joining on the
+    // shared first item (b < c) and closing under the downward-closure
+    // property (all three sub-pairs must be frequent — the (b,c) semi-join
+    // completes the check the generation join starts). Only then do
+    // baskets get touched: the 3-way per-order join is semi-joined to the
+    // candidate set BEFORE aggregation, so the count phase scans
+    // candidate-supported triples, not the full (items-per-basket choose 3)
+    // explosion. At 100 TB L2 is the small side (broadcastable or
+    // shuffled, either way bounded by the pair-support cut), and the
+    // basket joins stay keyed on the order id — Apriori's pruning
+    // expressed as equi-joins, no iteration driver needed for one level.
+    "q_basket_triples" -> ((spark, sfDir) => {
+      val li = Tables.load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .transform(CacheScope.cached) // pair build + three count-join legs
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      val c = li.select(col("l_orderkey"), col("l_partkey").as("part_c"))
+      val l2 = a.join(b, "l_orderkey").filter(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+        .select(col("part_a"), col("part_b"))
+        .transform(CacheScope.pinned) // three legs of candidate generation
+      val cand = l2
+        .join(l2.select(col("part_a"), col("part_b").as("part_c")), "part_a")
+        .filter(col("part_b") < col("part_c"))
+        .join(l2.select(col("part_a").as("part_b"), col("part_b").as("part_c")),
+          Seq("part_b", "part_c"), "left_semi")
+        .transform(CacheScope.pinned)
+      // items in NO frequent pair cannot reach any candidate triple (every
+      // surviving triple's sub-pairs are all in L2), so the count legs
+      // shed them before the 3-way join — output-provably-unchanged,
+      // and the per-order fan-out now scales with FREQUENT items per
+      // basket, not raw basket width
+      val freqItems = l2.select(col("part_a").as("l_partkey"))
+        .union(l2.select(col("part_b").as("l_partkey"))).distinct()
+      val lif = li.join(freqItems, Seq("l_partkey"), "left_semi")
+        .transform(CacheScope.pinned)
+      val af = lif.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val bf = lif.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      val cf = lif.select(col("l_orderkey"), col("l_partkey").as("part_c"))
+      af.join(bf, "l_orderkey").filter(col("part_a") < col("part_b"))
+        .join(cf, "l_orderkey").filter(col("part_b") < col("part_c"))
+        .join(cand, Seq("part_a", "part_b", "part_c"), "left_semi")
+        .groupBy(col("part_a"), col("part_b"), col("part_c"))
+        .agg(count(lit(1)).as("n_baskets"))
+        .filter(col("n_baskets") >= 2)
+    }),
     "q_rollup" -> ((spark, sfDir) =>
       Tables.load(spark, sfDir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
@@ -1037,6 +1087,28 @@ object Relational {
         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_baskets
         |FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY part_a, part_b
+        |HAVING COUNT(*) >= 2""".stripMargin,
+    "q_basket_triples" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |l2 AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 2),
+        |cand AS (
+        |  SELECT x.part_a, x.part_b, y.part_b AS part_c
+        |  FROM l2 x JOIN l2 y ON y.part_a = x.part_a AND x.part_b < y.part_b
+        |  WHERE EXISTS (SELECT 1 FROM l2 z
+        |                WHERE z.part_a = x.part_b AND z.part_b = y.part_b))
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, c.l_partkey AS part_c,
+        |       COUNT(*) AS n_baskets
+        |FROM li a
+        |JOIN li b ON b.l_orderkey = a.l_orderkey AND a.l_partkey < b.l_partkey
+        |JOIN li c ON c.l_orderkey = a.l_orderkey AND b.l_partkey < c.l_partkey
+        |WHERE EXISTS (SELECT 1 FROM cand t
+        |              WHERE t.part_a = a.l_partkey AND t.part_b = b.l_partkey
+        |                AND t.part_c = c.l_partkey)
+        |GROUP BY 1, 2, 3
         |HAVING COUNT(*) >= 2""".stripMargin,
     "q_association_rules" ->
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
