@@ -33,26 +33,34 @@ object ScaleUp {
     val src = sys.env.getOrElse("SPARK_GRAFT_SRC_DIR", "/root/testdata/sf0.1")
     val dst = sys.env.getOrElse("SPARK_GRAFT_DST_DIR", "/root/repo/testdata/sf1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_FACTOR", "10").toInt
+    val only = sys.env.get("SPARK_GRAFT_TABLES").map(_.split(",").map(_.trim).toSet)
     val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "graft-scaleup")
-    try run(spark, src, dst, factor) finally spark.stop()
+    try run(spark, src, dst, factor, only) finally spark.stop()
   }
 
-  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
+  /** `only`: restrict inflation to the named tables; the rest COPY from
+    * `src` unscaled so the destination stays a complete fixture directory
+    * (used for the sf10 decade, where the document families stop at sf1 —
+    * their doc_id keyspace would collide with the +100000 synthetic-dup
+    * band [[operators.DedupQueries.deltaSql]] bakes in). */
+  def run(spark: SparkSession, src: String, dst: String, factor: Int,
+      only: Option[Set[String]] = None): Unit = {
     def tbl(name: String): DataFrame = Tables.load(spark, src, name)
     // key stride = max+1, so replica keyspaces tile without gaps that would
     // skew modulo-based selections (deltaSql's doc_id % 50, mutation picks)
     def stride(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head.getLong(0) + 1L
 
+    def scaled(name: String): Boolean = only.forall(_.contains(name))
     val custS  = stride(tbl("customer"), "c_custkey")
     val suppS  = stride(tbl("supplier"), "s_suppkey")
     val partS  = stride(tbl("part"), "p_partkey")
     val orderS = stride(tbl("orders"), "o_orderkey")
     val eventS = stride(tbl("events"), "event_id")
     val userS  = stride(tbl("events"), "user_id")
-    val docS   = stride(tbl("documents"), "doc_id")
-    val vecS   = stride(tbl("embeddings"), "vec_id")
-    require(docS * factor <= 100000L,
+    val docS   = if (scaled("documents")) stride(tbl("documents"), "doc_id") else 0L
+    val vecS   = if (scaled("embeddings")) stride(tbl("embeddings"), "vec_id") else 0L
+    require(!scaled("documents") || docS * factor <= 100000L,
       s"doc_id stride $docS x $factor collides with deltaSql's +100000 synthetic band")
 
     // one scan per table: explode a replica index, shift keys per replica
@@ -68,39 +76,49 @@ object ScaleUp {
 
     def write(df: DataFrame, name: String, parts: Int): Unit =
       df.repartition(parts).write.mode("overwrite").parquet(s"$dst/$name.parquet")
+    // unscaled tables copy through so the destination is a complete fixture
+    def writeScaled(name: String, parts: Int)(mk: => DataFrame): Unit =
+      write(if (scaled(name)) mk else tbl(name), name, parts)
 
     write(tbl("region"), "region", 1)
     write(tbl("nation"), "nation", 1)
-    write(inflate(tbl("customer"), Map("c_custkey" -> custS)), "customer", 4)
-    write(inflate(tbl("supplier"), Map("s_suppkey" -> suppS)), "supplier", 1)
-    write(inflate(tbl("part"), Map("p_partkey" -> partS)), "part", 4)
-    write(inflate(tbl("orders"),
-      Map("o_orderkey" -> orderS, "o_custkey" -> custS)), "orders", 16)
-    write(inflate(tbl("lineitem"),
-      Map("l_orderkey" -> orderS, "l_partkey" -> partS, "l_suppkey" -> suppS)),
-      "lineitem", 32)
-    write(inflate(tbl("events"),
-      Map("event_id" -> eventS, "user_id" -> userS)), "events", 16)
+    // key-derived name columns regenerate from the SHIFTED key: replicas
+    // otherwise share names verbatim, and any name-keyed operator (ER
+    // blocking, fuzzy matching) sees factor-way duplicate-name cliques
+    // that no organically-grown table has — the same artifact the
+    // documents' Caesar rotation prevents for text
+    writeScaled("customer", 4)(inflate(tbl("customer"), Map("c_custkey" -> custS),
+      (d, _) => d.withColumn("c_name",
+        concat(lit("Customer#"), lpad(col("c_custkey").cast("string"), 9, "0")))))
+    writeScaled("supplier", 1)(inflate(tbl("supplier"), Map("s_suppkey" -> suppS),
+      (d, _) => d.withColumn("s_name",
+        concat(lit("Supplier#"), lpad(col("s_suppkey").cast("string"), 9, "0")))))
+    writeScaled("part", 4)(inflate(tbl("part"), Map("p_partkey" -> partS)))
+    writeScaled("orders", 16)(inflate(tbl("orders"),
+      Map("o_orderkey" -> orderS, "o_custkey" -> custS)))
+    writeScaled("lineitem", 32)(inflate(tbl("lineitem"),
+      Map("l_orderkey" -> orderS, "l_partkey" -> partS, "l_suppkey" -> suppS)))
+    writeScaled("events", 16)(inflate(tbl("events"),
+      Map("event_id" -> eventS, "user_id" -> userS)))
 
     // per-replica Caesar rotation of [a-z]: length-preserving, so n_chars
     // stays truthful and every token/shingle statistic is replica-invariant
     val alpha = "abcdefghijklmnopqrstuvwxyz"
     val rotations = (0 until factor).map(r => alpha.drop(r % 26) + alpha.take(r % 26))
-    write(inflate(tbl("documents"), Map("doc_id" -> docS), (d, r) => {
+    writeScaled("documents", 8)(inflate(tbl("documents"), Map("doc_id" -> docS), (d, r) => {
       val rot = (1 until factor).foldLeft(when(r === 0, col("text"))) {
         (acc, i) => acc.when(r === i, translate(col("text"), alpha, rotations(i)))
       }
       d.withColumn("text", rot.otherwise(col("text")))
-    }), "documents", 8)
+    }))
 
     // deterministic sub-1% perturbation, replica 0 exact; keeps vectors
     // near their original cluster (IVF routing stays meaningful) without
     // factor-way cosine ties at the top of any result list
-    write(inflate(tbl("embeddings"), Map("vec_id" -> vecS), (d, r) =>
+    writeScaled("embeddings", 4)(inflate(tbl("embeddings"), Map("vec_id" -> vecS), (d, r) =>
       d.withColumn("embedding", when(r === 0, col("embedding")).otherwise(
         expr("transform(embedding, (x, i) -> cast(x + " +
-          "((vec_id * 31 + i * 7 + __r * 13) % 201 - 100) * 0.002 AS float))")))),
-      "embeddings", 4)
+          "((vec_id * 31 + i * 7 + __r * 13) % 201 - 100) * 0.002 AS float))")))))
 
     val counts = Tables.all.map(t =>
       t.name -> spark.read.parquet(s"$dst/${t.name}.parquet").count())

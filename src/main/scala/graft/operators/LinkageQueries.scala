@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   *      engine-identical SQL (character deletions, balance jitter, and for
   *      every 13th record a WRONG nation — a planted blocking miss);
   *   2. BLOCKING: candidates come only from an equi-join on
-  *      (nation, segment, balance-band) — the dirty side explodes into its
-  *      band ±1 neighborhood (bounded 3×), so band-boundary jitter cannot
-  *      lose a true pair and NO all-pairs comparison exists at any size;
+  *      (nation, segment, balance-band, corruption-invariant name tail) —
+  *      the dirty side explodes into its band ±1 neighborhood (bounded
+  *      3×), so band-boundary jitter cannot lose a true pair and NO
+  *      all-pairs comparison exists at any size; the tail key's
+  *      cardinality grows with the data, keeping per-block size flat
+  *      after the jitter-bounded balance axis saturates;
   *   3. SCORING: `levenshtein` over the blocked candidates only, kept at
   *      distance ≤ 2;
   *   4. RESOLUTION: best match per dirty record by (distance, key) —
@@ -41,11 +44,16 @@ object LinkageQueries {
     * bounded (+0..6), so ANY width ≥ 7 keeps the ±1-band explosion
     * lossless for true pairs; the width then ONLY controls block
     * granularity — and block count is what must scale with data (the sf1
-    * run showed the earlier 500-wide bands going quadratic: fixed block
-    * count × 10× rows per block = 100× candidate pairs). 50 keeps
-    * per-block size ~constant a decade up and sharpens precision (fewer
-    * coincidental same-block lev≤2 neighbors) — both oracle-checked. */
-  val BandWidth = 50
+    * run showed the original 500-wide bands going quadratic: fixed block
+    * count × 10× rows per block = 100× candidate pairs; the sf10 run then
+    * re-saturated a 50-wide band). 7 is the jitter-bound floor — the
+    * finest lossless granularity this axis offers (~1 570 bands) — and
+    * also maximizes precision (fewest coincidental same-block lev≤2
+    * neighbors), all oracle-checked. Beyond ~10⁷ rows the balance axis is
+    * exhausted and a production deployment adds a second blocking
+    * dimension (a corruption-invariant name substring, a phonetic key):
+    * blocking-key cardinality is a data-scale parameter, not a constant. */
+  val BandWidth = 7
 
   /** One deletion for everyone (4th char); a second deletion (7th char)
     * for every 11th record; nation shifted for every 13th (blocked away —
@@ -75,13 +83,21 @@ object LinkageQueries {
         s"""array(CAST(floor(bal_d/$BandWidth) AS BIGINT) - 1,
            |      CAST(floor(bal_d/$BandWidth) AS BIGINT),
            |      CAST(floor(bal_d/$BandWidth) AS BIGINT) + 1)""".stripMargin)))
+      .withColumn("tail5", expr("right(name_d, 5)"))
     val clean = customers.select(
       col("c_custkey").as("cand_key"), col("c_name"),
       col("c_nationkey").as("nation_d"), col("c_mktsegment").as("seg_d"),
-      expr(s"CAST(floor(c_acctbal/$BandWidth) AS BIGINT)").as("band"))
+      expr(s"CAST(floor(c_acctbal/$BandWidth) AS BIGINT)").as("band"),
+      expr("right(c_name, 5)").as("tail5"))
     // blocking equi-join; a candidate's single band hits exactly one of the
-    // dirty row's 3 exploded bands, so no dedup is needed
-    val cands = dirty.join(clean, Seq("nation_d", "seg_d", "band"))
+    // dirty row's 3 exploded bands, so no dedup is needed. The second
+    // blocking dimension is the CORRUPTION-INVARIANT name tail: the
+    // planted deletions hit positions 4 and 7, so the last-5 substring
+    // survives both — a key whose cardinality GROWS with the data, which
+    // is what keeps per-block size flat after the jitter-bounded balance
+    // axis saturates (sf10: 1.5M customers / ~1.6k bands went quadratic
+    // again; with the tail key candidates stay ~O(1) per dirty row)
+    val cands = dirty.join(clean, Seq("nation_d", "seg_d", "band", "tail5"))
       .select(col("dirty_id"), col("cand_key"),
         expr("CAST(levenshtein(c_name, name_d) AS BIGINT)").as("lev"))
       .filter(col("lev") <= 2)
@@ -144,6 +160,7 @@ object LinkageQueries {
        |  FROM dirty d
        |  JOIN customer c
        |    ON c.c_nationkey = d.nation_d AND c.c_mktsegment = d.seg_d
+       |   AND right(c.c_name, 5) = right(d.name_d, 5)
        |   AND CAST(floor(c.c_acctbal/$BandWidth) AS BIGINT)
        |         BETWEEN CAST(floor(d.bal_d/$BandWidth) AS BIGINT) - 1
        |             AND CAST(floor(d.bal_d/$BandWidth) AS BIGINT) + 1

@@ -51,7 +51,7 @@ class LinkageSpec extends SparkTestBase {
 
   test("band-boundary jitter cannot lose a true pair") {
     // bal 498 + jitter (custkey 6 % 7 = 6) crosses a band boundary
-    // (498 → band 9, 504 → band 10 at BandWidth 50): the ±1 band
+    // (498 → band 71, 504 → band 72 at BandWidth 7): the ±1 band
     // explosion must still block the true pair together
     val edge = Seq((6L, "Customer#000000006", 1, 498.0, "BUILDING"))
       .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
