@@ -174,6 +174,32 @@ object DiffOracle {
        |   OR COALESCE(b_sum, 0) <> COALESCE(a_sum, 0)""".stripMargin
   }
 
+  /** Oracle for [[graft.streaming.StreamingDiff.runCdcRawOnce]]'s
+    * per-(status, side) event counts: phase 1 inserts every before row
+    * (INSERTED = |before| + the classifier's after-only keys), phase 2
+    * replays the batch classifier (DELETED = before-only, UPDATED emits a
+    * BEFORE and an AFTER event per changed key). */
+  def cdcCountsSql(t: TableDef, afterSql: String, pk: Seq[String]): String = {
+    val p = t.name + "_sc"
+    val (ctes, _) = diffParts(t, afterSql, pk, p)
+    val keep = ctes.filterNot(_._1 == s"${p}_out")
+    withSql(keep :+
+      (s"${p}_nb" -> s"SELECT COUNT(*) AS n FROM ${p}_before_n"),
+      s"""SELECT 'INSERTED' AS diff_status, 'AFTER' AS side,
+         |  CAST((SELECT n FROM ${p}_nb)
+         |     + (SELECT COUNT(*) FROM ${p}_cls WHERE diff_status = 'INSERTED')
+         |    AS BIGINT) AS n_events
+         |UNION ALL
+         |SELECT 'DELETED', 'BEFORE', CAST(COUNT(*) AS BIGINT)
+         |FROM ${p}_cls WHERE diff_status = 'DELETED'
+         |UNION ALL
+         |SELECT 'UPDATED', 'BEFORE', CAST(COUNT(*) AS BIGINT)
+         |FROM ${p}_cls WHERE diff_status = 'UPDATED'
+         |UNION ALL
+         |SELECT 'UPDATED', 'AFTER', CAST(COUNT(*) AS BIGINT)
+         |FROM ${p}_cls WHERE diff_status = 'UPDATED'""".stripMargin)
+  }
+
   /** Oracle for diff(A, A) — empty result (property: diff is reflexive-empty). */
   def identitySql(t: TableDef): String =
     diffSql(t, s"SELECT * FROM ${t.name}", t.pk)

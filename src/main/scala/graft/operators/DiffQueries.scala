@@ -161,6 +161,12 @@ object DiffQueries {
             t.pk, t.name, t.cols)
         }.reduce(_.unionByName(_))
       }),
+      // The same before→after transition consumed as a LIVE two-phase CDC
+      // stream (flatMapGroupsWithState last-row state, tombstone deletes),
+      // reduced to per-(status, side) event counts the batch classifier
+      // reproduces — see [[graft.streaming.StreamingDiff.runCdcRawOnce]].
+      "stream_cdc" -> ((spark, sfDir) =>
+        graft.streaming.StreamingDiff.runCdcRawOnce(spark, sfDir)),
       // Three-way merge: two branches diverged from one base snapshot,
       // classified LEFT_CHANGE / RIGHT_CHANGE / BOTH_SAME / CONFLICT per
       // key (the version-control operation over table snapshots; see
@@ -397,6 +403,8 @@ object DiffQueries {
         Tables.lineitem, "SELECT * FROM lineitem", Tables.lineitem.pk, oneWinner = true),
       "diff_report" ->
         DiffOracle.reportSql(Tables.diffable.map(t => t -> Mutations.afterSql(t.name))),
+      "stream_cdc" ->
+        DiffOracle.cdcCountsSql(Tables.orders, Mutations.afterSql("orders"), Tables.orders.pk),
       "snapshot_normalize_customer" ->
         DiffOracle.normalizedSelect("customer", Tables.customer, Tables.customer.pk),
       "diff_apply_roundtrip" -> DiffOracle.normalizedOneWinnerSql(

@@ -70,6 +70,71 @@ object StreamingDiff {
       }
   }
 
+  /** Run [[diffStream]] as a REAL two-phase CDC session over the orders
+    * snapshot pair, end to end, and return the per-(status, side) event
+    * counts — the entry that makes the `flatMapGroupsWithState` path both
+    * bench-timeable and DuckDB-checkable.
+    *
+    * Phase 1 writes the before snapshot as an upsert changelog to a temp
+    * dir and drains the file-source stream (every key new → INSERTED
+    * storm, state populated). Phase 2 appends the after snapshot's upserts
+    * plus tombstones for vanished keys and drains again (unchanged rows
+    * emit nothing — the stateful compare does the F3 filter). The emitted
+    * event counts are then an exact function of the two snapshots, which
+    * the oracle reproduces from the batch classifier: INSERTED = |before|
+    * + |after-only keys|, DELETED = |before-only|, UPDATED twice = |both,
+    * any column differing|. Data stays distributed throughout — the
+    * changelog is parquet files read by executors, never a driver-side
+    * MemoryStream. Orders' PK is unique in the fixture (last-row-per-key
+    * state equals batch multiplicity semantics only then). The temp dir,
+    * query name and checkpoint are per-call so a watchdog-cancelled
+    * attempt can never collide with a retry. */
+  def runCdcRawOnce(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val t = graft.Tables.orders
+    val bn = graft.operators.Normalize.withKey(
+      graft.Tables.load(spark, sfDir, t.name), t.pk)
+    val an = graft.operators.Normalize.withKey(
+      graft.operators.DiffQueries.after(spark, sfDir, t), t.pk)
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+    val key = col(graft.operators.Normalize.KeyCol).as("key")
+    val colsArr = array(t.cols.map(col): _*)
+    bn.select(key, colsArr.as("cols"), lit(false).as("tombstone"))
+      .write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val name = s"graft_stream_cdc_${cdcSeq.incrementAndGet()}"
+    val q = diffStream(
+        spark.readStream.schema(schema).parquet(dir).as[KeyedRow], t.cols)
+      .toDF()
+      .writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName(name).start()
+    try {
+      q.processAllAvailable() // phase 1: initial load
+      an.select(key, colsArr.as("cols"), lit(false).as("tombstone"))
+        .union(bn.select(col(graft.operators.Normalize.KeyCol))
+          .join(an.select(col(graft.operators.Normalize.KeyCol)),
+            Seq(graft.operators.Normalize.KeyCol), "left_anti")
+          .select(key, lit(null).cast(schema("cols").dataType).as("cols"),
+            lit(true).as("tombstone")))
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable() // phase 2: the mutation batch
+    } finally {
+      q.stop()
+      // the memory sink owns the results now; drop the changelog files
+      // so repeated bench attempts don't accumulate temp dirs
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+    spark.table(name)
+      .groupBy(col("diff_status"), col("side"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  private val cdcSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Streaming twin of the batch incremental aggregate
     * ([[graft.operators.DiffQueries]] `diff_incremental_agg`): a grouped
     * count/sum kept continuously current by folding the differ's own
