@@ -38,6 +38,14 @@ object EventsQueries {
     * arithmetic design. */
   def changepoint(events: DataFrame): DataFrame = {
     val d18 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,0)")
+    // Parallelism note: the per-type running sums window on event_type, so
+    // task count = type count (5 tasks sorting 2M rows each at sf10 —
+    // ~19s, the plan's dominant term but linear per decade). A
+    // [[SkewWindow.runningSum]] prefix-sum decomposition was MEASURED
+    // against this (round 5): bit-equal output, parallel across type×hour
+    // chunks, but its ~6 full-data shuffles cost 2× the 5-way sort on this
+    // harness — the trade only wins when one key's volume exceeds what a
+    // single task can sort, which is exactly when to switch to it.
     val wOrd = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
     val wAll = Window.partitionBy(col("event_type"))
     val scored = events
