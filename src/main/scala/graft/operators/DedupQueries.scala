@@ -40,13 +40,19 @@ object DedupQueries {
   def minhashA(j: Int): Long = 2L * j + 3L
   def minhashB(j: Int): Long = 104729L * j + 12345L
 
-  /** The synthetic "new arrivals" batch: exact copies (+100000) and
-    * appended-tail near-copies (+200000) of every 50th document. */
+  /** Base offset of the synthetic-duplicate doc_id bands. Real corpus ids
+    * must stay below it — [[graft.ScaleUp]] asserts this when inflating the
+    * document tables, so 1e8 buys ~3 more measured decades beyond sf10
+    * (round 5 used 1e5, which the sf10 inflation collided with). */
+  val DeltaBase = 100000000L
+
+  /** The synthetic "new arrivals" batch: exact copies (+[[DeltaBase]]) and
+    * appended-tail near-copies (+2·[[DeltaBase]]) of every 50th document. */
   val deltaSql: String =
-    """SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
-      |UNION ALL
-      |SELECT doc_id + 200000 AS doc_id, concat(text, ' zz yy xx ww vv') AS text
-      |FROM documents WHERE doc_id % 50 = 0""".stripMargin
+    s"""SELECT doc_id + $DeltaBase AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+       |UNION ALL
+       |SELECT doc_id + ${2 * DeltaBase} AS doc_id, concat(text, ' zz yy xx ww vv') AS text
+       |FROM documents WHERE doc_id % 50 = 0""".stripMargin
 
   /** Shared corpus: documents + the [[deltaSql]] duplicates. */
   val corpusSql: String =

@@ -185,19 +185,24 @@ object DiffOracle {
     val keep = ctes.filterNot(_._1 == s"${p}_out")
     withSql(keep :+
       (s"${p}_nb" -> s"SELECT COUNT(*) AS n FROM ${p}_before_n"),
-      s"""SELECT 'INSERTED' AS diff_status, 'AFTER' AS side,
-         |  CAST((SELECT n FROM ${p}_nb)
-         |     + (SELECT COUNT(*) FROM ${p}_cls WHERE diff_status = 'INSERTED')
-         |    AS BIGINT) AS n_events
-         |UNION ALL
-         |SELECT 'DELETED', 'BEFORE', CAST(COUNT(*) AS BIGINT)
-         |FROM ${p}_cls WHERE diff_status = 'DELETED'
-         |UNION ALL
-         |SELECT 'UPDATED', 'BEFORE', CAST(COUNT(*) AS BIGINT)
-         |FROM ${p}_cls WHERE diff_status = 'UPDATED'
-         |UNION ALL
-         |SELECT 'UPDATED', 'AFTER', CAST(COUNT(*) AS BIGINT)
-         |FROM ${p}_cls WHERE diff_status = 'UPDATED'""".stripMargin)
+      // the engine's groupBy(diff_status, side) omits empty groups, so a
+      // mutation mix that skips a class (no deletes, say) must drop that
+      // row here too — hence the n_events > 0 filter over the full grid
+      s"""SELECT diff_status, side, n_events FROM (
+         |  SELECT 'INSERTED' AS diff_status, 'AFTER' AS side,
+         |    CAST((SELECT n FROM ${p}_nb)
+         |       + (SELECT COUNT(*) FROM ${p}_cls WHERE diff_status = 'INSERTED')
+         |      AS BIGINT) AS n_events
+         |  UNION ALL
+         |  SELECT 'DELETED', 'BEFORE', CAST(COUNT(*) AS BIGINT)
+         |  FROM ${p}_cls WHERE diff_status = 'DELETED'
+         |  UNION ALL
+         |  SELECT 'UPDATED', 'BEFORE', CAST(COUNT(*) AS BIGINT)
+         |  FROM ${p}_cls WHERE diff_status = 'UPDATED'
+         |  UNION ALL
+         |  SELECT 'UPDATED', 'AFTER', CAST(COUNT(*) AS BIGINT)
+         |  FROM ${p}_cls WHERE diff_status = 'UPDATED'
+         |) u WHERE n_events > 0""".stripMargin)
   }
 
   /** Oracle for diff(A, A) — empty result (property: diff is reflexive-empty). */

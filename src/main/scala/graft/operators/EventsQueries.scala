@@ -32,29 +32,58 @@ object EventsQueries {
       .drop("__is_new")
   }
 
+  /** Single-task window-sort budget (rows): the point where one key's
+    * entire ordered history stops being a job a single task should sort,
+    * and [[changepoint]] switches from the plain per-type window to the
+    * [[SkewWindow]]-style prefix-sum decomposition. The round-5
+    * measurement put the crossover well above the harness's 2M rows/type
+    * at sf10 (the decomposition's ~6 full-data shuffles cost 2× the 5-way
+    * sort there), so the budget is set a decade above that; at 100 TB one
+    * hot key blows any budget and the skew branch is the only plan that
+    * finishes. Overridable for harness experiments. */
+  val ChangepointSortBudget: Long =
+    sys.env.get("GRAFT_WINDOW_SORT_BUDGET").map(_.toLong).getOrElse(20000000L)
+
   /** Offline changepoint detection per event type over (event_type, ts,
     * event_id, value): the split index t maximizing the |prefix mean −
     * suffix mean| gap — see the `events_changepoint` entry for the exact-
-    * arithmetic design. */
-  def changepoint(events: DataFrame): DataFrame = {
-    val d18 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,0)")
-    // Parallelism note: the per-type running sums window on event_type, so
-    // task count = type count (5 tasks sorting 2M rows each at sf10 —
-    // ~19s, the plan's dominant term but linear per decade). A
-    // [[SkewWindow.runningSum]] prefix-sum decomposition was MEASURED
-    // against this (round 5): bit-equal output, parallel across type×hour
-    // chunks, but its ~6 full-data shuffles cost 2× the 5-way sort on this
-    // harness — the trade only wins when one key's volume exceeds what a
-    // single task can sort, which is exactly when to switch to it.
-    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-    val wAll = Window.partitionBy(col("event_type"))
-    val scored = events
-      .select(col("event_type"), col("ts"), col("event_id"),
-        floor(col("value") * 10000 + 0.5).cast("long").as("vi"))
-      .withColumn("t", row_number().over(wOrd).cast("long"))
-      .withColumn("st", sum(d18(col("vi"))).over(wOrd))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .withColumn("sn", sum(d18(col("vi"))).over(wAll))
+    * arithmetic design.
+    *
+    * AUTO-SELECTED plan: a cheap per-key count probe (one columnar scan of
+    * `event_type`, collecting one row — the same class of stats AQE reads)
+    * picks the plain per-type window while the largest key fits the
+    * single-task sort budget, and the chunked prefix-sum decomposition
+    * beyond it. Both branches are bit-equal by construction (shared typed
+    * scorer; `EventsSkewSpec` pins equality), so the switch is a pure
+    * physical-plan decision — exactly the judgment AQE makes for skewed
+    * joins but does not yet make for skewed windows. */
+  def changepoint(events: DataFrame): DataFrame =
+    changepoint(events, ChangepointSortBudget)
+
+  def changepoint(events: DataFrame, sortBudget: Long): DataFrame = {
+    val maxPerKey = events.groupBy(col("event_type")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    if (maxPerKey <= sortBudget) changepointPlain(events)
+    else changepointSkew(events)
+  }
+
+  private val d18 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,0)")
+
+  private def eventsVi(events: DataFrame): DataFrame = events
+    .select(col("event_type"), col("ts"), col("event_id"),
+      floor(col("value") * 10000 + 0.5).cast("long").as("vi"))
+
+  /** Shared scoring + top-1 pick over (event_type, event_id, t, st, n, sn).
+    * Inputs are normalized to identical types (long / decimal(28,0)) so the
+    * plain and skew branches produce byte-identical frames. The pick window
+    * is rank-1 — Catalyst's WindowGroupLimit keeps per-partition top-1
+    * map-side, so it never concentrates a key's full history in one task
+    * regardless of which branch fed it. */
+  private def scorePick(prepared: DataFrame): DataFrame = {
+    val scored = prepared
+      .select(col("event_type"), col("event_id"),
+        col("t").cast("long").as("t"), col("st").cast("decimal(28,0)").as("st"),
+        col("n").cast("long").as("n"), col("sn").cast("decimal(28,0)").as("sn"))
       .filter(col("t") < col("n"))
       .withColumn("score", abs(d18(col("n")) * col("st") - d18(col("t")) * col("sn")))
     val wPick = Window.partitionBy(col("event_type"))
@@ -64,6 +93,53 @@ object EventsQueries {
         col("event_id").as("split_event_id"),
         (col("score").cast("double") /
           (col("t") * (col("n") - col("t"))).cast("double") / 10000.0).as("mean_gap"))
+  }
+
+  /** Plain branch: per-type window — task count = type count (5 tasks
+    * sorting 2M rows each at sf10, ~19s: the plan's dominant term but
+    * linear per decade, and 2× cheaper than the decomposition's shuffles
+    * at this scale — the measured round-5 trade that set the budget). */
+  def changepointPlain(events: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    val wAll = Window.partitionBy(col("event_type"))
+    scorePick(eventsVi(events)
+      .withColumn("t", row_number().over(wOrd).cast("long"))
+      .withColumn("st", sum(d18(col("vi"))).over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("sn", sum(d18(col("vi"))).over(wAll)))
+  }
+
+  /** Skew branch: [[SkewWindow]]-style prefix-sum decomposition. Each
+    * type's timeline splits into day chunks (monotone in the (ts,
+    * event_id) order); the running count t and running sum st compute
+    * within (type, day) — parallelism = type × day, partition size ≤ the
+    * busiest single day — plus a per-chunk offset cumulated over the
+    * SMALL (type, day) frame; n / sn are one aggregate row per type,
+    * joined back. Exact integer/decimal arithmetic end to end makes the
+    * decomposition bit-equal to the plain window. */
+  def changepointSkew(events: DataFrame): DataFrame = {
+    val base = eventsVi(events).withColumn("__chunk", date_trunc("day", col("ts")))
+    val w1o = Window.partitionBy(col("event_type"), col("__chunk"))
+      .orderBy(col("ts"), col("event_id"))
+    val within = base
+      .withColumn("__t_w", row_number().over(w1o).cast("long"))
+      .withColumn("__st_w", sum(d18(col("vi"))).over(w1o))
+    val wOff = Window.partitionBy(col("event_type")).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base
+      .groupBy(col("event_type"), col("__chunk"))
+      .agg(count(lit(1)).as("__cn"), sum(d18(col("vi"))).as("__cs"))
+      .withColumn("__t_off", coalesce(sum(col("__cn")).over(wOff), lit(0L)))
+      .withColumn("__st_off",
+        coalesce(sum(col("__cs")).over(wOff), lit(0).cast("decimal(28,0)")))
+      .select(col("event_type"), col("__chunk"), col("__t_off"), col("__st_off"))
+    val totals = base.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(d18(col("vi"))).as("sn"))
+    scorePick(within
+      .join(offsets, Seq("event_type", "__chunk")) // co-partitions with w1o's shuffle
+      .join(broadcast(totals), Seq("event_type"))
+      .withColumn("t", col("__t_w") + col("__t_off"))
+      .withColumn("st", col("__st_w") + col("__st_off")))
   }
 
   val queries: Map[String, Q] = Map(

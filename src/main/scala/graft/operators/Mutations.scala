@@ -21,6 +21,15 @@ package graft.operators
   * NULL if any argument is NULL; DuckDB's skips NULLs). TESTDATA string
   * columns are non-null at every scale factor; if that ever changes, wrap
   * the arguments in COALESCE.
+  *
+  * Insert-band discipline: every SCALED table's insert offset is 1e10
+  * (second generation 2e10) — above any key the [[graft.ScaleUp]] decades
+  * can mint (sf10 tops out at ~1.5e8 order keys; round 5's 1e5–1e8 bands
+  * collided with sf10 customer/part keys, silently turning intended
+  * INSERTs into duplicate-key rows). Both offsets are ≡ 0 (mod 20), so
+  * every `pk % m` mutation-class predicate reads the same residue on
+  * shifted and unshifted keys. `region`/`nation` are pinned dimension
+  * constants and keep their +1000 band.
   */
 object Mutations {
   val afterSql: Map[String, String] = Map(
@@ -50,7 +59,7 @@ object Mutations {
         |FROM customer
         |WHERE c_custkey % 10 <> 3
         |UNION ALL
-        |SELECT c_custkey + 1000000 AS c_custkey, concat('NEW_', c_name) AS c_name,
+        |SELECT c_custkey + 10000000000 AS c_custkey, concat('NEW_', c_name) AS c_name,
         |       c_nationkey, c_acctbal, c_mktsegment
         |FROM customer
         |WHERE c_custkey % 10 = 5""".stripMargin,
@@ -60,7 +69,7 @@ object Mutations {
         |FROM supplier
         |WHERE s_suppkey % 5 <> 3
         |UNION ALL
-        |SELECT s_suppkey + 1000 AS s_suppkey, concat('NEW_', s_name) AS s_name, s_nationkey, s_acctbal
+        |SELECT s_suppkey + 10000000000 AS s_suppkey, concat('NEW_', s_name) AS s_name, s_nationkey, s_acctbal
         |FROM supplier
         |WHERE s_suppkey % 5 = 0""".stripMargin,
     "part" ->
@@ -70,7 +79,7 @@ object Mutations {
         |FROM part
         |WHERE p_partkey % 10 <> 3
         |UNION ALL
-        |SELECT p_partkey + 100000 AS p_partkey, concat('NEW_', p_name) AS p_name,
+        |SELECT p_partkey + 10000000000 AS p_partkey, concat('NEW_', p_name) AS p_name,
         |       p_brand, p_type, p_size, p_retailprice
         |FROM part
         |WHERE p_partkey % 10 = 5""".stripMargin,
@@ -82,7 +91,7 @@ object Mutations {
         |FROM orders
         |WHERE o_orderkey % 10 <> 3
         |UNION ALL
-        |SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |SELECT o_orderkey + 10000000000 AS o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |       o_orderdate, o_orderpriority
         |FROM orders
         |WHERE o_orderkey % 10 = 5""".stripMargin,
@@ -94,7 +103,7 @@ object Mutations {
         |FROM events
         |WHERE event_id % 10 <> 3
         |UNION ALL
-        |SELECT event_id + 100000000 AS event_id, ts, user_id, event_type, value, props
+        |SELECT event_id + 10000000000 AS event_id, ts, user_id, event_type, value, props
         |FROM events
         |WHERE event_id % 10 = 5""".stripMargin,
     "documents" ->
@@ -105,7 +114,7 @@ object Mutations {
         |FROM documents
         |WHERE doc_id % 10 <> 3
         |UNION ALL
-        |SELECT doc_id + 100000000 AS doc_id, text, lang, source, n_chars
+        |SELECT doc_id + 10000000000 AS doc_id, text, lang, source, n_chars
         |FROM documents
         |WHERE doc_id % 10 = 5""".stripMargin,
     "lineitem" ->
@@ -117,7 +126,7 @@ object Mutations {
         |FROM lineitem
         |WHERE l_orderkey % 10 <> 3
         |UNION ALL
-        |SELECT l_orderkey + 100000000 AS l_orderkey, l_partkey, l_suppkey, l_linenumber,
+        |SELECT l_orderkey + 10000000000 AS l_orderkey, l_partkey, l_suppkey, l_linenumber,
         |       l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
         |FROM lineitem
         |WHERE l_orderkey % 10 = 5 AND l_linenumber = 1""".stripMargin
@@ -136,7 +145,7 @@ object Mutations {
       |FROM customer
       |WHERE c_custkey % 10 <> 6
       |UNION ALL
-      |SELECT c_custkey + 2000000 AS c_custkey, concat('NEW_', c_name) AS c_name,
+      |SELECT c_custkey + 20000000000 AS c_custkey, concat('NEW_', c_name) AS c_name,
       |       c_nationkey, c_acctbal, 'new' AS c_tier
       |FROM customer
       |WHERE c_custkey % 10 = 2""".stripMargin
@@ -159,27 +168,27 @@ object Mutations {
     * deleted again (I∘D — must VANISH from the net diff) vs %20=15
     * updated (I∘U — net INSERT with final values), %30=3 reinserted after
     * the gen-1 delete with different values (D∘I — net UPDATE), %10=9
-    * deleted only in gen 2, +200000000 keys inserted only in gen 2. */
+    * deleted only in gen 2, +2e10 keys inserted only in gen 2. */
   val gen2OrdersSql: String =
     """SELECT o_orderkey, o_custkey,
       |       CASE WHEN o_orderkey % 20 = 4 THEN 'Z'
       |            WHEN o_orderkey % 10 = 6 THEN 'W'
       |            ELSE o_orderstatus END AS o_orderstatus,
       |       CASE WHEN o_orderkey % 20 = 4 THEN o_totalprice + 1.0
-      |            WHEN o_orderkey >= 100000000 AND o_orderkey % 20 = 15
+      |            WHEN o_orderkey >= 10000000000 AND o_orderkey % 20 = 15
       |              THEN o_totalprice + 3.0
       |            ELSE o_totalprice END AS o_totalprice,
       |       o_orderdate, o_orderpriority
       |FROM ordb
       |WHERE o_orderkey % 20 <> 14
-      |  AND NOT (o_orderkey >= 100000000 AND o_orderkey % 20 = 5)
+      |  AND NOT (o_orderkey >= 10000000000 AND o_orderkey % 20 = 5)
       |  AND o_orderkey % 10 <> 9
       |UNION ALL
       |SELECT o_orderkey, o_custkey, 'RI' AS o_orderstatus,
       |       o_totalprice + 7.5 AS o_totalprice, o_orderdate, o_orderpriority
       |FROM orders WHERE o_orderkey % 30 = 3
       |UNION ALL
-      |SELECT o_orderkey + 200000000 AS o_orderkey, o_custkey, o_orderstatus,
+      |SELECT o_orderkey + 20000000000 AS o_orderkey, o_custkey, o_orderstatus,
       |       o_totalprice, o_orderdate, o_orderpriority
       |FROM orders WHERE o_orderkey % 10 = 7""".stripMargin
 
@@ -197,7 +206,7 @@ object Mutations {
       |FROM orders
       |WHERE o_orderkey % 20 <> 3 AND o_orderkey % 10 <> 7
       |UNION ALL
-      |SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_orderstatus,
+      |SELECT o_orderkey + 10000000000 AS o_orderkey, o_custkey, o_orderstatus,
       |       o_totalprice, o_orderdate, o_orderpriority
       |FROM orders
       |WHERE o_orderkey % 20 = 5 OR o_orderkey % 10 = 9""".stripMargin

@@ -122,7 +122,7 @@ object PipelineQueries {
         .select(col("doc_id"), md5(col("g")).as("gfp"))
         .distinct()
         .transform(CacheScope.cached) // feeds both sides of the contamination join
-      val isBench = col("doc_id") < 100000 && col("doc_id") % 100 === 0
+      val isBench = col("doc_id") < DedupQueries.DeltaBase && col("doc_id") % 100 === 0
       val bench = grams.filter(isBench)
         .select(col("doc_id").as("bench_id"), col("gfp"))
       grams.filter(!isBench).join(broadcast(bench), "gfp")
@@ -273,11 +273,11 @@ object PipelineQueries {
          |        FROM t WHERE len(toks) >= 8) q),
          |bench AS (
          |  SELECT doc_id AS bench_id, gfp FROM g
-         |  WHERE doc_id < 100000 AND doc_id % 100 = 0)
+         |  WHERE doc_id < ${DedupQueries.DeltaBase} AND doc_id % 100 = 0)
          |SELECT doc_id, COUNT(*) AS n_benchmark_hits FROM (
          |  SELECT DISTINCT tr.doc_id, b.bench_id
          |  FROM g tr JOIN bench b USING (gfp)
-         |  WHERE NOT (tr.doc_id < 100000 AND tr.doc_id % 100 = 0)) p
+         |  WHERE NOT (tr.doc_id < ${DedupQueries.DeltaBase} AND tr.doc_id % 100 = 0)) p
          |GROUP BY doc_id""".stripMargin,
     "pipeline_weighted_sample" ->
       s"""WITH t AS (

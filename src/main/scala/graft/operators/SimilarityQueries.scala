@@ -46,11 +46,15 @@ object SimilarityQueries {
   val KmK = 8
   val KmIters = 3
 
-  /** Synthetic near-dup corpus for the LSH query (embeddings has no dups). */
+  /** Synthetic near-dup corpus for the LSH query (embeddings has no dups).
+    * The copy band sits at [[DedupQueries.DeltaBase]] so scaled fixtures'
+    * real vec_ids can never collide with it (same discipline as the
+    * document corpus; [[graft.ScaleUp]] asserts the headroom). */
   val vecCorpusSql: String =
-    """SELECT vec_id, embedding FROM embeddings
-      |UNION ALL
-      |SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0""".stripMargin
+    s"""SELECT vec_id, embedding FROM embeddings
+       |UNION ALL
+       |SELECT vec_id + ${DedupQueries.DeltaBase} AS vec_id, embedding
+       |FROM embeddings WHERE vec_id % 50 = 0""".stripMargin
 
   /** ±1 plane matrix derived from md5 parity — computed in Scala with the
     * same md5-derived hash as [[Hashing.hash64Sql]] so the oracle's planes

@@ -83,57 +83,77 @@ object StreamingDiff {
     * event counts are then an exact function of the two snapshots, which
     * the oracle reproduces from the batch classifier: INSERTED = |before|
     * + |after-only keys|, DELETED = |before-only|, UPDATED twice = |both,
-    * any column differing|. Data stays distributed throughout — the
-    * changelog is parquet files read by executors, never a driver-side
-    * MemoryStream. Orders' PK is unique in the fixture (last-row-per-key
-    * state equals batch multiplicity semantics only then). The temp dir,
-    * query name and checkpoint are per-call so a watchdog-cancelled
-    * attempt can never collide with a retry. */
-  def runCdcRawOnce(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame = {
+    * any column differing|. */
+  def runCdcRawOnce(spark: org.apache.spark.sql.SparkSession, sfDir: String): DataFrame =
+    runCdc(spark, sfDir, restartBetweenPhases = false)
+
+  /** [[runCdcRawOnce]] with an optional kill-and-resume: when
+    * `restartBetweenPhases` is set, the query is STOPPED after the phase-1
+    * drain and a fresh query resumes from the same checkpoint before the
+    * mutation batch arrives — exercising offset-log and state-store
+    * recovery on the real file-source pipeline (`StreamingDiffSpec` pins
+    * resumed == uninterrupted).
+    *
+    * Data stays distributed END TO END: the changelog is parquet files
+    * read by executors, the emitted events land in a parquet FILE SINK
+    * (never a driver-side memory sink — at sf10 the event stream is
+    * GB-scale, one INSERTED per orders row), and the only driver
+    * materialization is the ≤4-row (status, side) count table returned.
+    * Orders' PK is unique in the fixture (last-row-per-key state equals
+    * batch multiplicity semantics only then). The temp dir and checkpoint
+    * are per-call and deleted on exit, so a watchdog-cancelled attempt can
+    * never collide with — or leak driver/disk state into — a retry. */
+  def runCdc(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+      restartBetweenPhases: Boolean): DataFrame = {
     import spark.implicits._
     val t = graft.Tables.orders
     val bn = graft.operators.Normalize.withKey(
       graft.Tables.load(spark, sfDir, t.name), t.pk)
     val an = graft.operators.Normalize.withKey(
       graft.operators.DiffQueries.after(spark, sfDir, t), t.pk)
-    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc_").toString
+    val (srcDir, outDir, ckptDir) = (s"$root/changelog", s"$root/events", s"$root/ckpt")
     val key = col(graft.operators.Normalize.KeyCol).as("key")
     val colsArr = array(t.cols.map(col): _*)
-    bn.select(key, colsArr.as("cols"), lit(false).as("tombstone"))
-      .write.mode("overwrite").parquet(dir)
-    val schema = spark.read.parquet(dir).schema
-    val name = s"graft_stream_cdc_${cdcSeq.incrementAndGet()}"
-    val q = diffStream(
-        spark.readStream.schema(schema).parquet(dir).as[KeyedRow], t.cols)
-      .toDF()
-      .writeStream.outputMode(OutputMode.Append).format("memory")
-      .queryName(name).start()
     try {
-      q.processAllAvailable() // phase 1: initial load
-      an.select(key, colsArr.as("cols"), lit(false).as("tombstone"))
-        .union(bn.select(col(graft.operators.Normalize.KeyCol))
-          .join(an.select(col(graft.operators.Normalize.KeyCol)),
-            Seq(graft.operators.Normalize.KeyCol), "left_anti")
-          .select(key, lit(null).cast(schema("cols").dataType).as("cols"),
-            lit(true).as("tombstone")))
-        .write.mode("append").parquet(dir)
-      q.processAllAvailable() // phase 2: the mutation batch
+      bn.select(key, colsArr.as("cols"), lit(false).as("tombstone"))
+        .write.mode("overwrite").parquet(srcDir)
+      val schema = spark.read.parquet(srcDir).schema
+      def start() = diffStream(
+          spark.readStream.schema(schema).parquet(srcDir).as[KeyedRow], t.cols)
+        .toDF()
+        .writeStream.outputMode(OutputMode.Append)
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .start()
+      var q = start()
+      try {
+        q.processAllAvailable() // phase 1: initial load
+        if (restartBetweenPhases) { q.stop(); q = start() } // resume from ckpt
+        an.select(key, colsArr.as("cols"), lit(false).as("tombstone"))
+          .union(bn.select(col(graft.operators.Normalize.KeyCol))
+            .join(an.select(col(graft.operators.Normalize.KeyCol)),
+              Seq(graft.operators.Normalize.KeyCol), "left_anti")
+            .select(key, lit(null).cast(schema("cols").dataType).as("cols"),
+              lit(true).as("tombstone")))
+          .write.mode("append").parquet(srcDir)
+        q.processAllAvailable() // phase 2: the mutation batch
+      } finally q.stop()
+      // distributed count of the sunk events, then only ≤4 rows cross to
+      // the driver — the returned frame owns no temp-dir or sink state
+      val localCounts = spark.read.parquet(outDir)
+        .groupBy(col("diff_status"), col("side"))
+        .agg(count(lit(1)).as("n_events"))
+        .as[(String, String, Long)].collect().toSeq
+      localCounts.toDF("diff_status", "side", "n_events")
     } finally {
-      q.stop()
-      // the memory sink owns the results now; drop the changelog files
-      // so repeated bench attempts don't accumulate temp dirs
       try {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
           .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
       } catch { case _: Throwable => () }
     }
-    spark.table(name)
-      .groupBy(col("diff_status"), col("side"))
-      .agg(count(lit(1)).as("n_events"))
   }
-
-  private val cdcSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Streaming twin of the batch incremental aggregate
     * ([[graft.operators.DiffQueries]] `diff_incremental_agg`): a grouped

@@ -6,14 +6,15 @@ import org.apache.spark.sql.functions._
 /** Dedup operators find the planted exact and near duplicates. */
 class DedupSpec extends SparkTestBase {
   import spark.implicits._
+  private val B = DedupQueries.DeltaBase // synthetic-dup band base
 
   test("exact dedup marks planted copies as dups of their canonical doc") {
     val d = DedupQueries.queries("dedup_exact")(spark, Sf)
     val dups = d.filter($"is_dup").collect()
     assert(dups.nonEmpty)
-    // every planted +100000 copy points back at its source
-    dups.filter(_.getAs[Long]("doc_id") >= 100000).foreach { r =>
-      assert(r.getAs[Long]("canonical_id") == r.getAs[Long]("doc_id") - 100000)
+    // every planted +B copy points back at its source
+    dups.filter(_.getAs[Long]("doc_id") >= B).foreach { r =>
+      assert(r.getAs[Long]("canonical_id") == r.getAs[Long]("doc_id") - B)
     }
   }
 
@@ -21,10 +22,10 @@ class DedupSpec extends SparkTestBase {
     val pairs = DedupQueries.queries("dedup_minhash_lsh")(spark, Sf)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
         r.getAs[Double]("jaccard")))
-    val exact = pairs.filter { case (a, b, _) => a < 100000 && b == a + 100000 }
+    val exact = pairs.filter { case (a, b, _) => a < B && b == a + B }
     assert(exact.nonEmpty)
     exact.foreach { case (_, _, j) => assert(j == 1.0) }
-    val near = pairs.filter { case (a, b, _) => a < 100000 && b == a + 200000 }
+    val near = pairs.filter { case (a, b, _) => a < B && b == a + 2*B }
     assert(near.nonEmpty)
     near.foreach { case (_, _, j) => assert(j > 0.5 && j < 1.0) }
   }
@@ -32,20 +33,20 @@ class DedupSpec extends SparkTestBase {
   test("simhash: identical docs share signatures; near copies are close") {
     val sigs = DedupQueries.queries("dedup_simhash")(spark, Sf)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
-    sigs.keys.filter(id => id >= 100000 && id < 200000).foreach { id =>
-      assert(sigs(id) == sigs(id - 100000), s"exact copy $id")
+    sigs.keys.filter(id => id >= B && id < 2*B).foreach { id =>
+      assert(sigs(id) == sigs(id - B), s"exact copy $id")
     }
     val pairs = DedupQueries.queries("dedup_simhash_pairs")(spark, Sf)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
         r.getAs[Long]("hamming")))
-    assert(pairs.exists { case (a, b, h) => b == a + 100000 && h == 0 })
+    assert(pairs.exists { case (a, b, h) => b == a + B && h == 0 })
   }
 
   test("similarity: lsh near-dup finds planted vector copies with cos 1.0") {
     val pairs = graft.operators.SimilarityQueries.queries("ann_lsh_near_dup")(spark, Sf)
       .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
         r.getAs[Double]("cos")))
-    val planted = pairs.filter { case (a, b, _) => b == a + 100000 }
+    val planted = pairs.filter { case (a, b, _) => b == a + B }
     assert(planted.size == 10) // 500 vecs, vec_id % 50 == 0 → 10 copies
     planted.foreach { case (_, _, c) => assert(math.abs(c - 1.0) < 1e-12) }
   }

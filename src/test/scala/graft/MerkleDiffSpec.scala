@@ -67,15 +67,15 @@ class MerkleDiffSpec extends SparkTestBase {
     val d = graft.SparkEntry.queries("diff_compose_chain")(spark, Sf)
       .withColumn("k", col(Normalize.KeyCol).cast("long")).persist()
     // U then U -> net UPDATED
-    assert(d.filter(col("k") % 20 === 4 && col("k") < 100000000L &&
+    assert(d.filter(col("k") % 20 === 4 && col("k") < 10000000000L &&
       col("diff_status") === "UPDATED").count() > 0)
     // U then D -> net DELETED
     assert(d.filter(col("k") % 20 === 14 && col("diff_status") === "DELETED").count() > 0)
     // I then D -> absent from the net diff
-    assert(d.filter(col("k") >= 100000000L && col("k") < 200000000L &&
+    assert(d.filter(col("k") >= 10000000000L && col("k") < 20000000000L &&
       col("k") % 20 === 5).isEmpty)
     // I then U -> net INSERTED carrying the final values
-    assert(d.filter(col("k") >= 100000000L && col("k") < 200000000L &&
+    assert(d.filter(col("k") >= 10000000000L && col("k") < 20000000000L &&
       col("k") % 20 === 15 && col("diff_status") === "INSERTED").count() > 0)
     // D then I (different values) -> net UPDATED
     assert(d.filter(col("k") % 30 === 3 && col("diff_status") === "UPDATED").count() > 0)

@@ -9,6 +9,7 @@ import org.apache.spark.sql.functions._
   */
 class RelationalExtrasSpec extends SparkTestBase {
   import spark.implicits._
+  private val B = graft.operators.DedupQueries.DeltaBase // synthetic-dup band base
 
   test("q2 min-cost join == window-based min (independent formulation)") {
     val viaJoin = SparkEntry.queries("q2_min_cost_supp")(spark, Sf)
@@ -80,17 +81,17 @@ class RelationalExtrasSpec extends SparkTestBase {
     val pairs = SparkEntry.queries("dedup_chunk_overlap")(spark, Sf)
       .as[(Long, Long, Long)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
-    // the synthesized corpus duplicates doc_id % 50 == 0 as doc_id+100000
+    // the synthesized corpus duplicates doc_id % 50 == 0 as doc_id+B
     // (exact copy) — every such pair must share all of the original's chunks
     val docs = Tables.load(spark, Sf, "documents")
       .filter(col("doc_id") % 50 === 0).select("doc_id").as[Long].collect()
     assert(docs.nonEmpty)
     docs.foreach { d =>
-      assert(pairs.contains((d, d + 100000L)), s"missing exact-dup pair for $d")
+      assert(pairs.contains((d, d + B)), s"missing exact-dup pair for $d")
     }
-    // and the appended-tail near-copies (+200000) share at least the leading
+    // and the appended-tail near-copies (+2*B) share at least the leading
     // chunk whenever the original has >= 1 full chunk boundary intact
-    val nearHits = docs.count(d => pairs.contains((d, d + 200000L)))
+    val nearHits = docs.count(d => pairs.contains((d, d + (2*B))))
     assert(nearHits > 0)
   }
 

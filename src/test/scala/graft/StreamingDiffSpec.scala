@@ -113,6 +113,20 @@ class StreamingDiffSpec extends SparkTestBase {
     assert(evs == List(("5", "INSERTED"), ("5", "DELETED"), ("5", "INSERTED")))
   }
 
+  test("two-phase parquet CDC run killed and resumed from its checkpoint equals the uninterrupted run") {
+    // the REAL file-source pipeline (not MemoryStream): phase 1 drains the
+    // before-snapshot changelog, the query is stopped, a fresh query
+    // resumes from the same checkpoint (offset log + state store), and
+    // phase 2's mutation batch arrives only after the restart — final
+    // per-(status, side) counts must equal the uninterrupted session's
+    def counts(restart: Boolean) = StreamingDiff.runCdc(spark, Sf, restart)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val uninterrupted = counts(restart = false)
+    val resumed = counts(restart = true)
+    assert(uninterrupted.exists { case (s, _, n) => s == "INSERTED" && n > 0 })
+    assert(resumed == uninterrupted, s"resumed=$resumed uninterrupted=$uninterrupted")
+  }
+
   test("keyed state survives a checkpointed query restart") {
     implicit val sqlCtx = spark.sqlContext
     val ckpt = java.nio.file.Files.createTempDirectory("graft_cdc_ckpt").toString
