@@ -49,11 +49,26 @@ object LinkageQueries {
     * re-saturated a 50-wide band). 7 is the jitter-bound floor — the
     * finest lossless granularity this axis offers (~1 570 bands) — and
     * also maximizes precision (fewest coincidental same-block lev≤2
-    * neighbors), all oracle-checked. Beyond ~10⁷ rows the balance axis is
-    * exhausted and a production deployment adds a second blocking
-    * dimension (a corruption-invariant name substring, a phonetic key):
-    * blocking-key cardinality is a data-scale parameter, not a constant. */
+    * neighbors), all oracle-checked. Beyond that floor the scaling knob
+    * moves to the name-tail axis: see [[tailLen]]. */
   val BandWidth = 7
+
+  /** Corruption-invariant name-tail blocking length — the third axis's
+    * CARDINALITY KNOB, and the one that keeps scaling after the balance
+    * axis hits its jitter floor: cardinality 10^len must track the corpus
+    * so per-block size stays O(1). len = ceil(log10 n) − 1 (floored at the
+    * round-5 value 5, so every oracle scale and the recorded sf1 decade
+    * block identically) keeps expected same-tail rows at ~10 per
+    * (nation, segment) stratum at any size. The tail is pure digits —
+    * the planted deletions hit name positions 4/7, inside the constant
+    * "Customer" prefix, so ANY right-substring survives both corruptions;
+    * recall is invariant to len by construction (true pairs always share
+    * the full digit string). Next rung, at ~10⁹ rows where the 9-digit
+    * tail itself exhausts: deletion-neighborhood keys over the name body
+    * (block on each ≤2-deletion variant of a fixed prefix), which drops
+    * the digits-survive assumption entirely. */
+  def tailLen(n: Long): Int =
+    math.max(5, math.ceil(math.log10(math.max(10L, n).toDouble)).toInt - 1)
 
   /** One deletion for everyone (4th char); a second deletion (7th char)
     * for every 11th record; nation shifted for every 13th (blocked away —
@@ -78,17 +93,21 @@ object LinkageQueries {
     * (dirty_id, matched_key, lev, is_correct), matched_key NULL when no
     * candidate survives the block + distance gate. */
   def matches(customers: DataFrame): DataFrame = {
+    // cheap count probe (one columnar scan, one row to the driver — the
+    // same stats-read class as the changepoint crossover) sizes the
+    // name-tail blocking key to the corpus
+    val tl = tailLen(customers.count())
     val dirty = dirtySide(customers).withColumn("band",
       explode(expr(
         s"""array(CAST(floor(bal_d/$BandWidth) AS BIGINT) - 1,
            |      CAST(floor(bal_d/$BandWidth) AS BIGINT),
            |      CAST(floor(bal_d/$BandWidth) AS BIGINT) + 1)""".stripMargin)))
-      .withColumn("tail5", expr("right(name_d, 5)"))
+      .withColumn("tail5", expr(s"right(name_d, $tl)"))
     val clean = customers.select(
       col("c_custkey").as("cand_key"), col("c_name"),
       col("c_nationkey").as("nation_d"), col("c_mktsegment").as("seg_d"),
       expr(s"CAST(floor(c_acctbal/$BandWidth) AS BIGINT)").as("band"),
-      expr("right(c_name, 5)").as("tail5"))
+      expr(s"right(c_name, $tl)").as("tail5"))
     // blocking equi-join; a candidate's single band hits exactly one of the
     // dirty row's 3 exploded bands, so no dedup is needed. The second
     // blocking dimension is the CORRUPTION-INVARIANT name tail: the

@@ -32,6 +32,24 @@ object SimilarityQueries {
   /** IVF probe width: clusters scanned per query (of 10 label clusters). */
   val NProbe = 4
 
+  /** Vectors-per-list target for the sampled-codebook IVF rung: the list
+    * count K = n / target grows with the data so candidates per probe stay
+    * NProbe × target — constant at every decade. */
+  val IvfListTarget = 2000L
+
+  /** Above this corpus size `ann_ivf_topk` leaves the 10-list label path
+    * (fixed K ⇒ quadratic total, measured sf1 2.98 s → sf10 ~200 s) for
+    * [[ivfSampledTopk]]. 50k keeps every oracle scale and the recorded
+    * sf1 decade on the label path bit-for-bit.
+    *
+    * Routing-cost ladder (same convention as `LinkageQueries.BandWidth`):
+    * the sampled rung's ASSIGNMENT pass costs n × K = n²/[[IvfListTarget]]
+    * codegen'd cosines — ~20M at sf10 (seconds), ~2B at ~10⁷ vectors,
+    * where the next rung is two-level routing (IMI-style: √K coarse cells
+    * over the codebook, assign via coarse-then-fine probing), which this
+    * corpus is still a decade away from needing. */
+  val IvfLabelPathMax = 50000L
+
   /** Product quantization geometry: [[Dim]] splits into [[PqM]] subspaces
     * of Dim/PqM dims, each encoded to one of [[PqK]] codewords — 64 floats
     * (256 bytes) compress to 8 one-byte codes per vector (32×; packing
@@ -128,6 +146,46 @@ object SimilarityQueries {
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= TopK)
+  }
+
+  /** Sampled-codebook IVF for corpora past the label axis ([[IvfLabelPathMax]]):
+    * the codebook is a deterministic 1-in-(n/K) sample of the corpus itself
+    * (standard sample-based IVF training; each sampled vector sits near its
+    * true cluster's mass), K = n / [[IvfListTarget]] lists. Assignment and
+    * probe routing are codegen'd cosines against the BROADCAST codebook —
+    * the one deliberate broadcast nested loop in the family, inherent to
+    * K-way routing and bounded by the K-row broadcast — then the same
+    * candidate equi-join and exact rerank as the label path, with the same
+    * (cos desc, id asc) tiebreaks. Candidates/probe = NProbe ×
+    * IvfListTarget, CONSTANT in n: the query total is linear where the
+    * fixed-K path was quadratic. */
+  def ivfSampledTopk(raw: DataFrame): DataFrame = {
+    val n = raw.count()
+    val k = math.max(10L, n / IvfListTarget)
+    val stride = math.max(1L, n / k)
+    val emb = normed(raw)
+    val cents = broadcast(emb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("c"), col("embedding").as("c_emb"),
+        col("nsq").as("c_nsq")))
+    val scores = emb.crossJoin(cents)
+      .select(col("vec_id"), col("c"),
+        QuantizedVec.qcosine(col("embedding"), col("c_emb"),
+          col("nsq"), col("c_nsq")).as("ccos"))
+    // argmax assignment as an aggregate (map-side partial; no window over
+    // the full n × K score frame); -c in the struct = min-c tiebreak,
+    // matching topClusters' label-asc order
+    val assigned = scores
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("c")).as("negc"))).as("__m"))
+      .select(col("vec_id").as("neighbor_id"), (-col("__m.negc")).as("c"))
+    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c"))
+    val probeClusters = scores.filter(col("vec_id") % 100 === 0)
+      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= NProbe)
+      .select(col("vec_id").as("probe_id"), col("c"))
+    val cand = probeClusters.join(assigned, "c")
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"))
+    topkRerank(cand, emb)
   }
 
   private def ivfCandidates(probeClusters: DataFrame, assigned: DataFrame): DataFrame =
@@ -317,23 +375,36 @@ object SimilarityQueries {
     // plan is an equi-join (d, label) — no broadcast nested loop anywhere.
     // The rerank inner loop is the codegen'd QuantizedDot. Recall vs the
     // exact baseline is pinned by IvfRecallSpec.
+    //
+    // SCALE RUNG (auto-selected, like the changepoint window crossover):
+    // the label axis is K=10 FIXED lists, so candidates/probe = NProbe/10
+    // of the corpus — with probes ∝ n that total is QUADRATIC (measured:
+    // sf1 2.98 s → sf10 ~200 s before this rung). Above
+    // [[IvfLabelPathMax]] rows the query switches to [[ivfSampledTopk]],
+    // whose list count GROWS with the data (K = n / [[IvfListTarget]]),
+    // pinning candidates/probe at NProbe × IvfListTarget — constant — so
+    // the total returns to linear. Oracle scales (≤ sf1) keep the label
+    // path bit-exact.
     "ann_ivf_topk" -> ((spark, sfDir) => {
       val raw = Tables.load(spark, sfDir, "embeddings")
-      // quantized components feed centroid build, assignment, and routing
-      val qn = quantizedComponents(raw).transform(CacheScope.cached)
-      // --- index build: per-label quantized mean, exact in both engines
-      // (sum < 2^53 so the double division is correctly rounded IEEE)
-      val (cq, cnorms) = centroids(qn)
-      val norms = vecNorms(qn)
-      // --- assignment scores: nearest centroids via the d equi-join
-      // (relational index build — the per-query hot path never does this)
-      val ascore = centroidScores(qn.drop("label"), norms, cq, cnorms)
-        .transform(CacheScope.cached) // consumed twice (assignment + probe routing): score once
-      val assigned = topClusters(ascore, 1)
-      val probeClusters = topClusters(ascore.filter(col("vec_id") % 100 === 0), NProbe)
-        .select(col("vec_id").as("probe_id"), col("label"))
-      // --- candidate gen (label equi-join) + exact codegen rerank
-      topkRerank(ivfCandidates(probeClusters, assigned), normed(raw))
+      if (raw.count() > IvfLabelPathMax) ivfSampledTopk(raw)
+      else {
+        // quantized components feed centroid build, assignment, and routing
+        val qn = quantizedComponents(raw).transform(CacheScope.cached)
+        // --- index build: per-label quantized mean, exact in both engines
+        // (sum < 2^53 so the double division is correctly rounded IEEE)
+        val (cq, cnorms) = centroids(qn)
+        val norms = vecNorms(qn)
+        // --- assignment scores: nearest centroids via the d equi-join
+        // (relational index build — the per-query hot path never does this)
+        val ascore = centroidScores(qn.drop("label"), norms, cq, cnorms)
+          .transform(CacheScope.cached) // consumed twice (assignment + probe routing): score once
+        val assigned = topClusters(ascore, 1)
+        val probeClusters = topClusters(ascore.filter(col("vec_id") % 100 === 0), NProbe)
+          .select(col("vec_id").as("probe_id"), col("label"))
+        // --- candidate gen (label equi-join) + exact codegen rerank
+        topkRerank(ivfCandidates(probeClusters, assigned), normed(raw))
+      }
     }),
     // Product-quantization ANN — the MEMORY-COMPRESSED scan (FAISS
     // IndexPQ's ADC search): the corpus is encoded once to PqM=8 codes
