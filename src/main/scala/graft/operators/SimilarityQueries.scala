@@ -37,6 +37,17 @@ object SimilarityQueries {
     * NProbe × target — constant at every decade. */
   val IvfListTarget = 2000L
 
+  /** Probe-batch stride: 1-in-100 at every corpus size the oracle checks
+    * (bit-identical through sf1, where n/200 ≤ 100), then grows with n so
+    * the probe BATCH pins at ~200 queries — the serving shape: a fixed
+    * query batch against a growing corpus, rather than a query batch that
+    * grows because the corpus did. This is what keeps the brute-force
+    * baseline, the PQ full-code ADC scan and both hybrid legs LINEAR in
+    * corpus size (as probes ∝ n they are n²/100 by construction — the
+    * first full-set sf10 run measured 294/418/283 s on
+    * cosine/pq/hybrid). */
+  def probeStride(n: Long): Long = math.max(100L, n / 200L)
+
   /** Above this corpus size `ann_ivf_topk` leaves the 10-list label path
     * (fixed K ⇒ quadratic total, measured sf1 2.98 s → sf10 ~200 s) for
     * [[ivfSampledTopk]]. 50k keeps every oracle scale and the recorded
@@ -179,7 +190,7 @@ object SimilarityQueries {
       .agg(max(struct(col("ccos"), (-col("c")).as("negc"))).as("__m"))
       .select(col("vec_id").as("neighbor_id"), (-col("__m.negc")).as("c"))
     val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c"))
-    val probeClusters = scores.filter(col("vec_id") % 100 === 0)
+    val probeClusters = scores.filter(col("vec_id") % probeStride(n) === 0)
       .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= NProbe)
       .select(col("vec_id").as("probe_id"), col("c"))
     val cand = probeClusters.join(assigned, "c")
@@ -307,7 +318,8 @@ object SimilarityQueries {
     val cq = spark.read.parquet(s"$dir/centroids")
     val cnorms = spark.read.parquet(s"$dir/centroid_norms")
     val assigned = spark.read.parquet(s"$dir/assignment")
-    val pqn = quantizedComponents(raw.filter(col("vec_id") % 100 === 0)).drop("label")
+    val pqn = quantizedComponents(
+      raw.filter(col("vec_id") % probeStride(raw.count()) === 0)).drop("label")
     val probeClusters = topClusters(centroidScores(pqn, vecNorms(pqn), cq, cnorms), NProbe)
       .select(col("vec_id").as("probe_id"), col("label"))
     topkRerank(ivfCandidates(probeClusters, assigned), normed(raw))
@@ -329,8 +341,9 @@ object SimilarityQueries {
         .withColumn("centroid_q",
           expr("(sum_q + 1000000000L * n) div n - 1000000000L"))),
     "ann_cosine_topk" -> ((spark, sfDir) => {
-      val emb = normed(Tables.load(spark, sfDir, "embeddings"))
-      val probes = emb.filter(col("vec_id") % 100 === 0)
+      val raw = Tables.load(spark, sfDir, "embeddings")
+      val emb = normed(raw)
+      val probes = emb.filter(col("vec_id") % probeStride(raw.count()) === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
           col("nsq").as("p_nsq"))
       val scored = broadcast(probes).join(emb, col("vec_id") =!= col("probe_id"))
@@ -352,7 +365,7 @@ object SimilarityQueries {
       val corpusF = raw.filter(col("label") % 3 === 0)
         .select(col("vec_id"), col("label"), col("embedding"),
           QuantizedVec.qnormsq(col("embedding")).as("nsq"))
-      val probes = normed(raw).filter(col("vec_id") % 100 === 0)
+      val probes = normed(raw).filter(col("vec_id") % probeStride(raw.count()) === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
           col("nsq").as("p_nsq"))
       val scored = broadcast(probes)
@@ -387,7 +400,8 @@ object SimilarityQueries {
     // path bit-exact.
     "ann_ivf_topk" -> ((spark, sfDir) => {
       val raw = Tables.load(spark, sfDir, "embeddings")
-      if (raw.count() > IvfLabelPathMax) ivfSampledTopk(raw)
+      val nVecs = raw.count()
+      if (nVecs > IvfLabelPathMax) ivfSampledTopk(raw)
       else {
         // quantized components feed centroid build, assignment, and routing
         val qn = quantizedComponents(raw).transform(CacheScope.cached)
@@ -400,7 +414,8 @@ object SimilarityQueries {
         val ascore = centroidScores(qn.drop("label"), norms, cq, cnorms)
           .transform(CacheScope.cached) // consumed twice (assignment + probe routing): score once
         val assigned = topClusters(ascore, 1)
-        val probeClusters = topClusters(ascore.filter(col("vec_id") % 100 === 0), NProbe)
+        val probeClusters = topClusters(
+            ascore.filter(col("vec_id") % probeStride(nVecs) === 0), NProbe)
           .select(col("vec_id").as("probe_id"), col("label"))
         // --- candidate gen (label equi-join) + exact codegen rerank
         topkRerank(ivfCandidates(probeClusters, assigned), normed(raw))
@@ -423,6 +438,7 @@ object SimilarityQueries {
     // baseline is pinned by spec, the arithmetic by the hash gate.
     "ann_pq_topk" -> ((spark, sfDir) => {
       val raw = Tables.load(spark, sfDir, "embeddings")
+      val stride = probeStride(raw.count())
       // five consumers (seed codebook, two distance passes, Lloyd means,
       // exact rerank) — materialize the component explosion once
       val comp = CacheScope.pinned(quantizedComponents(raw).drop("label"))
@@ -462,7 +478,7 @@ object SimilarityQueries {
       val dist = distTo(cb).transform(CacheScope.cached)
       val enc = argmin(dist)
         .select(col("vec_id").as("neighbor_id"), col("m").as("em"), col("code"))
-      val dt = dist.filter(col("vec_id") % 100 === 0)
+      val dt = dist.filter(col("vec_id") % stride === 0)
         .select(col("vec_id").as("probe_id"), col("m"), col("c"), col("dist2"))
       val adc = enc
         .join(dt, col("em") === col("m") && col("code") === col("c"))
@@ -517,13 +533,14 @@ object SimilarityQueries {
       val hybrid = docs
         .join(emb.select(col("vec_id").as("id"), col("embedding")), "id")
         .transform(CacheScope.cached) // both retrieval legs scan it
+      val stride = probeStride(hybrid.count())
       // --- lexical leg
       val tok = hybrid.select(col("id"), explode(Hashing.tokens(col("text"))).as("token"))
         .distinct()
       val dfc = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 50)).select(col("token"))
       val idx = tok.join(dfc, "token").transform(CacheScope.cached) // probe + candidate sides
-      val tcand = idx.filter(col("id") % 100 === 0)
+      val tcand = idx.filter(col("id") % stride === 0)
         .select(col("id").as("probe_id"), col("token"))
         .join(idx.select(col("id").as("neighbor_id"), col("token")), "token")
         .filter(col("neighbor_id") =!= col("probe_id"))
@@ -537,7 +554,7 @@ object SimilarityQueries {
       // --- vector leg (exact codegen cosine, broadcast probes)
       val n = hybrid.select(col("id").as("vec_id"), col("embedding"),
         QuantizedVec.qnormsq(col("embedding")).as("nsq"))
-      val probes = n.filter(col("vec_id") % 100 === 0)
+      val probes = n.filter(col("vec_id") % stride === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
           col("nsq").as("p_nsq"))
       val scored = broadcast(probes).join(n, col("vec_id") =!= col("probe_id"))
