@@ -421,6 +421,16 @@ object SimilarityQueries {
         topkRerank(ivfCandidates(probeClusters, assigned), normed(raw))
       }
     }),
+    // The sampled-codebook IVF rung EXERCISED DIRECTLY at oracle scales:
+    // same ivfSampledTopk the auto-selected ann_ivf_topk serves with above
+    // IvfLabelPathMax rows, called unconditionally so the branch that
+    // actually runs at sf10 (and at 100 TB) carries its own green
+    // CORRECTNESS row — the oracle replays codebook sampling (stride =
+    // n/K), assignment argmax, probe routing and the exact rerank with
+    // parameters computed in SQL from COUNT(*), so it stays in lockstep at
+    // EVERY scale, not just the ones where the constants coincide.
+    "ann_ivf_sampled" -> ((spark, sfDir) =>
+      ivfSampledTopk(Tables.load(spark, sfDir, "embeddings"))),
     // Product-quantization ANN — the MEMORY-COMPRESSED scan (FAISS
     // IndexPQ's ADC search): the corpus is encoded once to PqM=8 codes
     // per vector (64-dim float → 8 bytes, 32×; 4-bit packing → 64×), and a
@@ -707,6 +717,53 @@ object SimilarityQueries {
          |  SELECT p.probe_id, a.vec_id AS neighbor_id
          |  FROM probeclusters p JOIN assigned a ON a.label = p.label
          |  WHERE a.vec_id <> p.probe_id),
+         |pdots AS (
+         |  SELECT c.probe_id, c.neighbor_id, CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
+         |  FROM cand c JOIN qn qa ON qa.vec_id = c.probe_id
+         |              JOIN qn qb ON qb.vec_id = c.neighbor_id AND qb.d = qa.d
+         |  GROUP BY c.probe_id, c.neighbor_id),
+         |scored AS (
+         |  SELECT p.probe_id, p.neighbor_id,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
+         |  FROM pdots p JOIN norms na ON na.vec_id = p.probe_id
+         |               JOIN norms nb ON nb.vec_id = p.neighbor_id)
+         |SELECT probe_id, neighbor_id, cos, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                               ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) t WHERE rank <= $TopK""".stripMargin,
+    "ann_ivf_sampled" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+         |${qnCte._1} AS (${qnCte._2}),
+         |${normsCte._1} AS (${normsCte._2}),
+         |params AS (
+         |  SELECT GREATEST(1, n // GREATEST(10, n // $IvfListTarget)) AS stride,
+         |         GREATEST(100, n // 200) AS pstride
+         |  FROM (SELECT COUNT(*) AS n FROM corpus) t),
+         |cents AS (
+         |  SELECT vec_id AS c FROM corpus, params WHERE vec_id % params.stride = 0),
+         |cdots AS (
+         |  SELECT a.vec_id, b.vec_id AS c, CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
+         |  FROM qn a JOIN qn b ON b.d = a.d JOIN cents ce ON ce.c = b.vec_id
+         |  GROUP BY a.vec_id, b.vec_id),
+         |cscore AS (
+         |  SELECT cd.vec_id, cd.c,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS ccos
+         |  FROM cdots cd JOIN norms na ON na.vec_id = cd.vec_id
+         |                JOIN norms nb ON nb.vec_id = cd.c),
+         |assigned AS (
+         |  SELECT vec_id AS neighbor_id, c FROM (
+         |    SELECT vec_id, c,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c) AS rn
+         |    FROM cscore) t WHERE rn = 1),
+         |probeclusters AS (
+         |  SELECT vec_id AS probe_id, c FROM (
+         |    SELECT s.vec_id, s.c,
+         |           ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY s.ccos DESC, s.c) AS rn
+         |    FROM cscore s, params WHERE s.vec_id % params.pstride = 0) t WHERE rn <= $NProbe),
+         |cand AS (
+         |  SELECT p.probe_id, a.neighbor_id
+         |  FROM probeclusters p JOIN assigned a ON a.c = p.c
+         |  WHERE a.neighbor_id <> p.probe_id),
          |pdots AS (
          |  SELECT c.probe_id, c.neighbor_id, CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
          |  FROM cand c JOIN qn qa ON qa.vec_id = c.probe_id

@@ -55,6 +55,27 @@ class IvfRecallSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan.take(2000))
   }
 
+  test("sampled-codebook rung: recall@10 vs the exact baseline is >= 0.5") {
+    // the branch that serves corpora past IvfLabelPathMax (i.e. the one
+    // that actually runs at sf10 / 100 TB), forced at fixture scale by
+    // calling it directly — same harness as the label-path pin below
+    val raw = Tables.load(spark, Sf, "embeddings")
+    val exact = SimilarityQueries.queries("ann_cosine_topk")(spark, Sf)
+      .select(col("probe_id"), col("neighbor_id"))
+    val sampled = SimilarityQueries.ivfSampledTopk(raw)
+      .select(col("probe_id"), col("neighbor_id"))
+    val nExact = exact.count()
+    val hit = exact.join(sampled, Seq("probe_id", "neighbor_id"), "left_semi").count()
+    val recall = hit.toDouble / nExact
+    info(f"sampled recall@${SimilarityQueries.TopK} = $recall%.3f ($hit/$nExact)")
+    assert(recall >= 0.5, f"sampled-path recall $recall%.3f below 0.5")
+    // and it is the same function the registered oracle row exercises
+    val viaRegistry = SparkEntry.queries("ann_ivf_sampled")(spark, Sf)
+      .collect().map(_.toSeq).toSet
+    val direct = SimilarityQueries.ivfSampledTopk(raw).collect().map(_.toSeq).toSet
+    assert(viaRegistry == direct && viaRegistry.nonEmpty)
+  }
+
   test("recall@10 vs the exact baseline is >= 0.5") {
     val exact = SimilarityQueries.queries("ann_cosine_topk")(spark, Sf)
       .select(col("probe_id"), col("neighbor_id"))
