@@ -46,7 +46,8 @@ object SparkEntry {
     "dedup_triangles", "dedup_bfs_hops", "events_changepoint",
     "sketch_kmv_jaccard", "mm_video_features", "ann_hybrid_rrf",
     "events_attribution", "events_ab_test", "sketch_sample_quantiles",
-    "dedup_pagerank", "ann_kmeans", "ann_ivf_sampled", "er_blocked_matches",
+    "dedup_pagerank", "ann_kmeans", "ann_ivf_sampled", "ann_ivfadc_topk",
+    "ann_hybrid_indexed", "er_blocked_matches",
     "dedup_label_prop", "sketch_cms_terms", "sketch_hll_sources",
     "stream_tumbling", "sketch_kmv_setops", "stream_sliding",
     "sketch_hll_merge", "pipeline_temperature_mix", "q_basket_triples",

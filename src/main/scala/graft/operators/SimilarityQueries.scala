@@ -144,7 +144,7 @@ object SimilarityQueries {
   }
 
   /** Exact codegen rerank of (probe_id, neighbor_id) candidates + top-k. */
-  private def topkRerank(cand: DataFrame, emb: DataFrame): DataFrame = {
+  private def topkRerank(cand: DataFrame, emb: DataFrame, k: Int = TopK): DataFrame = {
     val scored = cand
       .join(emb.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
         col("nsq").as("p_nsq")), "probe_id")
@@ -156,7 +156,7 @@ object SimilarityQueries {
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= k)
   }
 
   /** Sampled-codebook IVF for corpora past the label axis ([[IvfLabelPathMax]]):
@@ -170,11 +170,22 @@ object SimilarityQueries {
     * (cos desc, id asc) tiebreaks. Candidates/probe = NProbe ×
     * IvfListTarget, CONSTANT in n: the query total is linear where the
     * fixed-K path was quadratic. */
-  def ivfSampledTopk(raw: DataFrame): DataFrame = {
-    val n = raw.count()
+  def ivfSampledTopk(raw: DataFrame, nKnown: Long = -1L): DataFrame = {
+    val n = if (nKnown >= 0) nKnown else raw.count()
+    val emb = normed(raw)
+    topkRerank(sampledCandidates(emb, n), emb)
+  }
+
+  /** The sampled-IVF routing stage shared by [[ivfSampledTopk]],
+    * [[ivfAdcTopk]] and the indexed hybrid leg: sample the codebook
+    * (stride = n/K), assign every vector to its argmax-cosine list, route
+    * each probe to its NProbe nearest lists, and emit the bounded
+    * (probe_id, neighbor_id) candidate set — NProbe × [[IvfListTarget]]
+    * rows per probe, constant in n. `emb` must carry (vec_id, embedding,
+    * nsq) as produced by [[normed]]. */
+  private def sampledCandidates(emb: DataFrame, n: Long): DataFrame = {
     val k = math.max(10L, n / IvfListTarget)
     val stride = math.max(1L, n / k)
-    val emb = normed(raw)
     val cents = broadcast(emb.filter(col("vec_id") % stride === 0)
       .select(col("vec_id").as("c"), col("embedding").as("c_emb"),
         col("nsq").as("c_nsq")))
@@ -193,10 +204,191 @@ object SimilarityQueries {
     val probeClusters = scores.filter(col("vec_id") % probeStride(n) === 0)
       .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= NProbe)
       .select(col("vec_id").as("probe_id"), col("c"))
-    val cand = probeClusters.join(assigned, "c")
+    probeClusters.join(assigned, "c")
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"))
-    topkRerank(cand, emb)
+  }
+
+  /** PQ coding stages shared by the plain full-code ADC scan and the
+    * IVFADC rung ([[ivfAdcTopk]]): the pinned quantized-component frame,
+    * the per-(vector, subspace, codeword) distance table against the
+    * one-step-Lloyd-refined deterministic codebook, and the PQ encoding
+    * derived from it. One definition so the two paths' codes and ADC
+    * arithmetic cannot drift. */
+  private def pqStages(raw: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    // consumers: seed codebook, two distance passes, Lloyd means, exact
+    // rerank — materialize the component explosion once
+    val comp = CacheScope.pinned(quantizedComponents(raw).drop("label"))
+    // deterministic codebook: hash-first PqK vectors seed the codewords
+    val seeds = raw.select(col("vec_id"))
+      .withColumn("__h", Hashing.hashHex(col("vec_id").cast("string")))
+      .orderBy(col("__h"), col("vec_id")).limit(PqK)
+    val wC = Window.orderBy(col("__h"), col("vec_id")) // PqK rows only
+    val seedCodes = seeds
+      .withColumn("c", (row_number().over(wC) - 1).cast("long"))
+      .select(col("vec_id").as("__sv"), col("c"))
+    val cb0 = comp.join(broadcast(seedCodes), col("vec_id") === col("__sv"))
+      .select(col("c"), col("d"), col("qv").as("qc")) // PqK × Dim rows
+    def distTo(codebook: DataFrame): DataFrame = comp
+      .join(broadcast(codebook), "d")
+      .groupBy(col("vec_id"), expr(s"d div ${Dim / PqM}").as("m"), col("c"))
+      .agg(sum((col("qv") - col("qc")) * (col("qv") - col("qc"))).as("dist2"))
+    def argmin(dist: DataFrame): DataFrame = dist
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dist2"), col("c"))).as("__mc"))
+      .select(col("vec_id"), col("m"), col("__mc.c").as("code"))
+    // ONE Lloyd refinement: assign every subvector to its nearest seed
+    // codeword, recompute codewords as floor-mean centroids (empty
+    // codewords fall back to their seed)
+    val assign0 = argmin(distTo(cb0))
+    val means = assign0
+      .join(comp, "vec_id")
+      .filter(expr(s"d div ${Dim / PqM}") === col("m"))
+      .groupBy(col("code"), col("d"))
+      .agg(floor(sum(col("qv")).cast("double") / count(lit(1))).cast("long").as("qm"))
+    val cb = cb0
+      .join(means.select(col("code").as("c"), col("d"), col("qm")), Seq("c", "d"), "left_outer")
+      .select(col("c"), col("d"), coalesce(col("qm"), col("qc")).as("qc"))
+    // per (vector, subspace, codeword) quantized L2 against the refined
+    // codebook — probes reuse this frame as their ADC lookup tables
+    val dist = distTo(cb).transform(CacheScope.cached)
+    val enc = argmin(dist)
+      .select(col("vec_id").as("neighbor_id"), col("m").as("em"), col("code"))
+    (comp, dist, enc)
+  }
+
+  /** Compressed-domain shortlist → exact rerank: the shared PQ tail (ADC
+    * culls to [[PqShortlist]] candidates per probe; only those pairs ever
+    * touch raw vector components again). */
+  private def pqRerank(adc: DataFrame, comp: DataFrame): DataFrame = {
+    val wS = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc"), col("neighbor_id"))
+    val shortlist = adc.withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= PqShortlist)
+      .select(col("probe_id"), col("neighbor_id"))
+    val exact = shortlist
+      .join(comp.select(col("vec_id").as("probe_id"), col("d"),
+        col("qv").as("qa")), "probe_id")
+      .join(comp.select(col("vec_id").as("neighbor_id"), col("d"),
+        col("qv").as("qb")), Seq("neighbor_id", "d"))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(sum((col("qa") - col("qb")) * (col("qa") - col("qb"))).as("l2"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("l2"), col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+  }
+
+  /** IVFADC — the composition `ann_pq_topk`'s scaladoc documents as the
+    * next rung (FAISS IndexIVFPQ's search shape): probes route through the
+    * sampled-IVF lists ([[sampledCandidates]] — NProbe × [[IvfListTarget]]
+    * candidates per probe, constant in n), and the ADC table lookup runs
+    * ONLY inside the probed lists instead of over every code in the
+    * corpus. The coding stages and the shortlist → exact-rerank tail are
+    * the exact same [[pqStages]]/[[pqRerank]] the plain path uses, so the
+    * two branches differ only in which (probe, neighbor) pairs ADC ever
+    * scores. Auto-selected by `ann_pq_topk` above [[IvfLabelPathMax]];
+    * exercised directly at oracle scales as `ann_ivfadc_topk`. */
+  def ivfAdcTopk(raw: DataFrame, nKnown: Long = -1L): DataFrame = {
+    val n = if (nKnown >= 0) nKnown else raw.count()
+    val cand = sampledCandidates(normed(raw), n)
+    val (comp, dist, enc) = pqStages(raw)
+    val dt = dist.filter(col("vec_id") % probeStride(n) === 0)
+      .select(col("vec_id").as("probe_id"), col("m").as("em"),
+        col("c").as("code"), col("dist2"))
+    val adc = cand.join(enc, "neighbor_id")
+      .join(dt, Seq("probe_id", "em", "code"))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(sum(col("dist2")).as("adc"))
+    pqRerank(adc, comp)
+  }
+
+  // ---- hybrid retrieval (shared legs; plain + indexed rungs) ----------
+
+  /** The joined documents ⋈ embeddings corpus both hybrid branches
+    * retrieve over; callers wrap in CacheScope. */
+  private def hybridCorpus(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id").as("id"), col("text"))
+      .join(Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding")), "id")
+
+  /** Lexical retrieval leg: df-capped inverted index (tokens with df ∈
+    * [2,50] — bounded fan-out), shared-token counts, top-20 per probe.
+    * Identical in both hybrid branches — per-probe work is already
+    * bounded by (probe tokens × df cap), independent of corpus size. */
+  private def lexicalLeg(hybrid: DataFrame, stride: Long): DataFrame = {
+    val tok = hybrid.select(col("id"), explode(Hashing.tokens(col("text"))).as("token"))
+      .distinct()
+    val dfc = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, 50)).select(col("token"))
+    val idx = tok.join(dfc, "token").transform(CacheScope.cached) // probe + candidate sides
+    val tcand = idx.filter(col("id") % stride === 0)
+      .select(col("id").as("probe_id"), col("token"))
+      .join(idx.select(col("id").as("neighbor_id"), col("token")), "token")
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val wT = Window.partitionBy(col("probe_id"))
+      .orderBy(col("n_shared").desc, col("neighbor_id"))
+    tcand.withColumn("text_rank", row_number().over(wT).cast("long"))
+      .filter(col("text_rank") <= 20)
+      .select(col("probe_id"), col("neighbor_id"), col("text_rank"))
+  }
+
+  /** Reciprocal-rank fusion of the two legs' top-20s + final top-k. */
+  private def rrfFuse(trank: DataFrame, vrank: DataFrame): DataFrame = {
+    val fused = trank.join(vrank, Seq("probe_id", "neighbor_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (col("text_rank") + 60), lit(0.0)) +
+          coalesce(lit(1.0) / (col("vec_rank") + 60), lit(0.0)))
+    val wF = Window.partitionBy(col("probe_id"))
+      .orderBy(col("rrf").desc, col("neighbor_id"))
+    fused.withColumn("rank", row_number().over(wF).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("probe_id"), col("neighbor_id"), col("text_rank"),
+        col("vec_rank"), col("rrf"), col("rank"))
+  }
+
+  /** Index-routed hybrid RRF — the >[[IvfLabelPathMax]] rung of
+    * `ann_hybrid_rrf`: the vector leg routes probes through the
+    * sampled-IVF lists ([[sampledCandidates]]) and exact-reranks only the
+    * NProbe × [[IvfListTarget]] candidates per probe instead of scanning
+    * the corpus, so per-probe cost is constant in n; the lexical leg is
+    * the same df-capped inverted index (already corpus-bounded). Fusion
+    * and every tiebreak are the shared [[rrfFuse]]. */
+  def hybridIndexedRrf(hybrid: DataFrame, nKnown: Long = -1L): DataFrame = {
+    val n = if (nKnown >= 0) nKnown else hybrid.count()
+    val stride = probeStride(n)
+    val trank = lexicalLeg(hybrid, stride)
+    val emb = hybrid.select(col("id").as("vec_id"), col("embedding"),
+      QuantizedVec.qnormsq(col("embedding")).as("nsq"))
+    val vrank = topkRerank(sampledCandidates(emb, n), emb, 20)
+      .select(col("probe_id"), col("neighbor_id"), col("rank").as("vec_rank"))
+    rrfFuse(trank, vrank)
+  }
+
+  /** Full-scan hybrid RRF (the exact branch oracle scales run): vector leg
+    * scores every (probe, vector) pair with the broadcast-probe codegen
+    * cosine. */
+  private def hybridPlainRrf(hybrid: DataFrame, n: Long): DataFrame = {
+    val stride = probeStride(n)
+    val trank = lexicalLeg(hybrid, stride)
+    val nemb = hybrid.select(col("id").as("vec_id"), col("embedding"),
+      QuantizedVec.qnormsq(col("embedding")).as("nsq"))
+    val probes = nemb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nsq").as("p_nsq"))
+    val scored = broadcast(probes).join(nemb, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        QuantizedVec.qcosine(col("p_emb"), col("embedding"),
+          col("p_nsq"), col("nsq")).as("cos"))
+    val wV = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    val vrank = scored.withColumn("vec_rank", row_number().over(wV).cast("long"))
+      .filter(col("vec_rank") <= 20)
+      .select(col("probe_id"), col("neighbor_id"), col("vec_rank"))
+    rrfFuse(trank, vrank)
   }
 
   private def ivfCandidates(probeClusters: DataFrame, assigned: DataFrame): DataFrame =
@@ -446,75 +638,37 @@ object SimilarityQueries {
     // the oracle reproduces every code and distance bit-for-bit. ADC
     // distances are approximations OF true L2 — recall vs the exact
     // baseline is pinned by spec, the arithmetic by the hash gate.
+    // SCALE RUNG (auto-selected, same crossover as ann_ivf_topk): above
+    // [[IvfLabelPathMax]] the full-code ADC scan — per-probe work linear
+    // in the corpus (measured sf10 54.6 s) — hands off to [[ivfAdcTopk]],
+    // which routes each probe through the sampled-IVF lists first and runs
+    // ADC only inside them: per-probe work NProbe × IvfListTarget,
+    // constant in n. Oracle scales (≤ sf1) keep this full-scan path
+    // bit-exact; the rung itself carries its own oracle row
+    // (ann_ivfadc_topk) and recall pin (PqRecallSpec).
     "ann_pq_topk" -> ((spark, sfDir) => {
       val raw = Tables.load(spark, sfDir, "embeddings")
-      val stride = probeStride(raw.count())
-      // five consumers (seed codebook, two distance passes, Lloyd means,
-      // exact rerank) — materialize the component explosion once
-      val comp = CacheScope.pinned(quantizedComponents(raw).drop("label"))
-      // deterministic codebook: hash-first PqK vectors seed the codewords
-      val seeds = raw.select(col("vec_id"))
-        .withColumn("__h", Hashing.hashHex(col("vec_id").cast("string")))
-        .orderBy(col("__h"), col("vec_id")).limit(PqK)
-      val wC = Window.orderBy(col("__h"), col("vec_id")) // PqK rows only
-      val seedCodes = seeds
-        .withColumn("c", (row_number().over(wC) - 1).cast("long"))
-        .select(col("vec_id").as("__sv"), col("c"))
-      val cb0 = comp.join(broadcast(seedCodes), col("vec_id") === col("__sv"))
-        .select(col("c"), col("d"), col("qv").as("qc")) // PqK × Dim rows
-      def distTo(codebook: DataFrame): DataFrame = comp
-        .join(broadcast(codebook), "d")
-        .groupBy(col("vec_id"), expr(s"d div ${Dim / PqM}").as("m"), col("c"))
-        .agg(sum((col("qv") - col("qc")) * (col("qv") - col("qc"))).as("dist2"))
-      def argmin(dist: DataFrame): DataFrame = dist
-        .groupBy(col("vec_id"), col("m"))
-        .agg(min(struct(col("dist2"), col("c"))).as("__mc"))
-        .select(col("vec_id"), col("m"), col("__mc.c").as("code"))
-      // ONE Lloyd refinement: assign every subvector to its nearest seed
-      // codeword, recompute codewords as floor-mean centroids (empty
-      // codewords fall back to their seed) — turns the arbitrary seed
-      // codebook into a data-shaped one, still fully deterministic
-      val assign0 = argmin(distTo(cb0))
-      val means = assign0
-        .join(comp, "vec_id")
-        .filter(expr(s"d div ${Dim / PqM}") === col("m"))
-        .groupBy(col("code"), col("d"))
-        .agg(floor(sum(col("qv")).cast("double") / count(lit(1))).cast("long").as("qm"))
-      val cb = cb0
-        .join(means.select(col("code").as("c"), col("d"), col("qm")), Seq("c", "d"), "left_outer")
-        .select(col("c"), col("d"), coalesce(col("qm"), col("qc")).as("qc"))
-      // per (vector, subspace, codeword) quantized L2 against the refined
-      // codebook — probes reuse this frame as their ADC lookup tables
-      val dist = distTo(cb).transform(CacheScope.cached)
-      val enc = argmin(dist)
-        .select(col("vec_id").as("neighbor_id"), col("m").as("em"), col("code"))
-      val dt = dist.filter(col("vec_id") % stride === 0)
-        .select(col("vec_id").as("probe_id"), col("m"), col("c"), col("dist2"))
-      val adc = enc
-        .join(dt, col("em") === col("m") && col("code") === col("c"))
-        .filter(col("neighbor_id") =!= col("probe_id"))
-        .groupBy(col("probe_id"), col("neighbor_id"))
-        .agg(sum(col("dist2")).as("adc"))
-      // compressed-domain SHORTLIST, then exact rerank — the deployed PQ
-      // pattern (ADC culls the corpus to PqShortlist candidates per probe;
-      // only those 50 pairs ever touch raw vector components again)
-      val wS = Window.partitionBy(col("probe_id"))
-        .orderBy(col("adc"), col("neighbor_id"))
-      val shortlist = adc.withColumn("srank", row_number().over(wS))
-        .filter(col("srank") <= PqShortlist)
-        .select(col("probe_id"), col("neighbor_id"))
-      val exact = shortlist
-        .join(comp.select(col("vec_id").as("probe_id"), col("d"),
-          col("qv").as("qa")), "probe_id")
-        .join(comp.select(col("vec_id").as("neighbor_id"), col("d"),
-          col("qv").as("qb")), Seq("neighbor_id", "d"))
-        .groupBy(col("probe_id"), col("neighbor_id"))
-        .agg(sum((col("qa") - col("qb")) * (col("qa") - col("qb"))).as("l2"))
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("l2"), col("neighbor_id"))
-      exact.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= TopK)
+      val n = raw.count()
+      if (n > IvfLabelPathMax) ivfAdcTopk(raw, n)
+      else {
+        val stride = probeStride(n)
+        val (comp, dist, enc) = pqStages(raw)
+        val dt = dist.filter(col("vec_id") % stride === 0)
+          .select(col("vec_id").as("probe_id"), col("m"), col("c"), col("dist2"))
+        val adc = enc
+          .join(dt, col("em") === col("m") && col("code") === col("c"))
+          .filter(col("neighbor_id") =!= col("probe_id"))
+          .groupBy(col("probe_id"), col("neighbor_id"))
+          .agg(sum(col("dist2")).as("adc"))
+        pqRerank(adc, comp)
+      }
     }),
+    // The IVFADC rung exercised directly at oracle scales (same pattern as
+    // ann_ivf_sampled): the branch that serves ann_pq_topk past
+    // IvfLabelPathMax gets its own hash-checked CORRECTNESS row, with
+    // routing/coding parameters computed in SQL from COUNT(*).
+    "ann_ivfadc_topk" -> ((spark, sfDir) =>
+      ivfAdcTopk(Tables.load(spark, sfDir, "embeddings"))),
     // K-MEANS proper — the offline clustering stage the IVF queries model
     // with the pre-labeled `label` column (see ann_ivf_topk's scaladoc):
     // deterministic hash-seeded Lloyd iterations in exact scaled-integer
@@ -536,57 +690,24 @@ object SimilarityQueries {
     // integers; the only doubles are the 1/(60+rank) terms, identical in
     // both engines. Each leg is WindowGroupLimit-pruned to its top-20
     // before the fuse, so the full-outer merge touches ≤40 rows per probe.
+    // SCALE RUNG (auto-selected): past [[IvfLabelPathMax]] the full-scan
+    // vector leg — per-probe cost corpus-linear (measured sf10 32.3 s,
+    // ratio 11.4) — hands off to [[hybridIndexedRrf]], whose vector leg
+    // routes through the sampled-IVF lists. Oracle scales keep this exact
+    // branch bit-for-bit; the rung carries its own oracle row
+    // (ann_hybrid_indexed) and overlap pin (IvfRecallSpec).
     "ann_hybrid_rrf" -> ((spark, sfDir) => {
-      val docs = Tables.load(spark, sfDir, "documents")
-        .select(col("doc_id").as("id"), col("text"))
-      val emb = Tables.load(spark, sfDir, "embeddings")
-      val hybrid = docs
-        .join(emb.select(col("vec_id").as("id"), col("embedding")), "id")
+      val hybrid = hybridCorpus(spark, sfDir)
         .transform(CacheScope.cached) // both retrieval legs scan it
-      val stride = probeStride(hybrid.count())
-      // --- lexical leg
-      val tok = hybrid.select(col("id"), explode(Hashing.tokens(col("text"))).as("token"))
-        .distinct()
-      val dfc = tok.groupBy(col("token")).agg(count(lit(1)).as("df"))
-        .filter(col("df").between(2, 50)).select(col("token"))
-      val idx = tok.join(dfc, "token").transform(CacheScope.cached) // probe + candidate sides
-      val tcand = idx.filter(col("id") % stride === 0)
-        .select(col("id").as("probe_id"), col("token"))
-        .join(idx.select(col("id").as("neighbor_id"), col("token")), "token")
-        .filter(col("neighbor_id") =!= col("probe_id"))
-        .groupBy(col("probe_id"), col("neighbor_id"))
-        .agg(count(lit(1)).as("n_shared"))
-      val wT = Window.partitionBy(col("probe_id"))
-        .orderBy(col("n_shared").desc, col("neighbor_id"))
-      val trank = tcand.withColumn("text_rank", row_number().over(wT).cast("long"))
-        .filter(col("text_rank") <= 20)
-        .select(col("probe_id"), col("neighbor_id"), col("text_rank"))
-      // --- vector leg (exact codegen cosine, broadcast probes)
-      val n = hybrid.select(col("id").as("vec_id"), col("embedding"),
-        QuantizedVec.qnormsq(col("embedding")).as("nsq"))
-      val probes = n.filter(col("vec_id") % stride === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-          col("nsq").as("p_nsq"))
-      val scored = broadcast(probes).join(n, col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-          QuantizedVec.qcosine(col("p_emb"), col("embedding"),
-            col("p_nsq"), col("nsq")).as("cos"))
-      val wV = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      val vrank = scored.withColumn("vec_rank", row_number().over(wV).cast("long"))
-        .filter(col("vec_rank") <= 20)
-        .select(col("probe_id"), col("neighbor_id"), col("vec_rank"))
-      // --- fuse
-      val fused = trank.join(vrank, Seq("probe_id", "neighbor_id"), "full_outer")
-        .withColumn("rrf",
-          coalesce(lit(1.0) / (col("text_rank") + 60), lit(0.0)) +
-            coalesce(lit(1.0) / (col("vec_rank") + 60), lit(0.0)))
-      val wF = Window.partitionBy(col("probe_id"))
-        .orderBy(col("rrf").desc, col("neighbor_id"))
-      fused.withColumn("rank", row_number().over(wF).cast("long"))
-        .filter(col("rank") <= TopK)
-        .select(col("probe_id"), col("neighbor_id"), col("text_rank"),
-          col("vec_rank"), col("rrf"), col("rank"))
+      val n = hybrid.count()
+      if (n > IvfLabelPathMax) hybridIndexedRrf(hybrid, n)
+      else hybridPlainRrf(hybrid, n)
+    }),
+    // The indexed-hybrid rung exercised directly at oracle scales (same
+    // pattern as ann_ivf_sampled / ann_ivfadc_topk).
+    "ann_hybrid_indexed" -> ((spark, sfDir) => {
+      val hybrid = hybridCorpus(spark, sfDir).transform(CacheScope.cached)
+      hybridIndexedRrf(hybrid)
     }),
     "ann_lsh_near_dup" -> ((spark, sfDir) => {
       import spark.implicits._
@@ -631,6 +752,104 @@ object SimilarityQueries {
 
   private val normsCte: (String, String) =
     "norms" -> "SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS nsq FROM qn GROUP BY vec_id"
+
+  /** Sampled-IVF routing CTE chain (mirrors [[sampledCandidates]]):
+    * stride/probe parameters computed from COUNT(*) over `corpus`, sampled
+    * codebook, argmax assignment, NProbe probe routing, and the final
+    * `cand(probe_id, neighbor_id)` set. Requires the qn + norms CTEs. */
+  private val ivfRoutingCtes: String =
+    s"""params AS (
+       |  SELECT GREATEST(1, n // GREATEST(10, n // $IvfListTarget)) AS stride,
+       |         GREATEST(100, n // 200) AS pstride
+       |  FROM (SELECT COUNT(*) AS n FROM corpus) t),
+       |cents AS (
+       |  SELECT vec_id AS c FROM corpus, params WHERE vec_id % params.stride = 0),
+       |cdots AS (
+       |  SELECT a.vec_id, b.vec_id AS c, CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
+       |  FROM qn a JOIN qn b ON b.d = a.d JOIN cents ce ON ce.c = b.vec_id
+       |  GROUP BY a.vec_id, b.vec_id),
+       |cscore AS (
+       |  SELECT cd.vec_id, cd.c,
+       |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS ccos
+       |  FROM cdots cd JOIN norms na ON na.vec_id = cd.vec_id
+       |                JOIN norms nb ON nb.vec_id = cd.c),
+       |assigned AS (
+       |  SELECT vec_id AS neighbor_id, c FROM (
+       |    SELECT vec_id, c,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c) AS rn
+       |    FROM cscore) t WHERE rn = 1),
+       |probeclusters AS (
+       |  SELECT vec_id AS probe_id, c FROM (
+       |    SELECT s.vec_id, s.c,
+       |           ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY s.ccos DESC, s.c) AS rn
+       |    FROM cscore s, params WHERE s.vec_id % params.pstride = 0) t WHERE rn <= $NProbe),
+       |cand AS (
+       |  SELECT p.probe_id, a.neighbor_id
+       |  FROM probeclusters p JOIN assigned a ON a.c = p.c
+       |  WHERE a.neighbor_id <> p.probe_id)""".stripMargin
+
+  /** PQ coding CTE chain (mirrors [[pqStages]]): hash-first seeds, seed
+    * codebook, one Lloyd refinement, the per-(vector, subspace, codeword)
+    * distance table and the encoding. Requires the corpus + qn CTEs. */
+  private val pqCodingCtes: String =
+    s"""seeds AS (
+       |  SELECT vec_id AS sv, ROW_NUMBER() OVER (
+       |    ORDER BY ${Hashing.hashHexSql("CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS c
+       |  FROM corpus
+       |  ORDER BY ${Hashing.hashHexSql("CAST(vec_id AS VARCHAR)")}, vec_id
+       |  LIMIT $PqK),
+       |cb0 AS (
+       |  SELECT s.c, q.d, q.qv AS qc
+       |  FROM seeds s JOIN qn q ON q.vec_id = s.sv),
+       |dist0 AS (
+       |  SELECT q.vec_id, q.d // ${Dim / PqM} AS m, cb0.c,
+       |         CAST(SUM((q.qv - cb0.qc) * (q.qv - cb0.qc)) AS BIGINT) AS dist2
+       |  FROM qn q JOIN cb0 ON cb0.d = q.d
+       |  GROUP BY q.vec_id, q.d // ${Dim / PqM}, cb0.c),
+       |assign0 AS (
+       |  SELECT vec_id, m, c AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |                                 ORDER BY dist2, c) AS rn
+       |    FROM dist0) t WHERE rn = 1),
+       |means AS (
+       |  SELECT a.code, q.d,
+       |         CAST(floor(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS qm
+       |  FROM assign0 a JOIN qn q
+       |    ON q.vec_id = a.vec_id AND q.d // ${Dim / PqM} = a.m
+       |  GROUP BY a.code, q.d),
+       |cb AS (
+       |  SELECT cb0.c, cb0.d, COALESCE(m.qm, cb0.qc) AS qc
+       |  FROM cb0 LEFT JOIN means m ON m.code = cb0.c AND m.d = cb0.d),
+       |dist AS (
+       |  SELECT q.vec_id, q.d // ${Dim / PqM} AS m, cb.c,
+       |         CAST(SUM((q.qv - cb.qc) * (q.qv - cb.qc)) AS BIGINT) AS dist2
+       |  FROM qn q JOIN cb ON cb.d = q.d
+       |  GROUP BY q.vec_id, q.d // ${Dim / PqM}, cb.c),
+       |enc AS (
+       |  SELECT vec_id AS neighbor_id, m, c AS code FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |                                 ORDER BY dist2, c) AS rn
+       |    FROM dist) t WHERE rn = 1)""".stripMargin
+
+  /** Shared PQ tail (mirrors [[pqRerank]]): ADC shortlist → exact rerank.
+    * Requires an `adc(probe_id, neighbor_id, adc)` CTE + qn. */
+  private val pqRerankSql: String =
+    s"""shortlist AS (
+       |  SELECT probe_id, neighbor_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                                 ORDER BY adc, neighbor_id) AS srank
+       |    FROM adc) t WHERE srank <= $PqShortlist),
+       |ex AS (
+       |  SELECT s.probe_id, s.neighbor_id,
+       |         CAST(SUM((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS BIGINT) AS l2
+       |  FROM shortlist s
+       |  JOIN qn qa ON qa.vec_id = s.probe_id
+       |  JOIN qn qb ON qb.vec_id = s.neighbor_id AND qb.d = qa.d
+       |  GROUP BY s.probe_id, s.neighbor_id)
+       |SELECT probe_id, neighbor_id, l2, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |                               ORDER BY l2, neighbor_id) AS rank
+       |  FROM ex) t WHERE rank <= $TopK""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "ann_label_centroids" ->
@@ -735,35 +954,7 @@ object SimilarityQueries {
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
          |${qnCte._1} AS (${qnCte._2}),
          |${normsCte._1} AS (${normsCte._2}),
-         |params AS (
-         |  SELECT GREATEST(1, n // GREATEST(10, n // $IvfListTarget)) AS stride,
-         |         GREATEST(100, n // 200) AS pstride
-         |  FROM (SELECT COUNT(*) AS n FROM corpus) t),
-         |cents AS (
-         |  SELECT vec_id AS c FROM corpus, params WHERE vec_id % params.stride = 0),
-         |cdots AS (
-         |  SELECT a.vec_id, b.vec_id AS c, CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
-         |  FROM qn a JOIN qn b ON b.d = a.d JOIN cents ce ON ce.c = b.vec_id
-         |  GROUP BY a.vec_id, b.vec_id),
-         |cscore AS (
-         |  SELECT cd.vec_id, cd.c,
-         |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS ccos
-         |  FROM cdots cd JOIN norms na ON na.vec_id = cd.vec_id
-         |                JOIN norms nb ON nb.vec_id = cd.c),
-         |assigned AS (
-         |  SELECT vec_id AS neighbor_id, c FROM (
-         |    SELECT vec_id, c,
-         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c) AS rn
-         |    FROM cscore) t WHERE rn = 1),
-         |probeclusters AS (
-         |  SELECT vec_id AS probe_id, c FROM (
-         |    SELECT s.vec_id, s.c,
-         |           ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY s.ccos DESC, s.c) AS rn
-         |    FROM cscore s, params WHERE s.vec_id % params.pstride = 0) t WHERE rn <= $NProbe),
-         |cand AS (
-         |  SELECT p.probe_id, a.neighbor_id
-         |  FROM probeclusters p JOIN assigned a ON a.c = p.c
-         |  WHERE a.neighbor_id <> p.probe_id),
+         |$ivfRoutingCtes,
          |pdots AS (
          |  SELECT c.probe_id, c.neighbor_id, CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
          |  FROM cand c JOIN qn qa ON qa.vec_id = c.probe_id
@@ -781,44 +972,7 @@ object SimilarityQueries {
     "ann_pq_topk" ->
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
          |${qnCte._1} AS (${qnCte._2}),
-         |seeds AS (
-         |  SELECT vec_id AS sv, ROW_NUMBER() OVER (
-         |    ORDER BY ${Hashing.hashHexSql("CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS c
-         |  FROM corpus
-         |  ORDER BY ${Hashing.hashHexSql("CAST(vec_id AS VARCHAR)")}, vec_id
-         |  LIMIT $PqK),
-         |cb0 AS (
-         |  SELECT s.c, q.d, q.qv AS qc
-         |  FROM seeds s JOIN qn q ON q.vec_id = s.sv),
-         |dist0 AS (
-         |  SELECT q.vec_id, q.d // ${Dim / PqM} AS m, cb0.c,
-         |         CAST(SUM((q.qv - cb0.qc) * (q.qv - cb0.qc)) AS BIGINT) AS dist2
-         |  FROM qn q JOIN cb0 ON cb0.d = q.d
-         |  GROUP BY q.vec_id, q.d // ${Dim / PqM}, cb0.c),
-         |assign0 AS (
-         |  SELECT vec_id, m, c AS code FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
-         |                                 ORDER BY dist2, c) AS rn
-         |    FROM dist0) t WHERE rn = 1),
-         |means AS (
-         |  SELECT a.code, q.d,
-         |         CAST(floor(CAST(SUM(q.qv) AS DOUBLE) / COUNT(*)) AS BIGINT) AS qm
-         |  FROM assign0 a JOIN qn q
-         |    ON q.vec_id = a.vec_id AND q.d // ${Dim / PqM} = a.m
-         |  GROUP BY a.code, q.d),
-         |cb AS (
-         |  SELECT cb0.c, cb0.d, COALESCE(m.qm, cb0.qc) AS qc
-         |  FROM cb0 LEFT JOIN means m ON m.code = cb0.c AND m.d = cb0.d),
-         |dist AS (
-         |  SELECT q.vec_id, q.d // ${Dim / PqM} AS m, cb.c,
-         |         CAST(SUM((q.qv - cb.qc) * (q.qv - cb.qc)) AS BIGINT) AS dist2
-         |  FROM qn q JOIN cb ON cb.d = q.d
-         |  GROUP BY q.vec_id, q.d // ${Dim / PqM}, cb.c),
-         |enc AS (
-         |  SELECT vec_id AS neighbor_id, m, c AS code FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
-         |                                 ORDER BY dist2, c) AS rn
-         |    FROM dist) t WHERE rn = 1),
+         |$pqCodingCtes,
          |dt AS (
          |  SELECT vec_id AS probe_id, m, c, dist2 FROM dist WHERE vec_id % 100 = 0),
          |adc AS (
@@ -826,22 +980,23 @@ object SimilarityQueries {
          |  FROM enc e JOIN dt ON dt.m = e.m AND dt.c = e.code
          |  WHERE e.neighbor_id <> dt.probe_id
          |  GROUP BY dt.probe_id, e.neighbor_id),
-         |shortlist AS (
-         |  SELECT probe_id, neighbor_id FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
-         |                                 ORDER BY adc, neighbor_id) AS srank
-         |    FROM adc) t WHERE srank <= $PqShortlist),
-         |ex AS (
-         |  SELECT s.probe_id, s.neighbor_id,
-         |         CAST(SUM((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS BIGINT) AS l2
-         |  FROM shortlist s
-         |  JOIN qn qa ON qa.vec_id = s.probe_id
-         |  JOIN qn qb ON qb.vec_id = s.neighbor_id AND qb.d = qa.d
-         |  GROUP BY s.probe_id, s.neighbor_id)
-         |SELECT probe_id, neighbor_id, l2, rank FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
-         |                               ORDER BY l2, neighbor_id) AS rank
-         |  FROM ex) t WHERE rank <= $TopK""".stripMargin,
+         |$pqRerankSql""".stripMargin,
+    "ann_ivfadc_topk" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+         |${qnCte._1} AS (${qnCte._2}),
+         |${normsCte._1} AS (${normsCte._2}),
+         |$ivfRoutingCtes,
+         |$pqCodingCtes,
+         |dt AS (
+         |  SELECT vec_id AS probe_id, m, c, dist2
+         |  FROM dist CROSS JOIN params WHERE vec_id % params.pstride = 0),
+         |adc AS (
+         |  SELECT ca.probe_id, ca.neighbor_id, CAST(SUM(dt.dist2) AS BIGINT) AS adc
+         |  FROM cand ca JOIN enc e ON e.neighbor_id = ca.neighbor_id
+         |               JOIN dt ON dt.probe_id = ca.probe_id
+         |                      AND dt.m = e.m AND dt.c = e.code
+         |  GROUP BY ca.probe_id, ca.neighbor_id),
+         |$pqRerankSql""".stripMargin,
     "ann_kmeans" -> {
       val iterCtes = (1 to KmIters).flatMap { t =>
         Seq(
@@ -928,6 +1083,56 @@ object SimilarityQueries {
          |    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
          |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS vrk
          |    FROM vscored) t WHERE vrk <= 20),
+         |fused AS (
+         |  SELECT probe_id, neighbor_id,
+         |         t.trk AS text_rank, v.vrk AS vec_rank,
+         |         COALESCE(CAST(1.0 AS DOUBLE) / (t.trk + 60), CAST(0.0 AS DOUBLE)) +
+         |           COALESCE(CAST(1.0 AS DOUBLE) / (v.vrk + 60), CAST(0.0 AS DOUBLE)) AS rrf
+         |  FROM trank t FULL JOIN vrank v USING (probe_id, neighbor_id))
+         |SELECT probe_id, neighbor_id, text_rank, vec_rank, rrf, rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |    ORDER BY rrf DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM fused) t WHERE rank <= $TopK""".stripMargin,
+    "ann_hybrid_indexed" ->
+      s"""WITH hd AS (
+         |  SELECT d.doc_id AS id, d.text, e.embedding
+         |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         |corpus AS (SELECT id AS vec_id, embedding FROM hd),
+         |${qnCte._1} AS (${qnCte._2}),
+         |${normsCte._1} AS (${normsCte._2}),
+         |$ivfRoutingCtes,
+         |vdots AS (
+         |  SELECT ca.probe_id, ca.neighbor_id, CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
+         |  FROM cand ca JOIN qn qa ON qa.vec_id = ca.probe_id
+         |               JOIN qn qb ON qb.vec_id = ca.neighbor_id AND qb.d = qa.d
+         |  GROUP BY ca.probe_id, ca.neighbor_id),
+         |vscored AS (
+         |  SELECT v.probe_id, v.neighbor_id,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
+         |  FROM vdots v JOIN norms na ON na.vec_id = v.probe_id
+         |               JOIN norms nb ON nb.vec_id = v.neighbor_id),
+         |vrank AS (
+         |  SELECT probe_id, neighbor_id, vrk FROM (
+         |    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY cos DESC, neighbor_id) AS BIGINT) AS vrk
+         |    FROM vscored) t WHERE vrk <= 20),
+         |tok AS (
+         |  SELECT DISTINCT id, unnest(${Hashing.tokensSql("text")}) AS token FROM hd),
+         |dfc AS (
+         |  SELECT token FROM (SELECT token, COUNT(*) AS df FROM tok GROUP BY token) t
+         |  WHERE df BETWEEN 2 AND 50),
+         |idx AS (SELECT t.id, t.token FROM tok t JOIN dfc USING (token)),
+         |tcand AS (
+         |  SELECT a.id AS probe_id, b.id AS neighbor_id, COUNT(*) AS n_shared
+         |  FROM idx a JOIN idx b ON b.token = a.token AND b.id <> a.id
+         |  CROSS JOIN params
+         |  WHERE a.id % params.pstride = 0
+         |  GROUP BY a.id, b.id),
+         |trank AS (
+         |  SELECT probe_id, neighbor_id, trk FROM (
+         |    SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY n_shared DESC, neighbor_id) AS BIGINT) AS trk
+         |    FROM tcand) t WHERE trk <= 20),
          |fused AS (
          |  SELECT probe_id, neighbor_id,
          |         t.trk AS text_rank, v.vrk AS vec_rank,

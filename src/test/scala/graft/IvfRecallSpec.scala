@@ -76,6 +76,21 @@ class IvfRecallSpec extends SparkTestBase {
     assert(viaRegistry == direct && viaRegistry.nonEmpty)
   }
 
+  test("indexed-hybrid rung: top-10 overlap with the full-scan hybrid stays useful") {
+    // the branch that serves ann_hybrid_rrf past IvfLabelPathMax: the
+    // lexical leg is shared, only the vector leg routes through IVF, so
+    // most fused results must survive the switch
+    val plain = SparkEntry.queries("ann_hybrid_rrf")(spark, Sf)
+      .select(col("probe_id"), col("neighbor_id"))
+    val indexed = SparkEntry.queries("ann_hybrid_indexed")(spark, Sf)
+      .select(col("probe_id"), col("neighbor_id"))
+    val nPlain = plain.count()
+    val hit = plain.join(indexed, Seq("probe_id", "neighbor_id"), "left_semi").count()
+    val overlap = hit.toDouble / nPlain
+    info(f"indexed-hybrid overlap@${SimilarityQueries.TopK} = $overlap%.3f ($hit/$nPlain)")
+    assert(overlap >= 0.5, f"indexed-hybrid overlap $overlap%.3f below 0.5")
+  }
+
   test("recall@10 vs the exact baseline is >= 0.5") {
     val exact = SimilarityQueries.queries("ann_cosine_topk")(spark, Sf)
       .select(col("probe_id"), col("neighbor_id"))

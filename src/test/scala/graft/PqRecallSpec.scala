@@ -49,6 +49,28 @@ class PqRecallSpec extends SparkTestBase {
     assert(recall >= 0.4, f"recall $recall%.3f below 0.4")
   }
 
+  test("IVFADC rung: recall@10 vs exact L2 top-k stays useful") {
+    // the branch that serves ann_pq_topk past IvfLabelPathMax, forced at
+    // fixture scale by calling it directly — same baseline as the plain
+    // ADC pin above (IVF routing can only shrink the candidate set, so a
+    // looser bar than the full scan's)
+    val raw = Tables.load(spark, Sf, "embeddings")
+    val exact = exactL2TopK
+    val ivfadc = SimilarityQueries.ivfAdcTopk(raw)
+      .select(col("probe_id"), col("neighbor_id"))
+    val nExact = exact.count()
+    val hit = exact.join(ivfadc, Seq("probe_id", "neighbor_id"), "left_semi").count()
+    val recall = hit.toDouble / nExact
+    info(f"IVFADC recall@${SimilarityQueries.TopK} = $recall%.3f ($hit/$nExact)")
+    assert(nExact > 0)
+    assert(recall >= 0.3, f"IVFADC recall $recall%.3f below 0.3")
+    // and it is the same function the registered oracle row exercises
+    val viaRegistry = SparkEntry.queries("ann_ivfadc_topk")(spark, Sf)
+      .collect().map(_.toSeq).toSet
+    val direct = SimilarityQueries.ivfAdcTopk(raw).collect().map(_.toSeq).toSet
+    assert(viaRegistry == direct && viaRegistry.nonEmpty)
+  }
+
   test("every corpus vector encodes to exactly PqM codes in [0, PqK)") {
     val raw = Tables.load(spark, Sf, "embeddings")
     val n = raw.count()
