@@ -61,8 +61,10 @@ object EventsQueries {
     changepoint(events, ChangepointSortBudget)
 
   def changepoint(events: DataFrame, sortBudget: Long): DataFrame = {
+    // coalesce guards the empty-frame case (max over zero groups is NULL),
+    // defaulting to the plain branch
     val maxPerKey = events.groupBy(col("event_type")).count()
-      .agg(max(col("count"))).head().getLong(0)
+      .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
     if (maxPerKey <= sortBudget) changepointPlain(events)
     else changepointSkew(events)
   }

@@ -173,13 +173,16 @@ object LinkageQueries {
        |         c_mktsegment AS seg_d,
        |         c_acctbal + (c_custkey % 7) AS bal_d
        |  FROM customer),
+       |tl AS (
+       |  SELECT GREATEST(5, CAST(ceil(log10(GREATEST(10, n))) AS INT) - 1) AS t
+       |  FROM (SELECT COUNT(*) AS n FROM customer) x),
        |cands AS (
        |  SELECT d.dirty_id, c.c_custkey AS cand_key,
        |         CAST(levenshtein(c.c_name, d.name_d) AS BIGINT) AS lev
-       |  FROM dirty d
+       |  FROM dirty d CROSS JOIN tl
        |  JOIN customer c
        |    ON c.c_nationkey = d.nation_d AND c.c_mktsegment = d.seg_d
-       |   AND right(c.c_name, 5) = right(d.name_d, 5)
+       |   AND right(c.c_name, tl.t) = right(d.name_d, tl.t)
        |   AND CAST(floor(c.c_acctbal/$BandWidth) AS BIGINT)
        |         BETWEEN CAST(floor(d.bal_d/$BandWidth) AS BIGINT) - 1
        |             AND CAST(floor(d.bal_d/$BandWidth) AS BIGINT) + 1

@@ -593,7 +593,7 @@ object SimilarityQueries {
     "ann_ivf_topk" -> ((spark, sfDir) => {
       val raw = Tables.load(spark, sfDir, "embeddings")
       val nVecs = raw.count()
-      if (nVecs > IvfLabelPathMax) ivfSampledTopk(raw)
+      if (nVecs > IvfLabelPathMax) ivfSampledTopk(raw, nVecs)
       else {
         // quantized components feed centroid build, assignment, and routing
         val qn = quantizedComponents(raw).transform(CacheScope.cached)

@@ -14,6 +14,12 @@ class EventsSkewSpec extends SparkTestBase {
     assert(skew == plain, s"skew=$skew plain=$plain")
   }
 
+  test("changepoint: empty input yields an empty result, not a probe crash") {
+    val events = Tables.load(spark, Sf, "events")
+    val empty = events.filter(org.apache.spark.sql.functions.lit(false))
+    assert(EventsQueries.changepoint(empty).count() == 0L)
+  }
+
   test("changepoint: per-key count probe auto-selects the branch") {
     val events = Tables.load(spark, Sf, "events")
     // a tiny budget forces the decomposition (its plan joins the chunk
