@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** BPE merge rounds trained by `text_bpe_merges`. 8 keeps the unrolled
+    * oracle CTE chain tractable while exercising the full loop shape; a
+    * production vocab run is the same recurrence with ~30k rounds over the
+    * same O(vocab × word len) per-round state. */
+  val BpeMerges = 8
+
   /** Marker words per language for the lang-ID heuristic. Precedence order
     * (en, de, fr, es) breaks ties deterministically. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(
@@ -347,6 +353,76 @@ object TextQueries {
         .select(col("doc_id"), col("pos").cast("long").as("pos"),
           coalesce(col("vocab_id"), lit(0L)).as("token_id"))
     }),
+    // BPE TOKENIZER TRAINER — the real merge loop (the vocab family's next
+    // rung past min-count cuts): words become character sequences, then
+    // [[BpeMerges]] rounds of count-all-adjacent-pairs → merge the
+    // arg-max pair corpus-wide — the algorithm behind every production
+    // subword vocabulary, run as an iterative relational trainer like
+    // k-means/PageRank. Per round the only data-sized work is one
+    // lead-window pass + one keyed aggregation over the DISTINCT-WORD
+    // symbol table (weighted by word frequency — corpus size only enters
+    // through the one-off word count), so rounds cost O(vocab × word len)
+    // regardless of corpus rows: the standard trainer economics. Greedy
+    // left-to-right overlap resolution (aaa + (a,a) → [aa, a]) is done
+    // relationally: candidate positions group into consecutive runs and
+    // even offsets win — no sequential fold, no UDF. The DuckDB oracle
+    // replays all rounds as unrolled CTEs, so the ITERATIVE trainer is
+    // hash-checked end to end, tiebreaks included (count desc, pair asc).
+    "text_bpe_merges" -> ((spark, sfDir) => {
+      val wf = CacheScope.pinned(Tables.load(spark, sfDir, "documents")
+        .select(explode(Hashing.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy(col("word")).agg(count(lit(1)).as("freq")))
+      var syms = CacheScope.pinned(wf
+        .select(col("word"), posexplode(
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+          .as(Seq("p0", "sym")))
+        .select(col("word"), (col("p0") + 1).cast("long").as("pos"), col("sym")))
+      var merges: DataFrame = null
+      val wPos = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("word")).orderBy(col("pos"))
+      for (step <- 1 to BpeMerges) {
+        val wn = syms.withColumn("nxt", lead(col("sym"), 1).over(wPos))
+        val cnts = wn.filter(col("nxt").isNotNull)
+          .join(wf, "word")
+          .groupBy(col("sym"), col("nxt"))
+          .agg(sum(col("freq")).as("cnt"))
+        // arg-max pair, ONE row: -cnt asc = cnt desc, then (l, r) asc —
+        // the deterministic tiebreak the oracle's ORDER BY replays
+        val best = broadcast(cnts
+          .agg(min(struct((-col("cnt")).as("negcnt"),
+            col("sym").as("l"), col("nxt").as("r"))).as("__b"))
+          .select(col("__b.l").as("l"), col("__b.r").as("r"),
+            (-col("__b.negcnt")).as("cnt")))
+        val stepRow = best.select(lit(step).cast("long").as("step"),
+          col("l").as("left_sym"), col("r").as("right_sym"),
+          concat(col("l"), col("r")).as("merged"), col("cnt").as("pair_count"))
+        merges = if (merges == null) stepRow else merges.unionByName(stepRow)
+        // greedy left-to-right merge: candidate starts, consecutive runs,
+        // even offsets survive; winners emit l||r, their successors drop,
+        // positions renumber
+        val cand = wn.crossJoin(best.select(col("l"), col("r")))
+        val valid = cand.filter(col("sym") === col("l") && col("nxt") === col("r"))
+          .withColumn("crn", row_number().over(wPos))
+          .withColumn("run", col("pos") - col("crn"))
+          .withColumn("rmin", min(col("pos")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("word"), col("run"))))
+          .filter(((col("pos") - col("rmin")) % 2) === 0)
+          .select(col("word"), col("pos"))
+        val next = cand
+          .join(valid.withColumn("m", lit(1)), Seq("word", "pos"), "left_outer")
+          .join(valid.select(col("word"), (col("pos") + 1).as("pos"),
+            lit(1).as("dropme")), Seq("word", "pos"), "left_outer")
+          .filter(col("dropme").isNull)
+          .select(col("word"), col("pos"),
+            when(col("m").isNotNull, concat(col("l"), col("r")))
+              .otherwise(col("sym")).as("sym"))
+          .withColumn("pos", row_number().over(wPos).cast("long"))
+        syms = CacheScope.pinned(next)
+      }
+      merges
+    }),
     "text_heavy_hitters" -> ((spark, sfDir) => {
       val words = Tables.load(spark, sfDir, "documents")
         .select(explode(Hashing.tokens(col("text"))).as("word"))
@@ -386,7 +462,63 @@ object TextQueries {
        |  FROM (SELECT unnest($toksE) AS token FROM documents) w
        |  GROUP BY token HAVING COUNT(*) >= 2) c""".stripMargin
 
+  /** Unrolled-CTE replay of the BPE merge loop, one block per round (the
+    * ann_kmeans oracle pattern): lead-window pair counts, ORDER-BY-LIMIT-1
+    * arg-max (the engine's struct-min tiebreak), run-grouped greedy merge,
+    * renumber. Every CTE is MATERIALIZED — DuckDB inlines plain CTEs per
+    * reference, and this chain references each level several times, which
+    * would re-evaluate the whole prefix exponentially. */
+  private val bpeMergesSqlStr: String = {
+    val iters = (1 to BpeMerges).map { t =>
+      s"""wn$t AS MATERIALIZED (
+         |  SELECT word, pos, sym,
+         |         LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+         |  FROM syms${t - 1}),
+         |pair$t AS MATERIALIZED (
+         |  SELECT w.sym AS l, w.nxt AS r, CAST(SUM(f.freq) AS BIGINT) AS cnt
+         |  FROM wn$t w JOIN wf f USING (word)
+         |  WHERE w.nxt IS NOT NULL GROUP BY w.sym, w.nxt),
+         |best$t AS MATERIALIZED (
+         |  SELECT l, r, cnt FROM pair$t ORDER BY cnt DESC, l, r LIMIT 1),
+         |cr$t AS MATERIALIZED (
+         |  SELECT w.word, w.pos,
+         |         ROW_NUMBER() OVER (PARTITION BY w.word ORDER BY w.pos) AS crn
+         |  FROM wn$t w, best$t b WHERE w.sym = b.l AND w.nxt = b.r),
+         |valid$t AS MATERIALIZED (
+         |  SELECT word, pos FROM (
+         |    SELECT word, pos,
+         |           MIN(pos) OVER (PARTITION BY word, pos - crn) AS rmin
+         |    FROM cr$t) x WHERE (pos - rmin) % 2 = 0),
+         |syms$t AS MATERIALIZED (
+         |  SELECT word,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS BIGINT) AS pos,
+         |         sym
+         |  FROM (
+         |    SELECT w.word, w.pos,
+         |           CASE WHEN v.pos IS NOT NULL THEN b.l || b.r ELSE w.sym END AS sym
+         |    FROM wn$t w
+         |    CROSS JOIN best$t b
+         |    LEFT JOIN valid$t v ON v.word = w.word AND v.pos = w.pos
+         |    LEFT JOIN valid$t v2 ON v2.word = w.word AND v2.pos + 1 = w.pos
+         |    WHERE v2.pos IS NULL) y)""".stripMargin
+    }.mkString(",\n")
+    val selects = (1 to BpeMerges).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS step, l AS left_sym, r AS right_sym, " +
+        s"l || r AS merged, cnt AS pair_count FROM best$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT word, COUNT(*) AS freq FROM (
+       |    SELECT unnest($toksE) AS word FROM documents) t
+       |  WHERE length(word) >= 2 GROUP BY word),
+       |syms0 AS MATERIALIZED (
+       |  SELECT word, CAST(i AS BIGINT) AS pos, substr(word, CAST(i AS INT), 1) AS sym
+       |  FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i FROM wf) z),
+       |$iters
+       |$selects""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "text_bpe_merges" -> bpeMergesSqlStr,
     "text_inverted_index" ->
       s"""WITH dt AS (
          |  SELECT DISTINCT doc_id, unnest(list_transform(

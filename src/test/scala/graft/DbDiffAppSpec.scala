@@ -107,6 +107,44 @@ class DbDiffAppSpec extends SparkTestBase {
     assert(!html2.contains("<table>"))
   }
 
+  test("bucketed store mode: loop equals the plain loop and diffs Exchange-free") {
+    val tables = Seq(Tables.region, Tables.customer)
+    def mkSource(flag: () => Boolean): TableDef => DataFrame = t => {
+      val base = Tables.load(spark, Sf, t.name)
+      if (flag()) {
+        base.createOrReplaceTempView(t.name)
+        spark.sql(Mutations.afterSql(t.name))
+      } else base
+    }
+
+    var mutP = false
+    val consoleP = scala.collection.mutable.ArrayBuffer.empty[String]
+    val plainApp = new DbDiffApp(spark, tables, mkSource(() => mutP),
+      consoleP.append(_), maxConsoleRows = 10000)
+    var mutS = false
+    val consoleS = scala.collection.mutable.ArrayBuffer.empty[String]
+    val storeApp = new DbDiffApp(spark, tables, mkSource(() => mutS),
+      consoleS.append(_), maxConsoleRows = 10000, storeBuckets = 4)
+
+    mutP = true; mutS = true
+    val rP = plainApp.iterate()
+    val rS = storeApp.iterate()
+    // identical change sets AND identical console rendering, table by table
+    assert(rS.changedKeys == rP.changedKeys && rS.totalChanged > 0)
+    assert(consoleS.sorted == consoleP.sorted)
+    // the store-mode diff (one-winner dedups + full-outer join) consumed
+    // the bucketed layout: zero Exchange in every table's physical plan
+    assert(storeApp.lastDiffPlans.keySet == Set("region", "customer"))
+    storeApp.lastDiffPlans.foreach { case (t, plan) =>
+      assert(!plan.contains("Exchange"), s"$t store-mode diff shuffles:\n$plan")
+    }
+    // iteration 2: nothing changed since the swap → empty diff in store
+    // mode too (generation g diffs against generation g+1, both bucketed)
+    consoleS.clear()
+    val rS2 = storeApp.iterate()
+    assert(rS2.totalChanged == 0 && consoleS.isEmpty)
+  }
+
   test("S8: -o out.xlsx writes the reference's styled workbook (modified-cell runs)") {
     val tables = Seq(Tables.region, Tables.customer)
     var mutated = false

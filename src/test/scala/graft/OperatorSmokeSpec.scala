@@ -27,6 +27,20 @@ class OperatorSmokeSpec extends SparkTestBase {
     assert(mismatches == 0)
   }
 
+  test("text_bpe_merges trains the full merge ladder with consistent rows") {
+    val m = SparkEntry.queries("text_bpe_merges")(spark, Sf).collect()
+    assert(m.length == graft.operators.TextQueries.BpeMerges)
+    assert(m.map(_.getAs[Long]("step")).sorted.toSeq ==
+      (1L to graft.operators.TextQueries.BpeMerges).toSeq)
+    m.foreach { r =>
+      assert(r.getAs[String]("merged") ==
+        r.getAs[String]("left_sym") + r.getAs[String]("right_sym"))
+      assert(r.getAs[Long]("pair_count") > 0)
+    }
+    // merged symbols are distinct (each round consumes its pair)
+    assert(m.map(_.getAs[String]("merged")).distinct.length == m.length)
+  }
+
   test("multimodal decode is deterministic and complete") {
     val f1 = SparkEntry.queries("mm_decode_features")(spark, Sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint")).toMap
