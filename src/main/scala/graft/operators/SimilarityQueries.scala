@@ -753,6 +753,13 @@ object SimilarityQueries {
   private val normsCte: (String, String) =
     "norms" -> "SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS nsq FROM qn GROUP BY vec_id"
 
+  /** Probe-stride params CTE: pstride = max(100, n/200) over `corpus`,
+    * mirroring [[probeStride]] so every oracle derives the probe batch from
+    * COUNT(*) exactly as the engine does — no scale where the constants
+    * merely coincide ([[ivfRoutingCtes]] carries its own copy in `params`). */
+  private val pstrideCte: String =
+    "pp AS (SELECT GREATEST(100, COUNT(*) // 200) AS pstride FROM corpus)"
+
   /** Sampled-IVF routing CTE chain (mirrors [[sampledCandidates]]):
     * stride/probe parameters computed from COUNT(*) over `corpus`, sampled
     * codebook, argmax assignment, NProbe probe routing, and the final
@@ -868,11 +875,13 @@ object SimilarityQueries {
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
          |${qnCte._1} AS (${qnCte._2}),
          |${normsCte._1} AS (${normsCte._2}),
+         |$pstrideCte,
          |dots AS (
          |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
          |         CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
          |  FROM qn a JOIN qn b ON a.d = b.d AND a.vec_id <> b.vec_id
-         |  WHERE a.vec_id % 100 = 0
+         |  CROSS JOIN pp
+         |  WHERE a.vec_id % pp.pstride = 0
          |  GROUP BY a.vec_id, b.vec_id),
          |scored AS (
          |  SELECT probe_id, neighbor_id,
@@ -889,11 +898,13 @@ object SimilarityQueries {
          |  SELECT vec_id, label, i - 1 AS d, $qv AS qv
          |  FROM corpus, range(1, ${Dim + 1}) r(i)),
          |norms AS (SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS nsq FROM qn GROUP BY vec_id),
+         |$pstrideCte,
          |dots AS (
          |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id, MIN(b.label) AS label,
          |         CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
          |  FROM qn a JOIN qn b ON a.d = b.d AND a.vec_id <> b.vec_id
-         |  WHERE a.vec_id % 100 = 0 AND b.label % 3 = 0
+         |  CROSS JOIN pp
+         |  WHERE a.vec_id % pp.pstride = 0 AND b.label % 3 = 0
          |  GROUP BY a.vec_id, b.vec_id),
          |scored AS (
          |  SELECT probe_id, neighbor_id, label,
@@ -927,11 +938,12 @@ object SimilarityQueries {
          |    SELECT vec_id, label,
          |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS rn
          |    FROM ascore) t WHERE rn = 1),
+         |$pstrideCte,
          |probeclusters AS (
          |  SELECT vec_id AS probe_id, label FROM (
          |    SELECT vec_id, label,
          |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, label) AS rn
-         |    FROM ascore WHERE vec_id % 100 = 0) t WHERE rn <= $NProbe),
+         |    FROM ascore CROSS JOIN pp WHERE vec_id % pp.pstride = 0) t WHERE rn <= $NProbe),
          |cand AS (
          |  SELECT p.probe_id, a.vec_id AS neighbor_id
          |  FROM probeclusters p JOIN assigned a ON a.label = p.label
@@ -973,8 +985,10 @@ object SimilarityQueries {
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
          |${qnCte._1} AS (${qnCte._2}),
          |$pqCodingCtes,
+         |$pstrideCte,
          |dt AS (
-         |  SELECT vec_id AS probe_id, m, c, dist2 FROM dist WHERE vec_id % 100 = 0),
+         |  SELECT vec_id AS probe_id, m, c, dist2
+         |  FROM dist CROSS JOIN pp WHERE vec_id % pp.pstride = 0),
          |adc AS (
          |  SELECT dt.probe_id, e.neighbor_id, CAST(SUM(dt.dist2) AS BIGINT) AS adc
          |  FROM enc e JOIN dt ON dt.m = e.m AND dt.c = e.code
@@ -1057,10 +1071,12 @@ object SimilarityQueries {
          |  SELECT token FROM (SELECT token, COUNT(*) AS df FROM tok GROUP BY token) t
          |  WHERE df BETWEEN 2 AND 50),
          |idx AS (SELECT t.id, t.token FROM tok t JOIN dfc USING (token)),
+         |$pstrideCte,
          |tcand AS (
          |  SELECT a.id AS probe_id, b.id AS neighbor_id, COUNT(*) AS n_shared
          |  FROM idx a JOIN idx b ON b.token = a.token AND b.id <> a.id
-         |  WHERE a.id % 100 = 0
+         |  CROSS JOIN pp
+         |  WHERE a.id % pp.pstride = 0
          |  GROUP BY a.id, b.id),
          |trank AS (
          |  SELECT probe_id, neighbor_id, trk FROM (
@@ -1071,7 +1087,8 @@ object SimilarityQueries {
          |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
          |         CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
          |  FROM qn a JOIN qn b ON a.d = b.d AND a.vec_id <> b.vec_id
-         |  WHERE a.vec_id % 100 = 0
+         |  CROSS JOIN pp
+         |  WHERE a.vec_id % pp.pstride = 0
          |  GROUP BY a.vec_id, b.vec_id),
          |vscored AS (
          |  SELECT probe_id, neighbor_id,

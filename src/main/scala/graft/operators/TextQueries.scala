@@ -381,47 +381,61 @@ object TextQueries {
       var merges: DataFrame = null
       val wPos = org.apache.spark.sql.expressions.Window
         .partitionBy(col("word")).orderBy(col("pos"))
-      for (step <- 1 to BpeMerges) {
+      var exhausted = false
+      for (step <- 1 to BpeMerges if !exhausted) {
         val wn = syms.withColumn("nxt", lead(col("sym"), 1).over(wPos))
         val cnts = wn.filter(col("nxt").isNotNull)
           .join(wf, "word")
           .groupBy(col("sym"), col("nxt"))
           .agg(sum(col("freq")).as("cnt"))
         // arg-max pair, ONE row: -cnt asc = cnt desc, then (l, r) asc —
-        // the deterministic tiebreak the oracle's ORDER BY replays
-        val best = broadcast(cnts
+        // the deterministic tiebreak the oracle's ORDER BY replays.
+        // Collected EAGERLY (it's one tiny row): a degenerate corpus can
+        // exhaust adjacent pairs before BpeMerges rounds, where min over
+        // the empty frame is a NULL struct but the oracle's
+        // ORDER BY … LIMIT 1 yields NO row — the trainer must stop, not
+        // emit all-NULL merge rows.
+        val bestRow = cnts
           .agg(min(struct((-col("cnt")).as("negcnt"),
             col("sym").as("l"), col("nxt").as("r"))).as("__b"))
-          .select(col("__b.l").as("l"), col("__b.r").as("r"),
-            (-col("__b.negcnt")).as("cnt")))
-        val stepRow = best.select(lit(step).cast("long").as("step"),
-          col("l").as("left_sym"), col("r").as("right_sym"),
-          concat(col("l"), col("r")).as("merged"), col("cnt").as("pair_count"))
-        merges = if (merges == null) stepRow else merges.unionByName(stepRow)
-        // greedy left-to-right merge: candidate starts, consecutive runs,
-        // even offsets survive; winners emit l||r, their successors drop,
-        // positions renumber
-        val cand = wn.crossJoin(best.select(col("l"), col("r")))
-        val valid = cand.filter(col("sym") === col("l") && col("nxt") === col("r"))
-          .withColumn("crn", row_number().over(wPos))
-          .withColumn("run", col("pos") - col("crn"))
-          .withColumn("rmin", min(col("pos")).over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("word"), col("run"))))
-          .filter(((col("pos") - col("rmin")) % 2) === 0)
-          .select(col("word"), col("pos"))
-        val next = cand
-          .join(valid.withColumn("m", lit(1)), Seq("word", "pos"), "left_outer")
-          .join(valid.select(col("word"), (col("pos") + 1).as("pos"),
-            lit(1).as("dropme")), Seq("word", "pos"), "left_outer")
-          .filter(col("dropme").isNull)
-          .select(col("word"), col("pos"),
-            when(col("m").isNotNull, concat(col("l"), col("r")))
-              .otherwise(col("sym")).as("sym"))
-          .withColumn("pos", row_number().over(wPos).cast("long"))
-        syms = CacheScope.pinned(next)
+          .head()
+        if (bestRow.isNullAt(0)) exhausted = true
+        else {
+          val b = bestRow.getStruct(0)
+          val (l, r, cnt) = (b.getString(1), b.getString(2), -b.getLong(0))
+          val stepRow = wf.sparkSession.range(1).select(
+            lit(step).cast("long").as("step"),
+            lit(l).as("left_sym"), lit(r).as("right_sym"),
+            lit(l + r).as("merged"), lit(cnt).as("pair_count"))
+          merges = if (merges == null) stepRow else merges.unionByName(stepRow)
+          // greedy left-to-right merge: candidate starts, consecutive runs,
+          // even offsets survive; winners emit l||r, their successors drop,
+          // positions renumber
+          val cand = wn.withColumn("l", lit(l)).withColumn("r", lit(r))
+          val valid = cand.filter(col("sym") === col("l") && col("nxt") === col("r"))
+            .withColumn("crn", row_number().over(wPos))
+            .withColumn("run", col("pos") - col("crn"))
+            .withColumn("rmin", min(col("pos")).over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("word"), col("run"))))
+            .filter(((col("pos") - col("rmin")) % 2) === 0)
+            .select(col("word"), col("pos"))
+          val next = cand
+            .join(valid.withColumn("m", lit(1)), Seq("word", "pos"), "left_outer")
+            .join(valid.select(col("word"), (col("pos") + 1).as("pos"),
+              lit(1).as("dropme")), Seq("word", "pos"), "left_outer")
+            .filter(col("dropme").isNull)
+            .select(col("word"), col("pos"),
+              when(col("m").isNotNull, concat(col("l"), col("r")))
+                .otherwise(col("sym")).as("sym"))
+            .withColumn("pos", row_number().over(wPos).cast("long"))
+          syms = CacheScope.pinned(next)
+        }
       }
-      merges
+      if (merges != null) merges
+      else wf.sparkSession.range(0).select(
+        lit(0L).as("step"), lit("").as("left_sym"), lit("").as("right_sym"),
+        lit("").as("merged"), lit(0L).as("pair_count"))
     }),
     "text_heavy_hitters" -> ((spark, sfDir) => {
       val words = Tables.load(spark, sfDir, "documents")

@@ -41,6 +41,27 @@ class OperatorSmokeSpec extends SparkTestBase {
     assert(m.map(_.getAs[String]("merged")).distinct.length == m.length)
   }
 
+  test("text_bpe_merges stops when a degenerate corpus exhausts adjacent pairs") {
+    // one two-char word: round 1 merges (a,b) into a single symbol, after
+    // which no adjacent pair exists — the trainer must emit exactly that
+    // one merge and stop (mirroring the oracle's ORDER BY … LIMIT 1 over
+    // an empty frame = no row), never an all-NULL row per leftover round
+    val dir = java.nio.file.Files.createTempDirectory("bpe-degenerate").toString
+    try {
+      Seq((0L, "ab ab ab", "en", "web", 8L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val m = SparkEntry.queries("text_bpe_merges")(spark, dir).collect()
+      assert(m.length == 1, m.mkString("; "))
+      assert(m.head.getAs[String]("left_sym") == "a" &&
+        m.head.getAs[String]("right_sym") == "b" &&
+        m.head.getAs[String]("merged") == "ab" &&
+        m.head.getAs[Long]("pair_count") == 3L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("multimodal decode is deterministic and complete") {
     val f1 = SparkEntry.queries("mm_decode_features")(spark, Sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint")).toMap
