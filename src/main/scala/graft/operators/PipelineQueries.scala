@@ -202,8 +202,60 @@ object PipelineQueries {
         .select(col("doc_id"), h.as("order_key"))
         .withColumn("shard", (col("order_key") % 64).cast("long"))
         .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+    }),
+    // UniMax language sampling (Chung et al., "UniMax: Fairer and More
+    // Effective Language Sampling for Large-Scale Multilingual
+    // Pretraining", ICLR 2023): allocate a total token budget across
+    // languages so every language gets an EQUAL share, except that no
+    // language is repeated past [[UniMaxEpochCap]] epochs — the published
+    // fix for temperature sampling's head-overweighting. The sequential
+    // waterfilling recurrence has a closed relational form because
+    // demands sorted ascending make the capped set a PREFIX: rank
+    // languages by token count, running-sum their capped demands, find
+    // the largest prefix k where each demand fits under the
+    // running-remaining fair share, and give everyone after k the equal
+    // split of what the capped prefix left. One corpus-sized pass (the
+    // per-language token count); everything after runs on the
+    // #languages-row frame — window over a single tiny partition, the
+    // same control-plane economics as the catalog queries. Integer token
+    // arithmetic throughout; the only double is the final epochs ratio.
+    "pipeline_unimax_mix" -> ((spark, sfDir) => {
+      val toks = CacheScope.pinned(graft.Tables.load(spark, sfDir, "documents")
+        .select(col("lang"), size(Hashing.tokens(col("text"))).cast("long").as("tk"))
+        .groupBy(col("lang")).agg(sum(col("tk")).as("n_tokens")))
+      val tot = toks.agg(sum(col("n_tokens")).as("tot"),
+        count(lit(1)).as("nlang"))
+      val w = Window.orderBy(col("n_tokens"), col("lang"))
+      val flags = toks.crossJoin(broadcast(tot))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("pfx", sum(col("n_tokens") * UniMaxEpochCap).over(w))
+        .withColumn("budget", col("tot") * UniMaxBudgetEpochs)
+        .withColumn("capped", col("n_tokens") * UniMaxEpochCap
+          * (col("nlang") - col("i")) <= col("budget") - col("pfx"))
+        .withColumn("bad", sum(when(col("capped"), 0L).otherwise(1L)).over(w))
+      val isPrefix = col("capped") && col("bad") === 0L
+      val ks = broadcast(flags.agg(
+        coalesce(max(when(isPrefix, col("i"))), lit(0L)).as("k"),
+        coalesce(max(when(isPrefix, col("pfx"))), lit(0L)).as("pfxk")))
+      flags.crossJoin(ks)
+        .withColumn("alloc_tokens",
+          when(col("i") <= col("k"), col("n_tokens") * UniMaxEpochCap)
+            .otherwise(expr("(budget - pfxk) div (nlang - k)")))
+        .withColumn("epochs",
+          col("alloc_tokens").cast("double") / col("n_tokens").cast("double"))
+        .select(col("lang"), col("n_tokens"), col("alloc_tokens"), col("epochs"))
     })
   )
+
+  /** UniMax epoch cap: no language repeats more than this many times. */
+  val UniMaxEpochCap = 3L
+
+  /** UniMax total budget, in multiples of the corpus's total token count
+    * (2 = "train for two corpus-epochs' worth of tokens"): with the
+    * fixtures' ~43% head language this puts the smallest language at the
+    * epoch cap and everyone else in the equal-share regime — both branches
+    * of the allocation exercised at every scale. */
+  val UniMaxBudgetEpochs = 2L
 
   val SeqLen = 2048
 
@@ -325,6 +377,42 @@ object PipelineQueries {
          |  CAST(order_key % 64 AS BIGINT) AS shard,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY order_key % 64
          |    ORDER BY order_key, doc_id) AS BIGINT) AS pos_in_shard
-         |FROM h""".stripMargin
+         |FROM h""".stripMargin,
+    // UniMax waterfilling replayed relationally: same ascending rank,
+    // running capped-demand prefix, prefix-closed capped flag, and
+    // equal-split remainder as the engine.
+    "pipeline_unimax_mix" ->
+      s"""WITH tk AS (
+         |  SELECT lang, CAST(SUM(len(${Hashing.tokensSql("text")})) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot,
+         |               CAST(COUNT(*) AS BIGINT) AS nlang FROM tk),
+         |ranked AS (
+         |  SELECT lang, n_tokens,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, lang) AS BIGINT) AS i,
+         |         CAST(SUM(n_tokens * $UniMaxEpochCap)
+         |              OVER (ORDER BY n_tokens, lang) AS BIGINT) AS pfx,
+         |         tot.tot * $UniMaxBudgetEpochs AS budget, tot.nlang AS nlang
+         |  FROM tk CROSS JOIN tot),
+         |flags AS (
+         |  SELECT *, n_tokens * $UniMaxEpochCap * (nlang - i) <= budget - pfx AS capped
+         |  FROM ranked),
+         |flags2 AS (
+         |  SELECT *, SUM(CASE WHEN capped THEN 0 ELSE 1 END)
+         |            OVER (ORDER BY i) AS bad
+         |  FROM flags),
+         |ks AS (
+         |  SELECT CAST(COALESCE(MAX(CASE WHEN capped AND bad = 0 THEN i END), 0) AS BIGINT) AS k,
+         |         CAST(COALESCE(MAX(CASE WHEN capped AND bad = 0 THEN pfx END), 0) AS BIGINT) AS pfxk
+         |  FROM flags2),
+         |alloc AS (
+         |  SELECT f.lang, f.n_tokens,
+         |         CAST(CASE WHEN f.i <= ks.k THEN f.n_tokens * $UniMaxEpochCap
+         |              ELSE (f.budget - ks.pfxk) // (f.nlang - ks.k) END AS BIGINT)
+         |           AS alloc_tokens
+         |  FROM flags2 f CROSS JOIN ks)
+         |SELECT lang, n_tokens, alloc_tokens,
+         |       CAST(alloc_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs
+         |FROM alloc""".stripMargin
   )
 }

@@ -75,6 +75,12 @@ object SimilarityQueries {
   val KmK = 8
   val KmIters = 3
 
+  /** SemDeDup similarity threshold: a same-cluster pair at or above this
+    * cosine marks the higher id a semantic duplicate ([[semanticDupes]]).
+    * Looser than the 0.95 the LSH near-dup query uses — SemDeDup's point
+    * is catching paraphrase-grade duplicates exact near-dup passes miss. */
+  val SemTau = 0.9
+
   /** Synthetic near-dup corpus for the LSH query (embeddings has no dups).
     * The copy band sits at [[DedupQueries.DeltaBase]] so scaled fixtures'
     * real vec_ids can never collide with it (same discipline as the
@@ -176,6 +182,68 @@ object SimilarityQueries {
     topkRerank(sampledCandidates(emb, n), emb)
   }
 
+  /** Every vector's cosine against the sampled codebook (stride = n/K,
+    * K = n / [[IvfListTarget]]): the K-row broadcast nested loop inherent
+    * to K-way routing. `emb` must carry (vec_id, embedding, nsq) as
+    * produced by [[normed]]. */
+  private def sampledCentroidScores(emb: DataFrame, n: Long): DataFrame = {
+    val k = math.max(10L, n / IvfListTarget)
+    val stride = math.max(1L, n / k)
+    val cents = broadcast(emb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("c"), col("embedding").as("c_emb"),
+        col("nsq").as("c_nsq")))
+    emb.crossJoin(cents)
+      .select(col("vec_id"), col("c"),
+        QuantizedVec.qcosine(col("embedding"), col("c_emb"),
+          col("nsq"), col("c_nsq")).as("ccos"))
+  }
+
+  /** Argmax cluster per vector over [[sampledCentroidScores]], as an
+    * aggregate (map-side partial; no window over the full n × K score
+    * frame); -c in the struct = min-c tiebreak, matching topClusters'
+    * label-asc order. Returns (neighbor_id, c). */
+  private def sampledAssignment(scores: DataFrame): DataFrame = scores
+    .groupBy(col("vec_id"))
+    .agg(max(struct(col("ccos"), (-col("c")).as("negc"))).as("__m"))
+    .select(col("vec_id").as("neighbor_id"), (-col("__m.negc")).as("c"))
+
+  /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", 2023): semantic near-dedup
+    * over the embedding column with CLUSTER-BOUNDED candidate generation —
+    * cluster the corpus, score pairwise cosine only WITHIN a cluster, and
+    * drop every vector whose similarity to a lower-id same-cluster vector
+    * reaches [[SemTau]]. The clustering is the exact sampled-codebook
+    * assignment the IVF family runs ([[sampledCentroidScores]] +
+    * [[sampledAssignment]], K = n / [[IvfListTarget]] lists), so expected
+    * cluster size — and with it per-vector candidate work — stays constant
+    * in n: the quadratic all-pairs stage never exists, the same banding
+    * discipline as every other dedup candidate generator. Returns one row
+    * per DROPPED vector with its keeper (min same-cluster id above
+    * threshold) and the strongest similarity that doomed it — the dedup
+    * decision list a 100 TB curation pipeline anti-joins against. */
+  def semanticDupes(raw: DataFrame, nKnown: Long = -1L): DataFrame = {
+    val n = if (nKnown >= 0) nKnown else raw.count()
+    // self-joined three ways (codebook sample, pair left, pair right):
+    // eager pin, per the shared-frame discipline
+    val emb = CacheScope.pinned(normed(raw))
+    val assigned = sampledAssignment(sampledCentroidScores(emb, n))
+      .select(col("neighbor_id").as("vec_id"), col("c").as("cluster"))
+    val m = assigned.join(emb, "vec_id")
+    val pairs = m.select(col("cluster"), col("vec_id").as("vec_a"),
+        col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
+      .join(m.select(col("cluster"), col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"), col("nsq").as("nsq_b")), Seq("cluster"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("cluster"), col("vec_a"), col("vec_b"),
+        QuantizedVec.qcosine(col("emb_a"), col("emb_b"),
+          col("nsq_a"), col("nsq_b")).as("cos"))
+      .filter(col("cos") >= SemTau)
+    pairs.groupBy(col("cluster"), col("vec_b"))
+      .agg(min(col("vec_a")).as("keeper_id"), max(col("cos")).as("max_cos"))
+      .select(col("vec_b").as("vec_id"), col("cluster"),
+        col("keeper_id"), col("max_cos"))
+  }
+
   /** The sampled-IVF routing stage shared by [[ivfSampledTopk]],
     * [[ivfAdcTopk]] and the indexed hybrid leg: sample the codebook
     * (stride = n/K), assign every vector to its argmax-cosine list, route
@@ -184,22 +252,8 @@ object SimilarityQueries {
     * rows per probe, constant in n. `emb` must carry (vec_id, embedding,
     * nsq) as produced by [[normed]]. */
   private def sampledCandidates(emb: DataFrame, n: Long): DataFrame = {
-    val k = math.max(10L, n / IvfListTarget)
-    val stride = math.max(1L, n / k)
-    val cents = broadcast(emb.filter(col("vec_id") % stride === 0)
-      .select(col("vec_id").as("c"), col("embedding").as("c_emb"),
-        col("nsq").as("c_nsq")))
-    val scores = emb.crossJoin(cents)
-      .select(col("vec_id"), col("c"),
-        QuantizedVec.qcosine(col("embedding"), col("c_emb"),
-          col("nsq"), col("c_nsq")).as("ccos"))
-    // argmax assignment as an aggregate (map-side partial; no window over
-    // the full n × K score frame); -c in the struct = min-c tiebreak,
-    // matching topClusters' label-asc order
-    val assigned = scores
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("ccos"), (-col("c")).as("negc"))).as("__m"))
-      .select(col("vec_id").as("neighbor_id"), (-col("__m.negc")).as("c"))
+    val scores = sampledCentroidScores(emb, n)
+    val assigned = sampledAssignment(scores)
     val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c"))
     val probeClusters = scores.filter(col("vec_id") % probeStride(n) === 0)
       .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= NProbe)
@@ -738,6 +792,12 @@ object SimilarityQueries {
           QuantizedVec.qcosine(col("emb_a"), col("emb_b"),
             col("nsq_a"), col("nsq_b")).as("cos"))
         .filter(col("cos") >= 0.95)
+    }),
+    // SemDeDup over the planted near-dup corpus (embeddings itself has no
+    // duplicates) — cluster-bounded semantic dedup, see [[semanticDupes]].
+    "dedup_semantic" -> ((spark, sfDir) => {
+      Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("embeddings")
+      semanticDupes(spark.sql(vecCorpusSql))
     })
   )
 
@@ -1190,6 +1250,34 @@ object SimilarityQueries {
          |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
          |  FROM pdots p JOIN norms na ON na.vec_id = p.vec_a
          |               JOIN norms nb ON nb.vec_id = p.vec_b) t
-         |WHERE cos >= 0.95""".stripMargin
+         |WHERE cos >= 0.95""".stripMargin,
+    // SemDeDup: the sampled-codebook routing CTEs give the clustering;
+    // pairwise cosine is scored ONLY within a cluster, then each dropped
+    // vector reports its min-id keeper and strongest similarity — exactly
+    // [[semanticDupes]]'s plan replayed relationally.
+    "dedup_semantic" ->
+      s"""WITH corpus AS (
+         |$vecCorpusSql
+         |),
+         |${qnCte._1} AS (${qnCte._2}),
+         |${normsCte._1} AS (${normsCte._2}),
+         |$ivfRoutingCtes,
+         |pairsem AS (
+         |  SELECT a.c AS cluster, a.neighbor_id AS vec_a, b.neighbor_id AS vec_b
+         |  FROM assigned a JOIN assigned b
+         |    ON b.c = a.c AND b.neighbor_id > a.neighbor_id),
+         |pdotsem AS (
+         |  SELECT p.cluster, p.vec_a, p.vec_b, CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
+         |  FROM pairsem p JOIN qn qa ON qa.vec_id = p.vec_a
+         |                 JOIN qn qb ON qb.vec_id = p.vec_b AND qb.d = qa.d
+         |  GROUP BY p.cluster, p.vec_a, p.vec_b),
+         |scoredsem AS (
+         |  SELECT cluster, vec_a, vec_b,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
+         |  FROM pdotsem JOIN norms na ON na.vec_id = vec_a
+         |               JOIN norms nb ON nb.vec_id = vec_b)
+         |SELECT vec_b AS vec_id, cluster, MIN(vec_a) AS keeper_id, MAX(cos) AS max_cos
+         |FROM scoredsem WHERE cos >= $SemTau
+         |GROUP BY vec_b, cluster""".stripMargin
   )
 }

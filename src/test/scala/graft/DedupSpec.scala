@@ -18,6 +18,25 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("semantic dedup drops every planted twin onto its original keeper") {
+    // the planted corpus copies every 50th vector verbatim at id + B: an
+    // exact twin always lands in its original's cluster (identical score
+    // vector, deterministic tiebreak), so SemDeDup must drop ALL of them
+    // with the original as keeper at cos ≈ 1
+    val d = SparkEntry.queries("dedup_semantic")(spark, Sf).collect()
+    val planted = Tables.load(spark, Sf, "embeddings")
+      .filter($"vec_id" % 50 === 0).select($"vec_id").as[Long].collect().toSet
+    val dropped = d.map(r => r.getAs[Long]("vec_id")).toSet
+    planted.foreach { v => assert(dropped.contains(v + B), s"twin of $v not dropped") }
+    d.filter(_.getAs[Long]("vec_id") >= B).foreach { r =>
+      assert(r.getAs[Long]("keeper_id") == r.getAs[Long]("vec_id") - B)
+      assert(r.getAs[Double]("max_cos") > 0.999)
+    }
+    // keeper is always the lower id — the survivor convention every other
+    // dedup query uses
+    d.foreach(r => assert(r.getAs[Long]("keeper_id") < r.getAs[Long]("vec_id")))
+  }
+
   test("minhash LSH recovers exact copies (jaccard 1.0) and near copies") {
     val pairs = DedupQueries.queries("dedup_minhash_lsh")(spark, Sf)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),

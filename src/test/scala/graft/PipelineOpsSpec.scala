@@ -9,6 +9,58 @@ import org.apache.spark.sql.functions._
 class PipelineOpsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("unimax: epoch cap binds, uncapped languages split the rest equally") {
+    val C = graft.operators.PipelineQueries.UniMaxEpochCap
+    val E = graft.operators.PipelineQueries.UniMaxBudgetEpochs
+    val rows = SparkEntry.queries("pipeline_unimax_mix")(spark, Sf).collect()
+    val langs = Tables.load(spark, Sf, "documents")
+      .select("lang").distinct().count()
+    assert(rows.length == langs)
+    val budget = E * rows.map(_.getAs[Long]("n_tokens")).sum
+    rows.foreach { r =>
+      // no language past the epoch cap, allocation consistent with epochs
+      assert(r.getAs[Long]("alloc_tokens") <= C * r.getAs[Long]("n_tokens"))
+      assert(math.abs(r.getAs[Double]("epochs") -
+        r.getAs[Long]("alloc_tokens").toDouble / r.getAs[Long]("n_tokens")) < 1e-12)
+    }
+    // the whole budget is spent (up to the equal-split floor remainder)
+    val spent = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(spent <= budget && budget - spent < langs)
+    // uncapped languages all receive the identical equal share
+    val uncapped = rows.filter(r =>
+      r.getAs[Long]("alloc_tokens") < C * r.getAs[Long]("n_tokens"))
+    assert(uncapped.map(_.getAs[Long]("alloc_tokens")).distinct.length <= 1)
+  }
+
+  test("unimax: a skewed corpus exercises both the cap and the equal-share branch") {
+    // the fixture mix at test scale is flat enough that no language hits
+    // the epoch cap; a constructed 1-tiny-vs-1-huge corpus forces the
+    // waterfilling into its mixed regime — tiny capped at C epochs, the
+    // head language soaking up the remainder
+    val C = graft.operators.PipelineQueries.UniMaxEpochCap
+    val dir = java.nio.file.Files.createTempDirectory("unimax-skew").toString
+    try {
+      val docs =
+        Seq((0L, "small words only", "xx", "web", 16L)) ++
+          (1L to 40L).map(i => (i, "big corpus language repeated tokens here", "en", "web", 40L))
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = SparkEntry.queries("pipeline_unimax_mix")(spark, dir).collect()
+      val byLang = rows.map(r => r.getAs[String]("lang") -> r).toMap
+      // xx: 3 tokens vs budget 2×(3+240)=486, fair share 243 ≫ 9 = C×3 → capped
+      assert(byLang("xx").getAs[Long]("alloc_tokens") ==
+        C * byLang("xx").getAs[Long]("n_tokens"))
+      assert(byLang("xx").getAs[Double]("epochs") == C.toDouble)
+      // en: gets everything the capped language left
+      assert(byLang("en").getAs[Long]("alloc_tokens") <
+        C * byLang("en").getAs[Long]("n_tokens"))
+      val budget = 2L * rows.map(_.getAs[Long]("n_tokens")).sum
+      assert(rows.map(_.getAs[Long]("alloc_tokens")).sum == budget)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("prefix filtering loses no pair: result equals all-shingle-join Jaccard at t=0.5") {
     // brute-force candidates: join on EVERY shingle (correct but unbounded
     // fan-out); the prefix filter must reproduce its >= 0.5 result exactly
