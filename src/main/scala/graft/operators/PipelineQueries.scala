@@ -244,8 +244,70 @@ object PipelineQueries {
         .withColumn("epochs",
           col("alloc_tokens").cast("double") / col("n_tokens").cast("double"))
         .select(col("lang"), col("n_tokens"), col("alloc_tokens"), col("epochs"))
+    }),
+    // DSIR-style importance selection (Xie et al., "Data Selection for
+    // Language Models via Importance Resampling", NeurIPS 2023): score
+    // every raw document by how much its hashed-n-gram profile looks like
+    // a trusted target domain, then keep the top slice. The published
+    // estimator weights each n-gram bucket by log(p_target/p_raw); here the
+    // per-bucket weight is the INTEGER-scaled smoothed ratio
+    // ((tgt+1)·10^6 div (raw+1)) — monotone in the same likelihood ratio
+    // but exact in 64-bit integers, so the score survives any partitioning
+    // / aggregation order bit-for-bit (the [[Hashing]] discipline: one IEEE
+    // division at the very end, everything before it integer). Plan shape:
+    // one explode+groupBy pass builds per-doc bucket counts; the bucket
+    // weight table is ≤ [[DsirBuckets]] rows → broadcast; the final top-k
+    // is sort+limit (TakeOrderedAndProject — per-partition partial top-k,
+    // no global sort). At 100 TB: one corpus shuffle, a 4096-row broadcast,
+    // and a k-row result.
+    "pipeline_dsir_select" -> ((spark, sfDir) => {
+      val grams = graft.Tables.load(spark, sfDir, "documents")
+        .withColumn("__toks", Hashing.tokens(col("text")))
+        .filter(size(col("__toks")) >= 2)
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(0, size(__toks) - 2), " +
+            "i -> concat_ws(' ', __toks[i], __toks[i+1]))")).as("bg"))
+        .withColumn("bucket", Hashing.hash64(col("bg")) % DsirBuckets)
+        .transform(CacheScope.cached) // feeds raw, target AND per-doc counts
+      val raw = grams.groupBy(col("bucket")).agg(count(lit(1)).as("rc"))
+      val tgt = grams.filter(col("source").isin(DsirTargetSources: _*))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
+      val ratio = raw.join(tgt, Seq("bucket"), "left")
+        .select(col("bucket"), expr(
+          s"(coalesce(tc, 0L) + 1L) * $DsirScale div (rc + 1L)").as("ratio"))
+      grams.groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+        .join(broadcast(ratio), "bucket")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("cnt") * col("ratio")).as("__num"),
+          sum(col("cnt")).as("n_bigrams"))
+        .withColumn("__avg", expr("__num div n_bigrams"))
+        .orderBy(col("__avg").desc, col("doc_id"))
+        .limit(DsirK)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("__avg").desc, col("doc_id")))
+            .cast("long"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("__avg").cast("double") / DsirScale.toDouble).as("score"),
+          col("rank"))
     })
   )
+
+  /** Hashed-feature space size for DSIR (buckets the bigram vocabulary).
+    * Fixed — per-doc work and the broadcast weight table stay constant in
+    * corpus size. */
+  val DsirBuckets = 4096L
+
+  /** Integer scale for the smoothed target/raw ratio: six decimal digits
+    * of the likelihood ratio survive the floor. */
+  val DsirScale = 1000000L
+
+  /** The trusted target domain: documents from these sources define the
+    * distribution the selector steers toward (the fixtures' source axis is
+    * flat, so the target is exactly 20% of the corpus at every scale). */
+  val DsirTargetSources = Seq("src0", "src1", "src2", "src3")
+
+  /** Size of the selected slice. */
+  val DsirK = 50
 
   /** UniMax epoch cap: no language repeats more than this many times. */
   val UniMaxEpochCap = 3L
@@ -413,6 +475,39 @@ object PipelineQueries {
          |  FROM flags2 f CROSS JOIN ks)
          |SELECT lang, n_tokens, alloc_tokens,
          |       CAST(alloc_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs
-         |FROM alloc""".stripMargin
+         |FROM alloc""".stripMargin,
+    // DSIR replayed relationally: same hashed-bigram buckets, same
+    // integer-scaled smoothed ratio, same length-normalized floor-div
+    // score; `//` on positive BIGINTs ≡ Spark's `div`.
+    "pipeline_dsir_select" ->
+      s"""WITH t AS (SELECT doc_id, source, ${Hashing.tokensSql("text")} AS toks
+         |           FROM documents),
+         |g AS (
+         |  SELECT doc_id, source,
+         |         ${Hashing.hash64Sql("bg")} % $DsirBuckets AS bucket
+         |  FROM (SELECT doc_id, source,
+         |          unnest(list_transform(range(len(toks) - 1),
+         |            i -> concat_ws(' ', toks[i+1], toks[i+2]))) AS bg
+         |        FROM t WHERE len(toks) >= 2)),
+         |raw AS (SELECT bucket, COUNT(*) AS rc FROM g GROUP BY bucket),
+         |tgt AS (SELECT bucket, COUNT(*) AS tc FROM g
+         |        WHERE source IN (${DsirTargetSources.map("'" + _ + "'").mkString(", ")})
+         |        GROUP BY bucket),
+         |ratio AS (
+         |  SELECT raw.bucket,
+         |         (COALESCE(tc, 0) + 1) * $DsirScale // (rc + 1) AS ratio
+         |  FROM raw LEFT JOIN tgt USING (bucket)),
+         |dc AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM g
+         |       GROUP BY doc_id, bucket),
+         |s AS (
+         |  SELECT doc_id, CAST(SUM(cnt * ratio) AS BIGINT) AS num,
+         |         CAST(SUM(cnt) AS BIGINT) AS n_bigrams
+         |  FROM dc JOIN ratio USING (bucket) GROUP BY doc_id)
+         |SELECT doc_id, n_bigrams,
+         |       CAST(num // n_bigrams AS DOUBLE) / $DsirScale AS score,
+         |       rank
+         |FROM (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY num // n_bigrams DESC,
+         |        doc_id) AS BIGINT) AS rank FROM s) r
+         |WHERE rank <= $DsirK""".stripMargin
   )
 }

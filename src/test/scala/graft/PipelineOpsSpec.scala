@@ -32,6 +32,48 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(uncapped.map(_.getAs[Long]("alloc_tokens")).distinct.length <= 1)
   }
 
+  test("dsir: fixture run is a dense rank with non-increasing scores") {
+    val K = graft.operators.PipelineQueries.DsirK
+    val rows = SparkEntry.queries("pipeline_dsir_select")(spark, Sf).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(rows.length == K)
+    assert(rows.map(_.getAs[Long]("rank")).toSeq == (1L to K).toSeq)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("score") >= b.getAs[Double]("score"))
+    }
+    rows.foreach(r => assert(r.getAs[Long]("n_bigrams") >= 1L))
+  }
+
+  test("dsir: target-vocabulary impostors outrank off-domain docs") {
+    // two disjoint vocabularies: target sources speak A; among the
+    // non-target docs, "impostors" also speak A and "aliens" speak B. The
+    // importance weight must pull every A-speaking doc (target + impostor)
+    // above every alien, because the aliens' buckets have zero target mass
+    // (smoothed ratio 1/(raw+1)) while A-buckets carry the full target
+    // count. Dominance like this is invariant to the hash bucketing.
+    val dir = java.nio.file.Files.createTempDirectory("dsir-domains").toString
+    try {
+      val vocabA = "alpha beta gamma delta epsilon zeta"
+      val vocabB = "omega psi chi phi upsilon tau"
+      val docs =
+        (0L to 9L).map(i => (i, vocabA, "en", "src0", 36L)) ++     // target
+          (10L to 14L).map(i => (i, vocabA, "en", "src9", 36L)) ++ // impostors
+          (15L to 19L).map(i => (i, vocabB, "en", "src9", 36L))    // aliens
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = SparkEntry.queries("pipeline_dsir_select")(spark, dir).collect()
+      val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+      val aScore = (0L to 14L).map(byId(_).getAs[Double]("score"))
+      val bScore = (15L to 19L).map(byId(_).getAs[Double]("score"))
+      assert(aScore.min > bScore.max,
+        s"A-speakers ${aScore.min} must outrank aliens ${bScore.max}")
+      // identical text ⇒ identical score regardless of source membership
+      assert(aScore.distinct.length == 1 && bScore.distinct.length == 1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("unimax: a skewed corpus exercises both the cap and the equal-share branch") {
     // the fixture mix at test scale is flat enough that no language hits
     // the epoch cap; a constructed 1-tiny-vs-1-huge corpus forces the
