@@ -297,14 +297,11 @@ object Multimodal {
       }
   }
 
-  /** Real header decode: parse format + dimensions out of the payload bytes.
-    * PNG: verify the 8-byte signature, the IHDR tag, and the chunk CRC-32,
-    * then read big-endian dims. BMP: verify the magic and BITMAPINFOHEADER
-    * size, then read little-endian dims. The fingerprint is an md5 of the
-    * content region (the bytes after the container header). */
-  def decodeMedia(md: java.security.MessageDigest, id: Long, bytes: Array[Byte]): MediaFeature = {
+  /** Container parse shared by [[decodeMedia]] and [[phashes]]: sniff the
+    * magic, validate the header, and return (format, width, height,
+    * content offset). */
+  def parseContainer(bytes: Array[Byte]): (String, Int, Int, Int) = {
     require(bytes.length >= 33, s"payload too short: ${bytes.length}")
-    val (format, w, h, contentOff) =
       if (bytes.startsWith(PngSig)) {
         require(new String(bytes, 12, 4, "US-ASCII") == "IHDR", "PNG: missing IHDR")
         val crc = new java.util.zip.CRC32()
@@ -341,6 +338,16 @@ object Multimodal {
         }
         ("jpeg", dims._1, dims._2, dims._3)
       } else throw new IllegalArgumentException("unknown media container")
+  }
+
+  /** Real header decode: parse format + dimensions out of the payload bytes
+    * ([[parseContainer]]: PNG verifies the 8-byte signature, the IHDR tag
+    * and the chunk CRC-32 then reads big-endian dims; BMP verifies the
+    * magic and BITMAPINFOHEADER size then reads little-endian dims; JPEG
+    * walks the marker segments to SOF). The fingerprint is an md5 of the
+    * content region (the bytes after the container header). */
+  def decodeMedia(md: java.security.MessageDigest, id: Long, bytes: Array[Byte]): MediaFeature = {
+    val (format, w, h, contentOff) = parseContainer(bytes)
     md.reset()
     md.update(bytes, contentOff, bytes.length - contentOff)
     val hex = md.digest().map("%02x".format(_)).mkString
@@ -361,6 +368,63 @@ object Multimodal {
         it.map { case (id, bytes) => decodeMedia(md, id, bytes) }
       }
   }
+
+  /** dHash perceptual signature over the decoded content region: sample an
+    * 8×8 "luma" grid at fraction-of-length byte positions, emit one bit per
+    * horizontally-adjacent comparison (8 rows × 7 = 56 bits — fits a
+    * positive BIGINT, so band arithmetic stays sign-free in both engines).
+    * The real thing runs on a resized luma plane; the sampling grid here IS
+    * that resize for the synthetic byte "images", and the Spark-side
+    * plumbing (binary decode → fixed-width signature → banded self-join) is
+    * exactly the production shape. */
+  def dHash56(bytes: Array[Byte], off: Int): Long = {
+    val len = bytes.length - off
+    require(len >= 1, "empty content region")
+    val s = new Array[Int](64)
+    var k = 0
+    while (k < 64) {
+      s(k) = u8(bytes(off + ((k.toLong * len) / 64).toInt))
+      k += 1
+    }
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 7) {
+        if (s(r * 8 + c) < s(r * 8 + c + 1)) h |= 1L << (r * 7 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** (doc_id, ph) for every payload — the same narrow per-partition decode
+    * as [[decodeFeatures]], emitting the 56-bit [[dHash56]] signature. */
+  def phashes(spark: SparkSession, payloads: DataFrame): DataFrame = {
+    import spark.implicits._
+    payloads.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          (id, dHash56(bytes, parseContainer(bytes)._4))
+        }
+      }
+      .toDF("doc_id", "ph")
+  }
+
+  /** Accept a candidate pair as a perceptual duplicate at or under this
+    * Hamming distance. 0–6 ≈ "the same image bytes, possibly re-contained";
+    * the appended-tail near-copies in the dedup corpus land at ≥16 because
+    * the fraction-of-length grid shifts with content length — those are the
+    * text family's catch, not the perceptual hash's. */
+  val PhashMaxHamming = 6L
+
+  /** Band width/count for the LSH-style candidate stage: 4 bands × 14 bits
+    * of the 56-bit signature; identical-signature pairs share all four,
+    * pairs within small Hamming distance share at least one with high
+    * probability. */
+  val PhashBandBits = 14
 
   private def features(spark: SparkSession, sfDir: String): DataFrame =
     decodeFeatures(spark,
@@ -423,6 +487,33 @@ object Multimodal {
         """SELECT d.doc_id, f.frame_idx, f.ts_ms
           |FROM documents d CROSS JOIN graft_frames(200, 50, 4) f
           |WHERE d.doc_id < 10""".stripMargin)
+    }),
+    // Cross-format image dedup by perceptual hash: decode every payload's
+    // content region through the REAL container parse, signature it with
+    // [[dHash56]], generate candidates by 14-bit band buckets (no all-pairs
+    // stage — the same banding discipline as every text dedup), verify by
+    // exact Hamming distance. The planted exact twins sit at doc_id +
+    // 1e8 ≡ a DIFFERENT container format (1e8 % 3 = 1), so every emitted
+    // hamming-0 pair is a genuine PNG↔BMP↔JPEG re-containment catch.
+    "mm_phash_dedup" -> ((spark, sfDir) => {
+      val media = synthesizeMedia(spark, DedupQueries.corpus(spark, sfDir))
+      val ph = graft.CacheScope.pinned(phashes(spark, media)) // banded self-join
+      val bands = ph
+        .select(col("doc_id"), col("ph"),
+          explode(expr("sequence(0, 3)")).as("band"))
+        .withColumn("v",
+          expr(s"shiftright(ph, $PhashBandBits * band) & ${(1 << PhashBandBits) - 1}"))
+      val cand = bands
+        .select(col("band"), col("v"), col("doc_id").as("doc_a"), col("ph").as("pa"))
+        .join(bands.select(col("band"), col("v"), col("doc_id").as("doc_b"),
+          col("ph").as("pb")), Seq("band", "v"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+        .distinct()
+      cand
+        .withColumn("hamming", expr("bit_count(pa ^ pb)").cast("long"))
+        .filter(col("hamming") <= PhashMaxHamming)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
     }),
     // metadata aggregation over the decoded features (typed Dataset → agg)
     "mm_feature_stats" -> ((spark, sfDir) =>
@@ -514,6 +605,39 @@ object Multimodal {
         |         16 + (doc_id * 7) % 480 AS width,
         |         16 + (doc_id * 13) % 360 AS height
         |  FROM documents) t
-        |GROUP BY format""".stripMargin
+        |GROUP BY format""".stripMargin,
+    // The oracle never parses a byte of the containers: it recomputes the
+    // dHash straight from the text (the content region IS the text bytes —
+    // the md5 fingerprint gate proves that equivalence), then replays the
+    // same band bucketing and Hamming verify. A mis-parsed content offset
+    // on ANY format shifts every sampled byte and fails the hash gate.
+    "mm_phash_dedup" -> {
+      val mask = (1 << PhashBandBits) - 1
+      s"""WITH corpus AS (
+         |${DedupQueries.corpusSql}
+         |),
+         |samp AS (
+         |  SELECT doc_id, list_transform(range(64), k ->
+         |    ascii(substr(text, 1 + CAST((k * len(text)) // 64 AS INTEGER), 1))) AS s
+         |  FROM corpus),
+         |h AS (
+         |  SELECT doc_id, CAST(list_sum(list_transform(range(56), j ->
+         |    CASE WHEN s[CAST((j // 7) * 8 + (j % 7) + 1 AS INTEGER)]
+         |           < s[CAST((j // 7) * 8 + (j % 7) + 2 AS INTEGER)]
+         |         THEN (CAST(1 AS BIGINT) << CAST(j AS INTEGER))
+         |         ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS ph
+         |  FROM samp),
+         |bands AS (
+         |  SELECT doc_id, ph, b,
+         |         (ph >> CAST($PhashBandBits * b AS INTEGER)) & $mask AS v
+         |  FROM h CROSS JOIN (SELECT unnest(range(4)) AS b) bb),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.ph AS pa, b.ph AS pb
+         |  FROM bands a JOIN bands b
+         |    ON b.b = a.b AND b.v = a.v AND b.doc_id > a.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(pa, pb)) <= $PhashMaxHamming""".stripMargin
+    }
   )
 }

@@ -27,6 +27,35 @@ class MultimodalSpec extends SparkTestBase {
     assert(f.n_bytes == 54 + content.length)
   }
 
+  test("phash is container-invariant: same content hashes equal across PNG/BMP/JPEG") {
+    def ph(bytes: Array[Byte]): Long =
+      Multimodal.dHash56(bytes, Multimodal.parseContainer(bytes)._4)
+    val png = ph(Multimodal.pngBytes(20, 20, content))
+    val bmp = ph(Multimodal.bmpBytes(640, 480, content))
+    val jpg = ph(Multimodal.jpegBytes(64, 64, content))
+    assert(png == bmp && bmp == jpg, "re-containment must not change the signature")
+    assert(png >= 0L && png < (1L << 56), "56-bit positive signature")
+    // a single flipped content byte moves few bits, never the whole hash
+    val mutated = content.clone(); mutated(3) = (mutated(3) + 1).toByte
+    val png2 = ph(Multimodal.pngBytes(20, 20, mutated))
+    assert(java.lang.Long.bitCount(png ^ png2) <= 8)
+  }
+
+  test("phash dedup finds every planted twin as a cross-format hamming-0 pair") {
+    val B = graft.operators.DedupQueries.DeltaBase
+    val rows = SparkEntry.queries("mm_phash_dedup")(spark, Sf).collect()
+    val pairs = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+      r.getAs[Long]("hamming")))
+    val planted = Tables.load(spark, Sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 50 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    planted.foreach { id =>
+      assert(pairs.exists(p => p._1 == id && p._2 == id + B && p._3 == 0L),
+        s"planted twin ($id, ${id + B}) missing")
+    }
+    pairs.foreach(p => assert(p._3 <= Multimodal.PhashMaxHamming))
+  }
+
   test("content fingerprint is md5 of the bytes after the header, either container") {
     val expected = md.digest(content).map("%02x".format(_)).mkString
     assert(Multimodal.decodeMedia(md, 1L, Multimodal.pngBytes(20, 20, content)).fingerprint == expected)
