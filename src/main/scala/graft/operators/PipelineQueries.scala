@@ -289,8 +289,47 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_bigrams"),
           (col("__avg").cast("double") / DsirScale.toDouble).as("score"),
           col("rank"))
+    }),
+    // Gopher/RedPajama-style quality-rule CASCADE (Rae et al. 2021,
+    // appendix A1; Together 2023): the ordered keep/drop decision list a
+    // curation pipeline writes before training. Each rule is one of the
+    // engine's standalone signals (token count, mean word length band,
+    // duplicate-5-gram fraction, stopword floor), recomputed here as
+    // INTEGER comparisons (`10·dup > 3·grams` instead of a double ratio) so
+    // the verdict is exact under any evaluation order; `reason` is the
+    // FIRST failing rule, the attribution a funnel report aggregates. One
+    // projection pass, no shuffle — at 100 TB this annotates the corpus at
+    // scan speed.
+    "pipeline_filter_cascade" -> ((spark, sfDir) => {
+      val toks = Hashing.tokens(col("text"))
+      graft.Tables.load(spark, sfDir, "documents")
+        .withColumn("__toks", toks)
+        .withColumn("__grams", when(size(col("__toks")) >= 5,
+          expr("transform(sequence(0, size(__toks)-5), i -> concat_ws(' ', slice(__toks, i+1, 5)))"))
+          .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+        .select(col("doc_id"),
+          size(col("__toks")).cast("long").as("n_tokens"),
+          aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t)).as("sum_token_len"),
+          TextQueries.markerHits(col("__toks"), TextQueries.Stopwords)
+            .cast("long").as("n_stop"),
+          size(col("__grams")).cast("long").as("n_grams"),
+          (size(col("__grams")) - size(array_distinct(col("__grams"))))
+            .cast("long").as("n_dup_grams"))
+        .withColumn("reason",
+          when(col("n_tokens") < MinTokens, "too_short")
+            .when(col("sum_token_len") < col("n_tokens") * CascadeMinMeanLen ||
+              col("sum_token_len") > col("n_tokens") * CascadeMaxMeanLen, "word_length")
+            .when(col("n_dup_grams") * 10L > col("n_grams") * 3L, "repetition")
+            .when(col("n_stop") * 50L < col("n_tokens"), "stopword")
+            .otherwise("kept"))
+        .withColumn("keep", col("reason") === "kept")
     })
   )
+
+  /** Mean-word-length acceptance band for the cascade (Gopher uses 3–10
+    * chars); compared as `lo·n ≤ Σlen ≤ hi·n` — exact integers. */
+  val CascadeMinMeanLen = 3L
+  val CascadeMaxMeanLen = 10L
 
   /** Hashed-feature space size for DSIR (buckets the bigram vocabulary).
     * Fixed — per-doc work and the broadcast weight table stay constant in
@@ -508,6 +547,39 @@ object PipelineQueries {
          |       rank
          |FROM (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY num // n_bigrams DESC,
          |        doc_id) AS BIGINT) AS rank FROM s) r
-         |WHERE rank <= $DsirK""".stripMargin
+         |WHERE rank <= $DsirK""".stripMargin,
+    // The cascade replayed: same integer signal extraction, same ordered
+    // CASE — first failing rule wins the reason.
+    "pipeline_filter_cascade" ->
+      s"""WITH t AS (SELECT doc_id, ${Hashing.tokensSql("text")} AS toks
+         |           FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0)
+         |           AS BIGINT) AS sum_token_len,
+         |         CAST(${TextQueries.markerHitsSql("toks", TextQueries.Stopwords)}
+         |           AS BIGINT) AS n_stop,
+         |         CASE WHEN len(toks) >= 5
+         |              THEN list_transform(range(len(toks)-4),
+         |                     i -> array_to_string(toks[i+1:i+5], ' '))
+         |              ELSE [] END AS grams
+         |  FROM t),
+         |s AS (
+         |  SELECT doc_id, n_tokens, sum_token_len, n_stop,
+         |         CAST(len(grams) AS BIGINT) AS n_grams,
+         |         CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_dup_grams
+         |  FROM g)
+         |SELECT doc_id, n_tokens, sum_token_len, n_stop, n_grams, n_dup_grams,
+         |       reason, reason = 'kept' AS keep
+         |FROM (
+         |  SELECT *,
+         |    CASE WHEN n_tokens < $MinTokens THEN 'too_short'
+         |         WHEN sum_token_len < $CascadeMinMeanLen * n_tokens
+         |           OR sum_token_len > $CascadeMaxMeanLen * n_tokens THEN 'word_length'
+         |         WHEN n_dup_grams * 10 > n_grams * 3 THEN 'repetition'
+         |         WHEN n_stop * 50 < n_tokens THEN 'stopword'
+         |         ELSE 'kept' END AS reason
+         |  FROM s) r""".stripMargin
   )
 }

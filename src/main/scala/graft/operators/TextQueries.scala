@@ -32,12 +32,12 @@ object TextQueries {
     "fr" -> Seq("le", "la", "et", "les", "est"),
     "es" -> Seq("el", "los", "las", "que", "es"))
 
-  private def markerHits(toks: Column, words: Seq[String]): Column = {
+  private[operators] def markerHits(toks: Column, words: Seq[String]): Column = {
     val pred = (t: Column) => words.map(w => t === w).reduce(_ || _)
     size(filter(toks, pred))
   }
 
-  private def markerHitsSql(toksE: String, words: Seq[String]): String = {
+  private[operators] def markerHitsSql(toksE: String, words: Seq[String]): String = {
     val pred = words.map(w => s"t = '$w'").mkString(" OR ")
     s"len(list_filter($toksE, t -> $pred))"
   }

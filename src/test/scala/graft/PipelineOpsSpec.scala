@@ -74,6 +74,37 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("filter cascade: each rule fires, and the FIRST failing rule wins the reason") {
+    val dir = java.nio.file.Files.createTempDirectory("cascade").toString
+    try {
+      val repeats = Array.fill(12)("rep word one two five").mkString(" ")
+      val docs = Seq(
+        (0L, "tiny doc here", "en", "src0", 13L),                       // too_short
+        (1L, "aa bb cc " + Array.fill(9)("xy").mkString(" "), "en", "src0", 9L), // mean len 2 < 3
+        (2L, "extraordinarily sesquipedalian vocabularies " +
+          "overrepresented disproportionately hereabouts", "en", "src0", 90L),   // mean len > 10
+        (3L, "the " + repeats, "en", "src0", 60L),                      // repetition
+        (4L, "alpha beta gamma delta epsilon zeta eta theta iota " +
+          "kappa lambda mu nu xi omicron pi rho sigma tau upsilon", "en", "src0", 60L), // stopword
+        (5L, "the quick brown fox jumps over a lazy dog near water", "en", "src0", 52L), // kept
+        // fails word_length AND stopword: word_length (earlier rule) must win
+        (6L, "zz qq ww ee rr tt yy uu ii oo", "en", "src0", 29L))
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = SparkEntry.queries("pipeline_filter_cascade")(spark, dir).collect()
+      val reason = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("reason")).toMap
+      assert(reason(0L) == "too_short")
+      assert(reason(1L) == "word_length" && reason(2L) == "word_length")
+      assert(reason(3L) == "repetition")
+      assert(reason(4L) == "stopword")
+      assert(reason(5L) == "kept")
+      assert(reason(6L) == "word_length", "earlier rule must take the attribution")
+      rows.foreach(r => assert(r.getAs[Boolean]("keep") == (r.getAs[String]("reason") == "kept")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("unimax: a skewed corpus exercises both the cap and the equal-share branch") {
     // the fixture mix at test scale is flat enough that no language hits
     // the epoch cap; a constructed 1-tiny-vs-1-huge corpus forces the
