@@ -300,36 +300,69 @@ object PipelineQueries {
     // FIRST failing rule, the attribution a funnel report aggregates. One
     // projection pass, no shuffle — at 100 TB this annotates the corpus at
     // scan speed.
-    "pipeline_filter_cascade" -> ((spark, sfDir) => {
-      val toks = Hashing.tokens(col("text"))
-      graft.Tables.load(spark, sfDir, "documents")
-        .withColumn("__toks", toks)
-        .withColumn("__grams", when(size(col("__toks")) >= 5,
-          expr("transform(sequence(0, size(__toks)-5), i -> concat_ws(' ', slice(__toks, i+1, 5)))"))
-          .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
-        .select(col("doc_id"),
-          size(col("__toks")).cast("long").as("n_tokens"),
-          aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t)).as("sum_token_len"),
-          TextQueries.markerHits(col("__toks"), TextQueries.Stopwords)
-            .cast("long").as("n_stop"),
-          size(col("__grams")).cast("long").as("n_grams"),
-          (size(col("__grams")) - size(array_distinct(col("__grams"))))
-            .cast("long").as("n_dup_grams"))
-        .withColumn("reason",
-          when(col("n_tokens") < MinTokens, "too_short")
-            .when(col("sum_token_len") < col("n_tokens") * CascadeMinMeanLen ||
-              col("sum_token_len") > col("n_tokens") * CascadeMaxMeanLen, "word_length")
-            .when(col("n_dup_grams") * 10L > col("n_grams") * 3L, "repetition")
-            .when(col("n_stop") * 50L < col("n_tokens"), "stopword")
-            .otherwise("kept"))
-        .withColumn("keep", col("reason") === "kept")
+    "pipeline_filter_cascade" -> ((spark, sfDir) =>
+      cascadeDecisions(spark, sfDir, CascadeRepX10, CascadeStopDen)),
+    // The dbdiff flagship pointed at the curation layer itself: diff the
+    // keep/drop MANIFESTS of two cascade policy versions (v2 tightens the
+    // repetition and stopword thresholds), keyed on doc_id — exactly the
+    // audit a 100 TB pipeline runs before promoting a new filter config
+    // ("which documents flip, and why"). Same 5-state full-outer diff as
+    // every snapshot diff; both manifests are in-engine derived tables, so
+    // the whole audit is one plan: two scan→project arms into one __key
+    // shuffle.
+    "pipeline_manifest_diff" -> ((spark, sfDir) => {
+      def manifest(repX10: Long, stopDen: Long) =
+        cascadeDecisions(spark, sfDir, repX10, stopDen)
+          .select(col("doc_id"), col("keep"), col("reason"))
+      SnapshotDiff.diff(
+        manifest(CascadeRepX10, CascadeStopDen),
+        manifest(CascadeRepX10V2, CascadeStopDenV2), Seq("doc_id"))
     })
   )
+
+  /** One cascade pass at a given policy: `repX10` = the duplicate-5-gram
+    * threshold in tenths (fires when dup_frac > repX10/10), `stopDen` = the
+    * stopword floor's denominator (fires when stop_ratio < 1/stopDen). */
+  def cascadeDecisions(spark: SparkSession, sfDir: String,
+      repX10: Long, stopDen: Long): DataFrame = {
+    val toks = Hashing.tokens(col("text"))
+    graft.Tables.load(spark, sfDir, "documents")
+      .withColumn("__toks", toks)
+      .withColumn("__grams", when(size(col("__toks")) >= 5,
+        expr("transform(sequence(0, size(__toks)-5), i -> concat_ws(' ', slice(__toks, i+1, 5)))"))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t)).as("sum_token_len"),
+        TextQueries.markerHits(col("__toks"), TextQueries.Stopwords)
+          .cast("long").as("n_stop"),
+        size(col("__grams")).cast("long").as("n_grams"),
+        (size(col("__grams")) - size(array_distinct(col("__grams"))))
+          .cast("long").as("n_dup_grams"))
+      .withColumn("reason",
+        when(col("n_tokens") < MinTokens, "too_short")
+          .when(col("sum_token_len") < col("n_tokens") * CascadeMinMeanLen ||
+            col("sum_token_len") > col("n_tokens") * CascadeMaxMeanLen, "word_length")
+          .when(col("n_dup_grams") * 10L > col("n_grams") * repX10, "repetition")
+          .when(col("n_stop") * stopDen < col("n_tokens"), "stopword")
+          .otherwise("kept"))
+      .withColumn("keep", col("reason") === "kept")
+  }
 
   /** Mean-word-length acceptance band for the cascade (Gopher uses 3–10
     * chars); compared as `lo·n ≤ Σlen ≤ hi·n` — exact integers. */
   val CascadeMinMeanLen = 3L
   val CascadeMaxMeanLen = 10L
+
+  /** v1 policy: drop when dup_frac > 0.3, or stop_ratio < 1/50 = 0.02. */
+  val CascadeRepX10 = 3L
+  val CascadeStopDen = 50L
+
+  /** v2 (stricter) policy for the manifest diff: dup_frac > 0.2,
+    * stop_ratio < 1/25 = 0.04 — flips a real slice of the fixture corpus
+    * at every scale. */
+  val CascadeRepX10V2 = 2L
+  val CascadeStopDenV2 = 25L
 
   /** Hashed-feature space size for DSIR (buckets the bigram vocabulary).
     * Fixed — per-doc work and the broadcast weight table stay constant in
@@ -551,35 +584,52 @@ object PipelineQueries {
     // The cascade replayed: same integer signal extraction, same ordered
     // CASE — first failing rule wins the reason.
     "pipeline_filter_cascade" ->
-      s"""WITH t AS (SELECT doc_id, ${Hashing.tokensSql("text")} AS toks
-         |           FROM documents),
-         |g AS (
-         |  SELECT doc_id,
-         |         CAST(len(toks) AS BIGINT) AS n_tokens,
-         |         CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0)
-         |           AS BIGINT) AS sum_token_len,
-         |         CAST(${TextQueries.markerHitsSql("toks", TextQueries.Stopwords)}
-         |           AS BIGINT) AS n_stop,
-         |         CASE WHEN len(toks) >= 5
-         |              THEN list_transform(range(len(toks)-4),
-         |                     i -> array_to_string(toks[i+1:i+5], ' '))
-         |              ELSE [] END AS grams
-         |  FROM t),
-         |s AS (
-         |  SELECT doc_id, n_tokens, sum_token_len, n_stop,
-         |         CAST(len(grams) AS BIGINT) AS n_grams,
-         |         CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_dup_grams
-         |  FROM g)
-         |SELECT doc_id, n_tokens, sum_token_len, n_stop, n_grams, n_dup_grams,
-         |       reason, reason = 'kept' AS keep
-         |FROM (
-         |  SELECT *,
-         |    CASE WHEN n_tokens < $MinTokens THEN 'too_short'
-         |         WHEN sum_token_len < $CascadeMinMeanLen * n_tokens
-         |           OR sum_token_len > $CascadeMaxMeanLen * n_tokens THEN 'word_length'
-         |         WHEN n_dup_grams * 10 > n_grams * 3 THEN 'repetition'
-         |         WHEN n_stop * 50 < n_tokens THEN 'stopword'
-         |         ELSE 'kept' END AS reason
-         |  FROM s) r""".stripMargin
+      cascadeSelectSql(CascadeRepX10, CascadeStopDen),
+    // The manifest diff replayed via the shared [[DiffOracle]] generator:
+    // v1 manifest as the "before" CTE, v2 as the after arm, same
+    // normalize → full-outer → classify → emit contract as every diff_*.
+    "pipeline_manifest_diff" -> {
+      val t = graft.TableDef("casc_v1", Seq("doc_id", "keep", "reason"),
+        Seq("doc_id"))
+      def manifestSql(repX10: Long, stopDen: Long): String =
+        s"SELECT doc_id, keep, reason FROM (${cascadeSelectSql(repX10, stopDen)}) m"
+      val (ctes, select) = DiffOracle.diffParts(t,
+        manifestSql(CascadeRepX10V2, CascadeStopDenV2), t.pk, "casc_d")
+      val all = Seq("casc_v1" -> manifestSql(CascadeRepX10, CascadeStopDen)) ++ ctes
+      "WITH " + all.map { case (n, q) => s"$n AS (\n$q\n)" }.mkString(",\n") +
+        "\n" + select
+    }
   )
+
+  /** The cascade's oracle SELECT (no CTEs, so it embeds as a subquery or a
+    * diff arm), parameterized by the same policy knobs as
+    * [[cascadeDecisions]]. */
+  private def cascadeSelectSql(repX10: Long, stopDen: Long): String =
+    s"""SELECT doc_id, n_tokens, sum_token_len, n_stop, n_grams, n_dup_grams,
+       |       reason, reason = 'kept' AS keep
+       |FROM (
+       |  SELECT *,
+       |    CASE WHEN n_tokens < $MinTokens THEN 'too_short'
+       |         WHEN sum_token_len < $CascadeMinMeanLen * n_tokens
+       |           OR sum_token_len > $CascadeMaxMeanLen * n_tokens THEN 'word_length'
+       |         WHEN n_dup_grams * 10 > n_grams * $repX10 THEN 'repetition'
+       |         WHEN n_stop * $stopDen < n_tokens THEN 'stopword'
+       |         ELSE 'kept' END AS reason
+       |  FROM (
+       |    SELECT doc_id, n_tokens, sum_token_len, n_stop,
+       |           CAST(len(grams) AS BIGINT) AS n_grams,
+       |           CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_dup_grams
+       |    FROM (
+       |      SELECT doc_id,
+       |             CAST(len(toks) AS BIGINT) AS n_tokens,
+       |             CAST(COALESCE(list_sum(list_transform(toks, x -> len(x))), 0)
+       |               AS BIGINT) AS sum_token_len,
+       |             CAST(${TextQueries.markerHitsSql("toks", TextQueries.Stopwords)}
+       |               AS BIGINT) AS n_stop,
+       |             CASE WHEN len(toks) >= 5
+       |                  THEN list_transform(range(len(toks)-4),
+       |                         i -> array_to_string(toks[i+1:i+5], ' '))
+       |                  ELSE [] END AS grams
+       |      FROM (SELECT doc_id, ${Hashing.tokensSql("text")} AS toks
+       |            FROM documents) t) g) s) r""".stripMargin
 }

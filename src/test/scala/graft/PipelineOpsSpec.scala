@@ -105,6 +105,25 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("manifest diff: policy tightening only UPDATEs, and never rescues a drop") {
+    val rows = SparkEntry.queries("pipeline_manifest_diff")(spark, Sf).collect()
+    assert(rows.nonEmpty, "v2 must flip a real slice of the corpus")
+    // both manifests cover the identical doc set — a policy change can
+    // never INSERT or DELETE a manifest row
+    rows.foreach(r => assert(r.getAs[String]("diff_status") == "UPDATED"))
+    val bySide = rows.groupBy(_.getAs[String]("doc_id"))
+    bySide.foreach { case (id, prs) =>
+      assert(prs.length == 2, s"doc $id must emit a BEFORE+AFTER pair")
+      val b = prs.find(_.getAs[String]("side") == "BEFORE").get
+      val a = prs.find(_.getAs[String]("side") == "AFTER").get
+      // monotone: tightening can flip keep true->false, never false->true
+      assert(!(b.getAs[String]("keep") == "false" && a.getAs[String]("keep") == "true"),
+        s"doc $id was rescued by a stricter policy")
+      assert(a.getAs[String]("reason") != b.getAs[String]("reason") ||
+        a.getAs[String]("keep") != b.getAs[String]("keep"))
+    }
+  }
+
   test("unimax: a skewed corpus exercises both the cap and the equal-share branch") {
     // the fixture mix at test scale is flat enough that no language hits
     // the epoch cap; a constructed 1-tiny-vs-1-huge corpus forces the
