@@ -52,7 +52,8 @@ object SparkEntry {
     "stream_tumbling", "sketch_kmv_setops", "stream_sliding",
     "sketch_hll_merge", "pipeline_temperature_mix", "q_basket_triples",
     "stream_cdc", "text_bpe_merges", "dedup_semantic", "pipeline_unimax_mix",
-    "pipeline_dsir_select", "mm_phash_dedup", "pipeline_filter_cascade")
+    "pipeline_dsir_select", "mm_phash_dedup", "pipeline_filter_cascade",
+    "pipeline_manifest_diff")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -311,8 +311,12 @@ object PipelineQueries {
     // the whole audit is one plan: two scan→project arms into one __key
     // shuffle.
     "pipeline_manifest_diff" -> ((spark, sfDir) => {
+      // the token/5-gram signal extraction is the expensive pass and is
+      // POLICY-INDEPENDENT — compute it once, pin it, and derive both
+      // policy verdicts as cheap projections over the shared frame
+      val signals = CacheScope.pinned(cascadeSignals(spark, sfDir))
       def manifest(repX10: Long, stopDen: Long) =
-        cascadeDecisions(spark, sfDir, repX10, stopDen)
+        withVerdict(signals, repX10, stopDen)
           .select(col("doc_id"), col("keep"), col("reason"))
       SnapshotDiff.diff(
         manifest(CascadeRepX10, CascadeStopDen),
@@ -320,11 +324,9 @@ object PipelineQueries {
     })
   )
 
-  /** One cascade pass at a given policy: `repX10` = the duplicate-5-gram
-    * threshold in tenths (fires when dup_frac > repX10/10), `stopDen` = the
-    * stopword floor's denominator (fires when stop_ratio < 1/stopDen). */
-  def cascadeDecisions(spark: SparkSession, sfDir: String,
-      repX10: Long, stopDen: Long): DataFrame = {
+  /** The cascade's policy-independent signal extraction — the expensive
+    * token/5-gram pass, shared across policy versions. */
+  def cascadeSignals(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Hashing.tokens(col("text"))
     graft.Tables.load(spark, sfDir, "documents")
       .withColumn("__toks", toks)
@@ -339,6 +341,11 @@ object PipelineQueries {
         size(col("__grams")).cast("long").as("n_grams"),
         (size(col("__grams")) - size(array_distinct(col("__grams"))))
           .cast("long").as("n_dup_grams"))
+  }
+
+  /** Apply one policy's ordered verdict over [[cascadeSignals]]. */
+  private def withVerdict(signals: DataFrame, repX10: Long, stopDen: Long): DataFrame =
+    signals
       .withColumn("reason",
         when(col("n_tokens") < MinTokens, "too_short")
           .when(col("sum_token_len") < col("n_tokens") * CascadeMinMeanLen ||
@@ -347,7 +354,13 @@ object PipelineQueries {
           .when(col("n_stop") * stopDen < col("n_tokens"), "stopword")
           .otherwise("kept"))
       .withColumn("keep", col("reason") === "kept")
-  }
+
+  /** One cascade pass at a given policy: `repX10` = the duplicate-5-gram
+    * threshold in tenths (fires when dup_frac > repX10/10), `stopDen` = the
+    * stopword floor's denominator (fires when stop_ratio < 1/stopDen). */
+  def cascadeDecisions(spark: SparkSession, sfDir: String,
+      repX10: Long, stopDen: Long): DataFrame =
+    withVerdict(cascadeSignals(spark, sfDir), repX10, stopDen)
 
   /** Mean-word-length acceptance band for the cascade (Gopher uses 3–10
     * chars); compared as `lo·n ≤ Σlen ≤ hi·n` — exact integers. */
