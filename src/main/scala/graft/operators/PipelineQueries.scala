@@ -321,27 +321,20 @@ object PipelineQueries {
       SnapshotDiff.diff(
         manifest(CascadeRepX10, CascadeStopDen),
         manifest(CascadeRepX10V2, CascadeStopDenV2), Seq("doc_id"))
-    })
+    }),
+    // The cascade run as a REAL structured stream (file source → stateless
+    // verdict → parquet sink), folded to the per-reason curation funnel —
+    // hash-checked against the batch oracle because stateless projection
+    // semantics are identical under streaming. See
+    // [[graft.streaming.StreamingCuration]].
+    "stream_cascade_funnel" -> ((spark, sfDir) =>
+      graft.streaming.StreamingCuration.runCascadeFunnelOnce(spark, sfDir))
   )
 
   /** The cascade's policy-independent signal extraction — the expensive
     * token/5-gram pass, shared across policy versions. */
-  def cascadeSignals(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Hashing.tokens(col("text"))
-    graft.Tables.load(spark, sfDir, "documents")
-      .withColumn("__toks", toks)
-      .withColumn("__grams", when(size(col("__toks")) >= 5,
-        expr("transform(sequence(0, size(__toks)-5), i -> concat_ws(' ', slice(__toks, i+1, 5)))"))
-        .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
-      .select(col("doc_id"),
-        size(col("__toks")).cast("long").as("n_tokens"),
-        aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t)).as("sum_token_len"),
-        TextQueries.markerHits(col("__toks"), TextQueries.Stopwords)
-          .cast("long").as("n_stop"),
-        size(col("__grams")).cast("long").as("n_grams"),
-        (size(col("__grams")) - size(array_distinct(col("__grams"))))
-          .cast("long").as("n_dup_grams"))
-  }
+  def cascadeSignals(spark: SparkSession, sfDir: String): DataFrame =
+    signalsOver(graft.Tables.load(spark, sfDir, "documents"))
 
   /** Apply one policy's ordered verdict over [[cascadeSignals]]. */
   private def withVerdict(signals: DataFrame, repX10: Long, stopDen: Long): DataFrame =
@@ -361,6 +354,30 @@ object PipelineQueries {
   def cascadeDecisions(spark: SparkSession, sfDir: String,
       repX10: Long, stopDen: Long): DataFrame =
     withVerdict(cascadeSignals(spark, sfDir), repX10, stopDen)
+
+  /** The cascade over an arbitrary (doc_id, text) frame — batch or
+    * STREAMING: the whole pipeline is a stateless projection, so the same
+    * expressions run unchanged under Structured Streaming
+    * ([[graft.streaming.StreamingCuration]]). */
+  def cascadeOver(docs: DataFrame): DataFrame =
+    withVerdict(signalsOver(docs), CascadeRepX10, CascadeStopDen)
+
+  private def signalsOver(docs: DataFrame): DataFrame = {
+    val toks = Hashing.tokens(col("text"))
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("__grams", when(size(col("__toks")) >= 5,
+        expr("transform(sequence(0, size(__toks)-5), i -> concat_ws(' ', slice(__toks, i+1, 5)))"))
+        .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t)).as("sum_token_len"),
+        TextQueries.markerHits(col("__toks"), TextQueries.Stopwords)
+          .cast("long").as("n_stop"),
+        size(col("__grams")).cast("long").as("n_grams"),
+        (size(col("__grams")) - size(array_distinct(col("__grams"))))
+          .cast("long").as("n_dup_grams"))
+  }
 
   /** Mean-word-length acceptance band for the cascade (Gopher uses 3–10
     * chars); compared as `lo·n ≤ Σlen ≤ hi·n` — exact integers. */
@@ -611,7 +628,14 @@ object PipelineQueries {
       val all = Seq("casc_v1" -> manifestSql(CascadeRepX10, CascadeStopDen)) ++ ctes
       "WITH " + all.map { case (n, q) => s"$n AS (\n$q\n)" }.mkString(",\n") +
         "\n" + select
-    }
+    },
+    // The streaming funnel's oracle is the BATCH cascade aggregated by
+    // reason — stateless projections are stream/batch identical.
+    "stream_cascade_funnel" ->
+      s"""SELECT reason, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM (${cascadeSelectSql(CascadeRepX10, CascadeStopDen)}) f
+         |GROUP BY reason""".stripMargin
   )
 
   /** The cascade's oracle SELECT (no CTEs, so it embeds as a subquery or a
