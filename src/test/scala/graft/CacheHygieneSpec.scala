@@ -19,7 +19,10 @@ class CacheHygieneSpec extends SparkTestBase {
     val names = Seq("dedup_minhash_lsh", "dedup_pagerank", "dedup_label_prop",
       "dedup_components", "dedup_triangles", "dedup_containment",
       "ann_ivf_topk", "text_tfidf_top3", "sketch_kmv_groups", "diff_report",
-      "dedup_bfs_hops", "sketch_kmv_setops")
+      "dedup_bfs_hops", "sketch_kmv_setops",
+      // round-8 pinned-cache additions
+      "dedup_semantic", "pipeline_dsir_select", "mm_phash_dedup",
+      "pipeline_manifest_diff")
     // neutralize anything earlier suites in this shared JVM left behind —
     // the assertion is about what THESE queries leave, not JVM history
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))

@@ -47,6 +47,22 @@ class DeterminismSpec extends SparkTestBase {
     }
   }
 
+  test("round-8 additions are shuffle-partitioning-invariant") {
+    // dsir: integer-scaled importance with floor-div normalization and
+    // doc_id-tiebroken top-k; semantic dedup: argmax-aggregate cluster
+    // assignment + min-keeper aggregation; phash: banded candidate set +
+    // exact hamming; unimax: single-partition waterfilling window;
+    // cascade: pure projection; manifest diff: two verdict arms over one
+    // pinned signal frame into the keyed 5-state diff
+    Seq("pipeline_dsir_select", "dedup_semantic", "mm_phash_dedup",
+      "pipeline_unimax_mix", "pipeline_filter_cascade", "pipeline_manifest_diff")
+      .foreach { q =>
+        val a = repartitioned(2)(q)
+        val b = repartitioned(17)(q)
+        assert(a == b && a.nonEmpty, q)
+      }
+  }
+
   test("round-3 additions are shuffle-partitioning-invariant") {
     // rfm: ntile over doubles with user_id tiebreaks; gapfill: generated
     // grid + forward-fill window; prefix join: candidate set + array
