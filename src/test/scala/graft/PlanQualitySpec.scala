@@ -168,6 +168,44 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("dsir: weight table broadcasts and the top-k is a partial TakeOrdered") {
+    val p = plan("pipeline_dsir_select")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // sort+limit must plan as TakeOrderedAndProject (per-partition partial
+    // top-k), never a global Sort of the whole score frame
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("phash dedup: band candidate join is an equi-join, never cartesian") {
+    val p = plan("mm_phash_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("manifest diff keeps the flagship's one-full-outer-join shape") {
+    val p = plan("pipeline_manifest_diff")
+    // two verdict arms over one pinned signal frame -> exactly one keyed
+    // join, each side shuffled exactly once — same gate as the snapshot diff
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(joins == 1, s"expected 1 keyed join, got $joins:\n${p.take(2000)}")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 2, s"expected 2 Exchanges, got $exchanges:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("semantic dedup: only the K-row codebook routes via broadcast nested loop") {
+    val p = plan("dedup_semantic")
+    // the two BNLJs are the sampled-codebook scoring (K rows broadcast —
+    // the K-way routing's inherent shape); everything corpus-sized must
+    // stay an equi-join and nothing may plan cartesian
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"unexpected non-codebook nested loop ($bnlj):\n${p.take(2000)}")
+  }
+
   test("late round-3 families: equi-joins only, never nested-loop/cartesian") {
     // k-means (iterative trainer), PageRank (power iterations), blocked
     // record linkage, and the priority sample: each must plan every join
