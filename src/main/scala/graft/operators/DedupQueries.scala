@@ -392,6 +392,14 @@ object DedupQueries {
     // generation — delta-batch cost is O(batch + matched candidates),
     // independent of corpus size. Output: which new docs duplicate which
     // indexed docs (the batch's reject list).
+    // The flagship near-dedup run as a REAL structured stream: stateless
+    // per-row minhash banding (array arithmetic, zero pre-state shuffles),
+    // per-bucket doc-id state emitting candidate pairs on arrival, parquet
+    // sink, then the batch exact-Jaccard verify over the sunk candidates —
+    // final table == dedup_minhash_lsh, same oracle gates both. See
+    // [[graft.streaming.StreamingNearDup]].
+    "stream_neardup" -> ((spark, sfDir) =>
+      graft.streaming.StreamingNearDup.runOnce(spark, sfDir)),
     "dedup_incremental" -> ((spark, sfDir) => {
       Tables.load(spark, sfDir, "documents").createOrReplaceTempView("documents")
       val base = spark.sql("SELECT doc_id, text FROM documents")
@@ -626,6 +634,21 @@ object DedupQueries {
       |  ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
+  private lazy val minhashLshOracle: String = withSql(
+    corpusCtes ++ Seq(sigsCte, bandsCte) ++ Seq(
+      "cand" ->
+        """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          |FROM bands a JOIN bands b
+          |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin,
+      "counts" -> "SELECT doc_id, COUNT(*) AS n_sh FROM shing GROUP BY doc_id",
+      "inter" ->
+        """SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+          |FROM cand c
+          |JOIN shing sa ON sa.doc_id = c.doc_a
+          |JOIN shing sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          |GROUP BY c.doc_a, c.doc_b""".stripMargin),
+    jaccardSql + "WHERE jaccard >= 0.4")
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" -> withSql(Seq("corpus" -> corpusSql),
       """SELECT doc_id,
@@ -633,20 +656,11 @@ object DedupQueries {
         |  COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
         |  doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
         |FROM corpus""".stripMargin),
-    "dedup_minhash_lsh" -> withSql(
-      corpusCtes ++ Seq(sigsCte, bandsCte) ++ Seq(
-        "cand" ->
-          """SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            |FROM bands a JOIN bands b
-            |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin,
-        "counts" -> "SELECT doc_id, COUNT(*) AS n_sh FROM shing GROUP BY doc_id",
-        "inter" ->
-          """SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
-            |FROM cand c
-            |JOIN shing sa ON sa.doc_id = c.doc_a
-            |JOIN shing sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-            |GROUP BY c.doc_a, c.doc_b""".stripMargin),
-      jaccardSql + "WHERE jaccard >= 0.4"),
+    "dedup_minhash_lsh" -> minhashLshOracle,
+    // the streaming run converges to the batch answer exactly (candidate
+    // SET is arrival-order-free, verify is the batch pass) — one oracle
+    // gates both forms
+    "stream_neardup" -> minhashLshOracle,
     "dedup_incremental" -> withSql(
       Seq(
         "base" -> "SELECT doc_id, text FROM documents",
