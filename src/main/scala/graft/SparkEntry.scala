@@ -53,7 +53,8 @@ object SparkEntry {
     "sketch_hll_merge", "pipeline_temperature_mix", "q_basket_triples",
     "stream_cdc", "text_bpe_merges", "dedup_semantic", "pipeline_unimax_mix",
     "pipeline_dsir_select", "mm_phash_dedup", "pipeline_filter_cascade",
-    "pipeline_manifest_diff", "stream_cascade_funnel", "stream_neardup")
+    "pipeline_manifest_diff", "stream_cascade_funnel", "stream_neardup",
+    "text_ccnet_buckets", "pipeline_length_buckets", "mm_video_shared_frames")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -443,6 +443,60 @@ object Multimodal {
     greatest(lit(1L),
       floor(d * least(lit(ThumbBox), greatest(w, h)) / greatest(w, h)).cast("long"))
 
+  /** Frame-chunk width (bytes) for mdat frame fingerprints. */
+  val FrameChunk = 64
+
+  /** Boilerplate cap: (frame_idx, fh) buckets holding more videos than
+    * this are dropped before the candidate self-join — the same bucket
+    * discipline as the text chunk-overlap family. */
+  val FrameBucketCap = 20L
+
+  /** Minimum shared aligned frames for a video-overlap pair. */
+  val MinSharedFrames = 2L
+
+  /** Locate the `mdat` content region via the same validated top-level box
+    * walk as [[decodeMp4]] — fails loudly on a mis-walk. */
+  def mdatRegion(bytes: Array[Byte]): (Int, Int) = {
+    var off = 0; var mdatOff = -1; var mdatLen = -1
+    while (off < bytes.length) {
+      require(off + 8 <= bytes.length, s"MP4: truncated box header at $off")
+      val size = readBe32(bytes, off)
+      val tag = new String(bytes, off + 4, 4, "US-ASCII")
+      require(size >= 8 && off + size <= bytes.length, s"MP4: bad box size $size at $off")
+      if (tag == "mdat") { mdatOff = off + 8; mdatLen = size - 8 }
+      off += size
+    }
+    require(mdatOff >= 0, "MP4: missing mdat")
+    (mdatOff, mdatLen)
+  }
+
+  /** Typed row of the frame-fingerprint stage. */
+  final case class FrameHash(doc_id: Long, frame_idx: Long, fh: String)
+
+  /** Aligned [[FrameChunk]]-byte fingerprints over each video's REAL
+    * `mdat` region (container built, then parsed back — the oracle
+    * predicts the hashes from text alone, so a region mis-walk fails the
+    * gate). Narrow 1:N, no shuffle. */
+  def videoFrameHashes(spark: SparkSession, docs: DataFrame): Dataset[FrameHash] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text").cast("binary").as("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, content) =>
+          val bytes = mp4Bytes(vTimescaleOf(id), vDurTicksOf(id),
+            vWidthOf(id), vHeightOf(id), content)
+          val (mo, ml) = mdatRegion(bytes)
+          (0 until ml / FrameChunk).map { k =>
+            md.reset()
+            md.update(bytes, mo + k * FrameChunk, FrameChunk)
+            FrameHash(id, k.toLong,
+              md.digest().map("%02x".format(_)).mkString.substring(0, 15))
+          }
+        }
+      }
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_decode_features" -> ((spark, sfDir) => features(spark, sfDir)),
     // downstream geometry stage over the decoded dims — narrow, codegen'd
@@ -515,6 +569,41 @@ object Multimodal {
         .filter(col("hamming") <= PhashMaxHamming)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
     }),
+    // Video PARTIAL-content overlap by shared aligned frames: fingerprint
+    // every 64-byte mdat frame chunk through the real container
+    // build+parse, join videos on (frame position, fingerprint) under a
+    // boilerplate bucket cap, and keep pairs sharing >= 2 aligned frames —
+    // catches the re-delivered video with an appended tail that a
+    // whole-file fingerprint misses, with per-video frame counts for the
+    // overlap fraction. Candidates come only from co-bucketed frames
+    // (never all-pairs), the cap bounds per-bucket fan-out, and the frame
+    // stage is a narrow explode — the text chunk-overlap discipline,
+    // applied through the media decode path.
+    "mm_video_shared_frames" -> ((spark, sfDir) => {
+      // pinned: feeds the bucket-cap window, both self-join sides and the
+      // per-video counts — the concurrent-consumer rule for shared frames
+      val fh = videoFrameHashes(spark, DedupQueries.corpus(spark, sfDir)).toDF()
+        .transform(graft.CacheScope.pinned)
+      val nf = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+        .transform(graft.CacheScope.pinned) // joined on both pair sides
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("frame_idx"), col("fh"))
+      val capped = fh.withColumn("bn", count(lit(1)).over(w))
+        .filter(col("bn") <= FrameBucketCap)
+        .select(col("frame_idx"), col("fh"), col("doc_id"))
+        .transform(graft.CacheScope.pinned) // both candidate self-join sides
+      val pairs = capped.select(col("frame_idx"), col("fh"), col("doc_id").as("doc_a"))
+        .join(capped.select(col("frame_idx"), col("fh"), col("doc_id").as("doc_b")),
+          Seq("frame_idx", "fh"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= MinSharedFrames)
+      pairs
+        .join(nf.select(col("doc_id").as("doc_a"), col("nf").as("n_frames_a")), "doc_a")
+        .join(nf.select(col("doc_id").as("doc_b"), col("nf").as("n_frames_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          col("n_frames_a"), col("n_frames_b"))
+    }),
     // metadata aggregation over the decoded features (typed Dataset → agg)
     "mm_feature_stats" -> ((spark, sfDir) =>
       features(spark, sfDir)
@@ -528,6 +617,38 @@ object Multimodal {
   /** The oracle predicts every decoded field from doc_id/text alone — it
     * never sees the binary, so it cross-checks the real parse. */
   val oracleSql: Map[String, String] = Map(
+    // the mdat content IS the document text (the synthesis contract), so
+    // the oracle predicts each aligned frame fingerprint straight from a
+    // text substring — a region mis-walk or off-by-one in the engine's
+    // byte slicing diverges the hashes
+    "mm_video_shared_frames" ->
+      s"""WITH corpus AS (
+         |${DedupQueries.corpusSql}
+         |),
+         |fr AS (
+         |  SELECT doc_id, unnest(range(len(text) // $FrameChunk)) AS frame_idx, text
+         |  FROM corpus),
+         |fhh AS (
+         |  SELECT doc_id, frame_idx,
+         |    substr(md5(substr(text, 1 + frame_idx * $FrameChunk, $FrameChunk)), 1, 15) AS fh
+         |  FROM fr),
+         |nf AS (SELECT doc_id, COUNT(*) AS nf FROM fhh GROUP BY doc_id),
+         |capped AS (
+         |  SELECT doc_id, frame_idx, fh FROM (
+         |    SELECT doc_id, frame_idx, fh,
+         |           COUNT(*) OVER (PARTITION BY frame_idx, fh) AS bn
+         |    FROM fhh) t
+         |  WHERE bn <= $FrameBucketCap),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         |  FROM capped a JOIN capped b
+         |    ON a.frame_idx = b.frame_idx AND a.fh = b.fh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |  HAVING COUNT(*) >= $MinSharedFrames)
+         |SELECT p.doc_a, p.doc_b, p.n_shared,
+         |  na.nf AS n_frames_a, nb.nf AS n_frames_b
+         |FROM p JOIN nf na ON na.doc_id = p.doc_a
+         |       JOIN nf nb ON nb.doc_id = p.doc_b""".stripMargin,
     "mm_thumbnail_geometry" ->
       s"""SELECT doc_id, format, width, height,
          |  GREATEST(1, CAST(floor(width * LEAST($ThumbBox, GREATEST(width, height))

@@ -186,6 +186,34 @@ object PipelineQueries {
           expr(s"(__cum - n_tokens) div $SeqLen").as("seq_id"),
           ((col("__cum") - col("n_tokens")) % SeqLen).as("seq_offset"))
     }),
+    // Length-bucketed batch assembly: the padding-efficiency counterpart
+    // of pack_sequences — documents stay intact (no concat-then-chunk),
+    // grouped into fixed-capacity batches of similar length so the padding
+    // waste per batch is bounded by its bucket's width. Widths are a fixed
+    // power-of-two CASE ladder (32..2048, truncation at the context
+    // length) — exact integers, no float log2. Batch assembly is a
+    // row_number per (source, width): per-shard-per-bucket independent, so
+    // a 1000-executor job assembles every shard's buckets after ONE
+    // shuffle and no global sort exists anywhere. Output is the per-batch
+    // manifest with integer padded/waste accounting — the number a
+    // training job's throughput model consumes.
+    "pipeline_length_buckets" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("source"), col("width")).orderBy(col("doc_id"))
+      graft.Tables.load(spark, sfDir, "documents")
+        .withColumn("n_tokens", size(Hashing.tokens(col("text"))).cast("long"))
+        .withColumn("width",
+          when(col("n_tokens") <= 32, 32L).when(col("n_tokens") <= 64, 64L)
+            .when(col("n_tokens") <= 128, 128L).when(col("n_tokens") <= 256, 256L)
+            .when(col("n_tokens") <= 512, 512L).when(col("n_tokens") <= 1024, 1024L)
+            .otherwise(lit(SeqLen.toLong)))
+        .withColumn("fill", least(col("n_tokens"), col("width")))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("batch_id", expr(s"(rn - 1) div ($BatchTokenBudget div width)"))
+        .groupBy(col("source"), col("width"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("fill")).as("sum_tokens"))
+        .withColumn("padded_tokens", col("n_docs") * col("width"))
+        .withColumn("waste_tokens", col("padded_tokens") - col("sum_tokens"))
+    }),
     // Epoch shuffle: the per-epoch reordering of training data, with NO
     // global sort anywhere — each doc hashes (with the epoch number salted
     // in) to one of 64 shards, and its position within the shard is a
@@ -423,6 +451,11 @@ object PipelineQueries {
 
   val SeqLen = 2048
 
+  /** Token budget per length-bucketed batch: capacity in documents is
+    * `BatchTokenBudget div width`, so every bucket's batches carry the
+    * same padded token load (8192 = 4 × the 2048 context). */
+  val BatchTokenBudget = 8192L
+
   /** Per-stratum size of the priority sample. */
   val PrioritySampleK = 20
 
@@ -532,6 +565,34 @@ object PipelineQueries {
          |  CAST((cum - n_tokens) // $SeqLen AS BIGINT) AS seq_id,
          |  CAST((cum - n_tokens) % $SeqLen AS BIGINT) AS seq_offset
          |FROM c""".stripMargin,
+    "pipeline_length_buckets" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(${Hashing.tokensSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, source, n_tokens,
+         |    CAST(CASE WHEN n_tokens <= 32 THEN 32 WHEN n_tokens <= 64 THEN 64
+         |      WHEN n_tokens <= 128 THEN 128 WHEN n_tokens <= 256 THEN 256
+         |      WHEN n_tokens <= 512 THEN 512 WHEN n_tokens <= 1024 THEN 1024
+         |      ELSE $SeqLen END AS BIGINT) AS width
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id, source, width,
+         |    LEAST(n_tokens, width) AS fill,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source, width
+         |      ORDER BY doc_id) AS BIGINT) AS rn
+         |  FROM b)
+         |SELECT source, width, batch_id, n_docs, sum_tokens,
+         |  n_docs * width AS padded_tokens,
+         |  n_docs * width - sum_tokens AS waste_tokens
+         |FROM (
+         |  SELECT source, width,
+         |    (rn - 1) // ($BatchTokenBudget // width) AS batch_id,
+         |    COUNT(*) AS n_docs, CAST(SUM(fill) AS BIGINT) AS sum_tokens
+         |  FROM r GROUP BY source, width,
+         |    (rn - 1) // ($BatchTokenBudget // width)) g
+         |""".stripMargin,
     "pipeline_epoch_shuffle" ->
       s"""WITH h AS (
          |  SELECT doc_id,

@@ -57,6 +57,28 @@ object TextQueries {
   val ChunkLen = 64
   val ChunkStride = 48
 
+  /** Sample size for the CCNet tercile-threshold sketch (quantile standard
+    * error ~ sqrt(p(1-p)/k) ≈ 4% of rank at k=128, per language). */
+  val CcnetSampleK = 128
+
+  /** The n-gram LM fluency scorer (shared by `text_lm_fluency` and the
+    * CCNet bucketing): per-doc mean corpus frequency over bigram
+    * occurrences, the exact rational sum_freq/n_bigrams. */
+  def fluencyFrame(spark: SparkSession, sfDir: String): DataFrame = {
+    val grams = Tables.load(spark, sfDir, "documents")
+      .withColumn("__toks", Hashing.tokens(col("text")))
+      .filter(size(col("__toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(__toks) - 2), " +
+          "i -> concat_ws(' ', __toks[i], __toks[i+1]))")).as("bg"))
+      .transform(CacheScope.cached) // feeds the LM count table AND the scoring join probe
+    val lm = grams.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    grams.join(lm, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("sum_freq"))
+      .withColumn("fluency", col("sum_freq").cast("double") / col("n_bigrams"))
+  }
+
   def chunkFingerprints(docs: DataFrame): DataFrame =
     docs
       .withColumn("__toks", Hashing.tokens(col("text")))
@@ -227,19 +249,34 @@ object TextQueries {
     // score stays the exact rational sum_freq/n_bigrams (one IEEE division
     // of exact integers) — no log smoothing to drift in the last ulp.
     // Docs with <2 tokens have no bigrams and drop out, as in the oracle.
-    "text_lm_fluency" -> ((spark, sfDir) => {
-      val grams = Tables.load(spark, sfDir, "documents")
-        .withColumn("__toks", Hashing.tokens(col("text")))
-        .filter(size(col("__toks")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(__toks) - 2), " +
-            "i -> concat_ws(' ', __toks[i], __toks[i+1]))")).as("bg"))
-        .transform(CacheScope.cached) // feeds the LM count table AND the scoring join probe
-      val lm = grams.groupBy(col("bg")).agg(count(lit(1)).as("c"))
-      grams.join(lm, "bg")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("sum_freq"))
-        .withColumn("fluency", col("sum_freq").cast("double") / col("n_bigrams"))
+    "text_lm_fluency" -> ((spark, sfDir) => fluencyFrame(spark, sfDir)),
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020): per-language
+    // head/middle/tail thirds by LM score. The scale-correct form: tercile
+    // THRESHOLDS come from the deterministic bottom-k sample sketch (O(k)
+    // state per language — never a per-language global sort, which is what
+    // ntile() would plan), then every document is labeled by a stateless
+    // comparison against the ≤#languages-row broadcast threshold table.
+    // The md5-hash-ranked sample makes the estimated terciles themselves
+    // deterministic, so even the APPROXIMATE buckets are oracle-checked
+    // hash-exact — same discipline as the sketch family.
+    "text_ccnet_buckets" -> ((spark, sfDir) => {
+      val docs = Tables.load(spark, sfDir, "documents")
+      // feeds the threshold sketch AND the label join — pin (eager
+      // checkpoint) so the two-shuffle fluency scorer runs exactly once
+      val fl = fluencyFrame(spark, sfDir)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .transform(CacheScope.pinned)
+      val thr = fl.groupBy(col("lang"))
+        .agg(graft.functions.SampleSketch.bottomKSample(
+          col("fluency"), col("doc_id").cast("string"), CcnetSampleK).as("samp"))
+        .select(col("lang"),
+          expr("element_at(samp, cast((size(samp) - 1) div 3 as int) + 1)").as("t33"),
+          expr("element_at(samp, cast(((size(samp) - 1) * 2) div 3 as int) + 1)").as("t66"))
+      fl.join(broadcast(thr), "lang")
+        .select(col("doc_id"), col("lang"), col("fluency"),
+          when(col("fluency") >= col("t66"), "head")
+            .when(col("fluency") >= col("t33"), "middle")
+            .otherwise("tail").as("bucket"))
     }),
     // TF-IDF relevance: per-doc term frequency joined to the (small) global
     // document-frequency table, top-3 terms per doc. The idf stays the
@@ -646,6 +683,44 @@ object TextQueries {
          |  CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / COUNT(*) AS fluency
          |FROM g JOIN lm USING (bg)
          |GROUP BY doc_id""".stripMargin,
+    // the tercile thresholds replay the deterministic bottom-k sample
+    // (md5-hash-ranked, same recurrence as sketch_sample_quantiles), then
+    // the same stateless labeling — integer '//' index arithmetic keeps
+    // the tercile positions exact in both engines
+    "text_ccnet_buckets" ->
+      s"""WITH t AS (SELECT doc_id, lang, $toksE AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+         |           i -> concat_ws(' ', toks[i+1], toks[i+2]))) AS bg
+         |  FROM t WHERE len(toks) >= 2),
+         |lm AS (SELECT bg, COUNT(*) AS c FROM g GROUP BY bg),
+         |fl AS (
+         |  SELECT doc_id,
+         |    CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / COUNT(*) AS fluency
+         |  FROM g JOIN lm USING (bg) GROUP BY doc_id),
+         |fll AS (
+         |  SELECT fl.doc_id, t.lang, fl.fluency
+         |  FROM fl JOIN t ON t.doc_id = fl.doc_id),
+         |h AS (SELECT lang, fluency,
+         |        ${graft.functions.KmvSketch.hashSql("CAST(doc_id AS VARCHAR)")} AS hv
+         |      FROM fll),
+         |d2 AS (SELECT DISTINCT lang, hv, fluency FROM h),
+         |r AS (
+         |  SELECT lang, fluency,
+         |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv, fluency) AS rn
+         |  FROM d2),
+         |s AS (
+         |  SELECT lang, list(fluency ORDER BY fluency) AS samp, COUNT(*) AS m
+         |  FROM r WHERE rn <= $CcnetSampleK GROUP BY lang),
+         |thr AS (
+         |  SELECT lang, samp[1 + (m - 1) // 3] AS t33,
+         |         samp[1 + (2 * (m - 1)) // 3] AS t66
+         |  FROM s)
+         |SELECT f.doc_id, f.lang, f.fluency,
+         |  CASE WHEN f.fluency >= thr.t66 THEN 'head'
+         |       WHEN f.fluency >= thr.t33 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM fll f JOIN thr USING (lang)""".stripMargin,
     "text_tfidf_top3" ->
       s"""WITH w AS (SELECT doc_id, unnest($toksE) AS word FROM documents),
          |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word),

@@ -142,11 +142,11 @@ object StreamingNearDup {
       try q.processAllAvailable() finally q.stop()
       // the sunk candidate set (distinct: a pair co-bucketed in k bands
       // surfaces k times, exactly like the batch self-join pre-distinct)
-      // feeds the batch verify; localCheckpoint pins it before the temp
-      // dir disappears
+      // feeds the batch verify; the pin (eager localCheckpoint, registered
+      // for releaseAll) materializes it before the temp dir disappears
       val cand = spark.read.parquet(outDir)
         .select(col("doc_a"), col("doc_b")).distinct()
-        .localCheckpoint(true)
+        .transform(graft.CacheScope.pinned)
       val shh = DedupQueries.shingleHashes(DedupQueries.corpus(spark, sfDir))
         .transform(graft.CacheScope.pinned)
       DedupQueries.jaccard(cand, shh, 0.4)

@@ -22,7 +22,9 @@ class CacheHygieneSpec extends SparkTestBase {
       "dedup_bfs_hops", "sketch_kmv_setops",
       // round-8 pinned-cache additions
       "dedup_semantic", "pipeline_dsir_select", "mm_phash_dedup",
-      "pipeline_manifest_diff")
+      "pipeline_manifest_diff",
+      // late round-8 pinned-cache additions
+      "text_ccnet_buckets", "mm_video_shared_frames", "stream_neardup")
     // neutralize anything earlier suites in this shared JVM left behind —
     // the assertion is about what THESE queries leave, not JVM history
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))

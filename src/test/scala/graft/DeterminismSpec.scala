@@ -63,6 +63,19 @@ class DeterminismSpec extends SparkTestBase {
       }
   }
 
+  test("late round-8 additions are shuffle-partitioning-invariant") {
+    // ccnet buckets: hash-ranked sample thresholds + stateless labels;
+    // length buckets: doc_id-ordered row_number batching with integer
+    // capacity; shared frames: aligned-chunk fingerprints, capped buckets,
+    // integer counts
+    Seq("text_ccnet_buckets", "pipeline_length_buckets", "mm_video_shared_frames")
+      .foreach { q =>
+        val a = repartitioned(2)(q)
+        val b = repartitioned(17)(q)
+        assert(a == b && a.nonEmpty, q)
+      }
+  }
+
   test("round-3 additions are shuffle-partitioning-invariant") {
     // rfm: ntile over doubles with user_id tiebreaks; gapfill: generated
     // grid + forward-fill window; prefix join: candidate set + array
