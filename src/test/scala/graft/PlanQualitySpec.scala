@@ -196,6 +196,31 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("ccnet buckets: threshold table broadcasts into the label join") {
+    val p = plan("text_ccnet_buckets")
+    // the per-language tercile frame is <=#languages rows — labeling must
+    // be a broadcast join, and nothing may plan cartesian/nested-loop
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    CacheScope.releaseAll()
+  }
+
+  test("length buckets: per-shard windows only, no global range sort") {
+    val p = plan("pipeline_length_buckets")
+    // batch assembly is a (source,width)-partitioned window — a global
+    // Sort would surface as a rangepartitioning Exchange
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+    assert(p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
+  test("video shared frames: capped-bucket candidate join stays equi-join") {
+    val p = plan("mm_video_shared_frames")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    CacheScope.releaseAll()
+  }
+
   test("semantic dedup: only the K-row codebook routes via broadcast nested loop") {
     val p = plan("dedup_semantic")
     // the two BNLJs are the sampled-codebook scoring (K rows broadcast —
