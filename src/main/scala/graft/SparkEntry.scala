@@ -54,7 +54,8 @@ object SparkEntry {
     "stream_cdc", "text_bpe_merges", "dedup_semantic", "pipeline_unimax_mix",
     "pipeline_dsir_select", "mm_phash_dedup", "pipeline_filter_cascade",
     "pipeline_manifest_diff", "stream_cascade_funnel", "stream_neardup",
-    "text_ccnet_buckets", "pipeline_length_buckets", "mm_video_shared_frames")
+    "text_ccnet_buckets", "pipeline_length_buckets", "mm_video_shared_frames",
+    "text_bpe_encode")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

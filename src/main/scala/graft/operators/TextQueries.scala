@@ -405,7 +405,49 @@ object TextQueries {
     // even offsets win — no sequential fold, no UDF. The DuckDB oracle
     // replays all rounds as unrolled CTEs, so the ITERATIVE trainer is
     // hash-checked end to end, tiebreaks included (count desc, pair asc).
-    "text_bpe_merges" -> ((spark, sfDir) => {
+    "text_bpe_merges" -> ((spark, sfDir) => bpeTrain(spark, sfDir)._1),
+    // BPE APPLY — the trained tokenizer used: the trainer's final symbol
+    // table IS each distinct word's segmentation, so encoding the corpus
+    // is one per-word subword count over that table joined back onto the
+    // per-doc word multiset. Per-doc output: how many words and how many
+    // subword tokens the trained vocab yields — the sequence-length
+    // number a training pipeline actually budgets by. All work after
+    // training is O(vocab) + one corpus shuffle; the oracle replays the
+    // identical 8 unrolled merge rounds and the same rollup.
+    "text_bpe_encode" -> ((spark, sfDir) => {
+      val syms = bpeTrain(spark, sfDir)._2
+      val seg = syms.groupBy(col("word")).agg(count(lit(1)).as("n_syms"))
+      Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), explode(Hashing.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("n_occ"))
+        .join(seg, "word")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n_occ")).as("n_words"),
+          sum(col("n_occ") * col("n_syms")).as("n_subwords"))
+    }),
+    "text_heavy_hitters" -> ((spark, sfDir) => {
+      val words = Tables.load(spark, sfDir, "documents")
+        .select(explode(Hashing.tokens(col("text"))).as("word"))
+        .transform(CacheScope.cached) // tokenized once: sketch pass + candidate count pass
+      val cands = words
+        .agg(FreqSketch.mgCandidates(col("word"), 127).as("c"))
+        .select(explode(col("c")).as("word"))
+      val total = words.agg(count(lit(1)).as("__total"))
+      words.join(broadcast(cands), Seq("word"), "left_semi")
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") * 64 > col("__total"))
+        .select(col("word"), col("cnt"))
+    })
+  )
+
+  /** The BPE merge-loop trainer (shared by `text_bpe_merges` and the
+    * encode stage): [[BpeMerges]] relational rounds over the distinct-word
+    * symbol table. Returns (merge table, final symbol table) — the latter
+    * is each word's trained segmentation. */
+  def bpeTrain(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
       val wf = CacheScope.pinned(Tables.load(spark, sfDir, "documents")
         .select(explode(Hashing.tokens(col("text"))).as("word"))
         .filter(length(col("word")) >= 2)
@@ -469,27 +511,13 @@ object TextQueries {
           syms = CacheScope.pinned(next)
         }
       }
-      if (merges != null) merges
-      else wf.sparkSession.range(0).select(
-        lit(0L).as("step"), lit("").as("left_sym"), lit("").as("right_sym"),
-        lit("").as("merged"), lit(0L).as("pair_count"))
-    }),
-    "text_heavy_hitters" -> ((spark, sfDir) => {
-      val words = Tables.load(spark, sfDir, "documents")
-        .select(explode(Hashing.tokens(col("text"))).as("word"))
-        .transform(CacheScope.cached) // tokenized once: sketch pass + candidate count pass
-      val cands = words
-        .agg(FreqSketch.mgCandidates(col("word"), 127).as("c"))
-        .select(explode(col("c")).as("word"))
-      val total = words.agg(count(lit(1)).as("__total"))
-      words.join(broadcast(cands), Seq("word"), "left_semi")
-        .groupBy(col("word"))
-        .agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(total))
-        .filter(col("cnt") * 64 > col("__total"))
-        .select(col("word"), col("cnt"))
-    })
-  )
+      val mergesOut =
+        if (merges != null) merges
+        else wf.sparkSession.range(0).select(
+          lit(0L).as("step"), lit("").as("left_sym"), lit("").as("right_sym"),
+          lit("").as("merged"), lit(0L).as("pair_count"))
+      (mergesOut, syms)
+  }
 
   /** Shared by text_vocab and text_encode_ids: min-count-2 vocabulary
     * with dense rank ids (count desc, token asc). */
@@ -519,7 +547,7 @@ object TextQueries {
     * renumber. Every CTE is MATERIALIZED — DuckDB inlines plain CTEs per
     * reference, and this chain references each level several times, which
     * would re-evaluate the whole prefix exponentially. */
-  private val bpeMergesSqlStr: String = {
+  private val bpeCtesStr: String = {
     val iters = (1 to BpeMerges).map { t =>
       s"""wn$t AS MATERIALIZED (
          |  SELECT word, pos, sym,
@@ -553,10 +581,6 @@ object TextQueries {
          |    LEFT JOIN valid$t v2 ON v2.word = w.word AND v2.pos + 1 = w.pos
          |    WHERE v2.pos IS NULL) y)""".stripMargin
     }.mkString(",\n")
-    val selects = (1 to BpeMerges).map(t =>
-      s"SELECT CAST($t AS BIGINT) AS step, l AS left_sym, r AS right_sym, " +
-        s"l || r AS merged, cnt AS pair_count FROM best$t")
-      .mkString("\nUNION ALL\n")
     s"""WITH wf AS MATERIALIZED (
        |  SELECT word, COUNT(*) AS freq FROM (
        |    SELECT unnest($toksE) AS word FROM documents) t
@@ -564,12 +588,36 @@ object TextQueries {
        |syms0 AS MATERIALIZED (
        |  SELECT word, CAST(i AS BIGINT) AS pos, substr(word, CAST(i AS INT), 1) AS sym
        |  FROM (SELECT word, unnest(range(1, length(word) + 1)) AS i FROM wf) z),
-       |$iters
-       |$selects""".stripMargin
+       |$iters""".stripMargin
   }
+
+  private val bpeMergesSqlStr: String = {
+    val selects = (1 to BpeMerges).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS step, l AS left_sym, r AS right_sym, " +
+        s"l || r AS merged, cnt AS pair_count FROM best$t")
+      .mkString("\nUNION ALL\n")
+    s"$bpeCtesStr\n$selects"
+  }
+
+  // the trained segmentation (syms after the last merge round) rolled up
+  // onto the per-doc word multiset — identical recurrence, different
+  // final select (assumes the corpus sustains all rounds, which every
+  // oracle fixture does; the engine stops early only on degenerate input)
+  private val bpeEncodeSqlStr: String =
+    s"""$bpeCtesStr,
+       |seg AS (
+       |  SELECT word, COUNT(*) AS n_syms FROM syms$BpeMerges GROUP BY word),
+       |dwf AS (
+       |  SELECT doc_id, word, COUNT(*) AS n_occ FROM (
+       |    SELECT doc_id, unnest($toksE) AS word FROM documents) t
+       |  WHERE length(word) >= 2 GROUP BY doc_id, word)
+       |SELECT doc_id, CAST(SUM(n_occ) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_occ * n_syms) AS BIGINT) AS n_subwords
+       |FROM dwf JOIN seg USING (word) GROUP BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "text_bpe_merges" -> bpeMergesSqlStr,
+    "text_bpe_encode" -> bpeEncodeSqlStr,
     "text_inverted_index" ->
       s"""WITH dt AS (
          |  SELECT DISTINCT doc_id, unnest(list_transform(

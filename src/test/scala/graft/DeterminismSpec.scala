@@ -68,7 +68,8 @@ class DeterminismSpec extends SparkTestBase {
     // length buckets: doc_id-ordered row_number batching with integer
     // capacity; shared frames: aligned-chunk fingerprints, capped buckets,
     // integer counts
-    Seq("text_ccnet_buckets", "pipeline_length_buckets", "mm_video_shared_frames")
+    Seq("text_ccnet_buckets", "pipeline_length_buckets", "mm_video_shared_frames",
+      "text_bpe_encode")
       .foreach { q =>
         val a = repartitioned(2)(q)
         val b = repartitioned(17)(q)
