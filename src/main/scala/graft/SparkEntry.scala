@@ -55,7 +55,8 @@ object SparkEntry {
     "pipeline_dsir_select", "mm_phash_dedup", "pipeline_filter_cascade",
     "pipeline_manifest_diff", "stream_cascade_funnel", "stream_neardup",
     "text_ccnet_buckets", "pipeline_length_buckets", "mm_video_shared_frames",
-    "text_bpe_encode")
+    "text_bpe_encode", "pipeline_doremi_weights", "text_bpe_fertility",
+    "diff_dist_drift", "dedup_substring_spans")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

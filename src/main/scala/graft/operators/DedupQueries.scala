@@ -40,6 +40,23 @@ object DedupQueries {
   def minhashA(j: Int): Long = 2L * j + 3L
   def minhashB(j: Int): Long = 104729L * j + 12345L
 
+  /** Positioned-gram width for exact-substring span detection: spans are
+    * resolvable to the token when ≥ SpanK tokens align. 8 balances
+    * selectivity (8-gram collisions across unrelated docs are ~0) against
+    * the shortest detectable span. */
+  val SpanK = 8
+
+  /** Minimum reported shared-span length in tokens — Lee et al. use 50
+    * BPE tokens at web scale; 20 words keeps the fixtures' templated
+    * overlaps visible. */
+  val SpanMinTokens = 20
+
+  /** Candidate grams must appear in 2..SpanDfMax docs with ≤ SpanOccMax
+    * total occurrences: boilerplate grams (every near-copy's appended
+    * tail, site templates) never generate candidate pairs. */
+  val SpanDfMax = 20
+  val SpanOccMax = 64
+
   /** Base offset of the synthetic-duplicate doc_id bands. Real corpus ids
     * must stay below it — [[graft.ScaleUp]] asserts this when inflating the
     * document tables, so 1e8 buys ~3 more measured decades beyond sf10
@@ -453,6 +470,50 @@ object DedupQueries {
       a.join(b, "chunk_fp").filter(col("doc_a") < col("doc_b"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("n_shared_chunks"))
+    }),
+    // EXACT-SUBSTRING shared spans (the primitive behind suffix-array
+    // dedup, Lee et al. 2022 "Deduplicating Training Data Makes Language
+    // Models Better"): maximal token-aligned substrings ≥ [[SpanMinTokens]]
+    // shared between document pairs — the span a curation pipeline excises
+    // (vs whole-doc removal). Suffix arrays don't distribute; the same
+    // spans fall out relationally: positioned [[SpanK]]-gram fingerprints,
+    // candidates only from grams in 2..[[SpanDfMax]] docs with ≤
+    // [[SpanOccMax]] total occurrences (boilerplate never explodes — the
+    // df-band discipline of the inverted index), then matches on one
+    // (doc_a, doc_b) DIAGONAL (pos_a − pos_b) merge into maximal runs via
+    // the pos − row_number island trick. Consecutive matched starts m ⇒
+    // span of m + K − 1 tokens. One explode, one fp shuffle, a bounded
+    // candidate self-join, and a window over candidate matches only —
+    // never an all-pairs stage, never a global sort.
+    "dedup_substring_spans" -> ((spark, sfDir) => {
+      val g = corpus(spark, sfDir)
+        .withColumn("__toks", Hashing.tokens(col("text")))
+        .filter(size(col("__toks")) >= SpanK)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(__toks) - $SpanK), " +
+            s"i -> concat_ws(' ', slice(__toks, i + 1, $SpanK)))"))
+          .as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          Hashing.hash64(col("gram")).as("fp"))
+        .transform(CacheScope.pinned) // feeds the df count AND both join sides
+      val ok = g.groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).as("__df"), count(lit(1)).as("__occ"))
+        .filter(col("__df").between(2, SpanDfMax) && col("__occ") <= SpanOccMax)
+        .select(col("fp"))
+      val cand = g.join(ok, "fp")
+      val m = cand.select(col("fp"), col("doc_id").as("doc_a"), col("pos").as("pos_a"))
+        .join(cand.select(col("fp"), col("doc_id").as("doc_b"), col("pos").as("pos_b")), "fp")
+        .filter(col("doc_a") < col("doc_b"))
+        .withColumn("diag", col("pos_a") - col("pos_b"))
+      val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+        .orderBy(col("pos_a"))
+      m.withColumn("run", col("pos_a") - row_number().over(w))
+        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("run"))
+        .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+          (count(lit(1)) + SpanK - 1).as("span_tokens"))
+        .filter(col("span_tokens") >= SpanMinTokens)
+        .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+          col("span_tokens"))
     }),
     // Containment similarity — the ASYMMETRIC near-dup measure
     // |A∩B| / min(|A|,|B|): a short document quoted inside a long one
@@ -869,6 +930,38 @@ object DedupQueries {
           |  ON a.chunk_fp = b.chunk_fp AND a.doc_id < b.doc_id
           |GROUP BY 1, 2""".stripMargin)
     },
+    // positioned grams via unnest(range(…)) + 1-based list slicing; the
+    // island trick replays with the same ROW_NUMBER over (doc pair, diag)
+    "dedup_substring_spans" -> withSql(
+      Seq("corpus" -> corpusSql,
+        "tok" ->
+          """SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+            |FROM corpus""".stripMargin,
+        "g" ->
+          s"""SELECT doc_id, pos,
+             |  ${Hashing.hash64Sql(s"array_to_string(toks[pos+1:pos+$SpanK], ' ')")} AS fp
+             |FROM (SELECT doc_id, toks, unnest(range(len(toks) - $SpanK + 1)) AS pos
+             |      FROM tok WHERE len(toks) >= $SpanK)""".stripMargin,
+        "ok" ->
+          s"""SELECT fp FROM g GROUP BY fp
+             |HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND $SpanDfMax
+             |   AND COUNT(*) <= $SpanOccMax""".stripMargin,
+        "m" ->
+          """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+            |  b.pos AS pos_b, a.pos - b.pos AS diag
+            |FROM (SELECT g.* FROM g JOIN ok USING (fp)) a
+            |JOIN (SELECT g.* FROM g JOIN ok USING (fp)) b
+            |  ON a.fp = b.fp AND a.doc_id < b.doc_id""".stripMargin,
+        "runs" ->
+          """SELECT doc_a, doc_b, diag, pos_a, pos_b,
+            |  pos_a - ROW_NUMBER() OVER (
+            |    PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS run
+            |FROM m""".stripMargin),
+      s"""SELECT doc_a, doc_b, CAST(MIN(pos_a) AS BIGINT) AS start_a,
+         |  CAST(MIN(pos_b) AS BIGINT) AS start_b,
+         |  CAST(COUNT(*) + $SpanK - 1 AS BIGINT) AS span_tokens
+         |FROM runs GROUP BY doc_a, doc_b, diag, run
+         |HAVING COUNT(*) + $SpanK - 1 >= $SpanMinTokens""".stripMargin),
     "dedup_ngram_jaccard" -> withSql(
       corpusCtes ++ Seq(
         "cand" ->

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{TableDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Harness registry for the snapshot-diff surface: one named query per
@@ -342,6 +343,51 @@ object DiffQueries {
         FkCandidates.map { case (ct, cc, pt, pc) => pair(ct, cc, pt, pc) }
           .reduce(_.unionByName(_))
       }),
+      // DISTRIBUTION drift between snapshots — the statistical companion to
+      // diff_column_drift (which counts per-column cell changes over keyed
+      // rows): compare each column's VALUE HISTOGRAM before vs after,
+      // keyless, the way a data-observability monitor watches a feed whose
+      // rows can't be matched (or whose volume makes a keyed diff
+      // unnecessary for the question "did the distribution move?"). One
+      // categorical column (o_orderstatus — the mutation's 'X' status is a
+      // NEW category, the classic emergent-value alert) and one banded
+      // numeric (o_totalprice in fixed 25k bands — fixed edges, so bands
+      // are comparable across snapshots and scales). Per-bucket shares in
+      // exact ppm (integer floor-div) and per-column total-variation
+      // distance Σ|p−q|/2 — the bounded [0,1e6] drift score a monitor
+      // thresholds on, integer-exact end to end (no float PSI/KL logs to
+      // drift in the last ulp). Plan: one scan per side exploding both
+      // (col, bucket) pairs, ONE shuffle on the ≤(#cols·#buckets)-row key
+      // space, windows over the tiny grouped frame — at 100 TB the
+      // histogram aggregation is map-side-combined to a control-plane
+      // frame and nothing wide ever moves.
+      "diff_dist_drift" -> ((spark, sfDir) => {
+        val t = Tables.orders
+        def buckets(df: DataFrame, side: String) = df.select(
+          explode(array(
+            struct(lit("o_orderstatus").as("col_name"),
+              col("o_orderstatus").as("bucket")),
+            struct(lit("o_totalprice_band").as("col_name"),
+              expr("CAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS STRING)")
+                .as("bucket")))).as("cb"))
+          .select(col("cb.col_name").as("col_name"),
+            col("cb.bucket").as("bucket"), lit(side).as("side"))
+        val wc = Window.partitionBy(col("col_name"))
+        buckets(Tables.load(spark, sfDir, t.name), "b")
+          .unionByName(buckets(after(spark, sfDir, t), "a"))
+          .groupBy(col("col_name"), col("bucket"))
+          .agg(sum(when(col("side") === "b", 1L).otherwise(0L)).as("before_n"),
+            sum(when(col("side") === "a", 1L).otherwise(0L)).as("after_n"))
+          .withColumn("__btot", sum(col("before_n")).over(wc))
+          .withColumn("__atot", sum(col("after_n")).over(wc))
+          .withColumn("before_ppm", expr("before_n * 1000000 div __btot"))
+          .withColumn("after_ppm", expr("after_n * 1000000 div __atot"))
+          .withColumn("drift_ppm", abs(col("before_ppm") - col("after_ppm")))
+          .withColumn("__tv", sum(col("drift_ppm")).over(wc))
+          .select(col("col_name"), col("bucket"), col("before_n"),
+            col("after_n"), col("before_ppm"), col("after_ppm"),
+            col("drift_ppm"), expr("__tv div 2").as("col_tvd_ppm"))
+      }),
       // P1+P2+P3 normalization exposed directly.
       "snapshot_normalize_customer" -> ((spark, sfDir) =>
         Normalize.withKey(Tables.load(spark, sfDir, "customer"), Tables.customer.pk)),
@@ -491,6 +537,47 @@ object DiffQueries {
           |UNION ALL SELECT 'discount_in_range', n, CAST(v_disc AS BIGINT) FROM b
           |UNION ALL SELECT 'returnflag_domain', n, CAST(v_flag AS BIGINT) FROM b
           |UNION ALL SELECT 'fk_orders_exists', (SELECT n FROM b), CAST(v AS BIGINT) FROM fk""".stripMargin,
+      // distribution drift replayed: same explode into (col, bucket, side)
+      // rows, same ppm floor-div shares, same integer TVD — `//` on the
+      // all-positive operands ≡ Spark's `div`, sums CAST back to BIGINT.
+      "diff_dist_drift" ->
+        s"""WITH aft AS (
+           |${Mutations.afterSql("orders")}
+           |),
+           |buck AS (
+           |  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS bucket,
+           |         'b' AS side FROM orders
+           |  UNION ALL
+           |  SELECT 'o_totalprice_band',
+           |         CAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS VARCHAR),
+           |         'b' FROM orders
+           |  UNION ALL
+           |  SELECT 'o_orderstatus', o_orderstatus, 'a' FROM aft
+           |  UNION ALL
+           |  SELECT 'o_totalprice_band',
+           |         CAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS VARCHAR),
+           |         'a' FROM aft),
+           |g AS (
+           |  SELECT col_name, bucket,
+           |    CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS before_n,
+           |    CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS after_n
+           |  FROM buck GROUP BY col_name, bucket),
+           |t AS (
+           |  SELECT *,
+           |    CAST(SUM(before_n) OVER (PARTITION BY col_name) AS BIGINT) AS btot,
+           |    CAST(SUM(after_n) OVER (PARTITION BY col_name) AS BIGINT) AS atot
+           |  FROM g),
+           |p AS (
+           |  SELECT col_name, bucket, before_n, after_n,
+           |    CAST(before_n * 1000000 // btot AS BIGINT) AS before_ppm,
+           |    CAST(after_n * 1000000 // atot AS BIGINT) AS after_ppm
+           |  FROM t)
+           |SELECT col_name, bucket, before_n, after_n, before_ppm, after_ppm,
+           |  CAST(abs(before_ppm - after_ppm) AS BIGINT) AS drift_ppm,
+           |  CAST(CAST(SUM(abs(before_ppm - after_ppm))
+           |      OVER (PARTITION BY col_name) AS BIGINT) // 2 AS BIGINT)
+           |    AS col_tvd_ppm
+           |FROM p""".stripMargin,
       "diff_three_way" -> DiffOracle.threeWaySql(
         Tables.orders, Mutations.afterSql("orders"), Mutations.threeWayRightSql,
         Tables.orders.pk),

@@ -356,7 +356,58 @@ object PipelineQueries {
     // semantics are identical under streaming. See
     // [[graft.streaming.StreamingCuration]].
     "stream_cascade_funnel" -> ((spark, sfDir) =>
-      graft.streaming.StreamingCuration.runCascadeFunnelOnce(spark, sfDir))
+      graft.streaming.StreamingCuration.runCascadeFunnelOnce(spark, sfDir)),
+    // DoReMi-style domain reweighting (Xie et al., "DoReMi: Optimizing Data
+    // Mixtures Speeds Up Language Model Pretraining", NeurIPS 2023): the
+    // iterative exponentiated-gradient loop that turns per-domain excess
+    // loss into the mixture weights a pretraining run samples by. The
+    // published proxy-model loss is stood in for by a REAL corpus statistic
+    // with the same shape — each source's inverse mean bigram frequency
+    // (rare-bigram-heavy sources are "harder", exactly the axis CCNet's
+    // perplexity measures) — computed as the exact integer
+    // n_occ·10^6 div Σfreq. Per round: excess = loss − weighted-mixture
+    // mean (the feedback that makes the loop a real fixed-point iteration,
+    // not a one-shot rank), multiplicative update
+    // w·(EgBase + η·excess) div EgBase (the linearized EG step — no
+    // transcendental exp to drift in the last ulp), then ppm
+    // renormalization. The only corpus-sized work is the ONE bigram pass
+    // that also powers text_lm_fluency; all [[DoremiRounds]] rounds run on
+    // the ≤#sources-row frame — the same control-plane trainer economics as
+    // k-means/PageRank/BPE, and at 100 TB the loop costs nothing beyond
+    // the single corpus scan. The DuckDB oracle replays every round as
+    // unrolled CTEs, so the iterative trainer is hash-checked end to end.
+    "pipeline_doremi_weights" -> ((spark, sfDir) => {
+      val grams = graft.Tables.load(spark, sfDir, "documents")
+        .withColumn("__toks", Hashing.tokens(col("text")))
+        .filter(size(col("__toks")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, size(__toks) - 2), " +
+            "i -> concat_ws(' ', __toks[i], __toks[i+1]))")).as("bg"))
+        .transform(CacheScope.cached) // feeds the LM count table AND the per-source rollup
+      val lm = grams.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+      val loss = CacheScope.pinned(grams.join(lm, "bg")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_occ"), sum(col("c")).as("sum_freq"))
+        .select(col("source"), col("n_occ"),
+          expr(s"n_occ * $DoremiScale div sum_freq").as("loss")))
+      val nd = loss.agg(count(lit(1)).as("nd"))
+      var w = CacheScope.pinned(loss.crossJoin(broadcast(nd))
+        .select(col("source"), expr(s"$DoremiWeightScale div nd").as("w")))
+      for (_ <- 1 to DoremiRounds) {
+        val j = w.join(loss.select(col("source"), col("loss")), "source")
+        val mix = j.agg(expr("sum(w * loss) div sum(w)").as("mix"))
+        val raw = j.crossJoin(broadcast(mix))
+          .select(col("source"), expr(
+            s"w * greatest(1, $DoremiEgBase + $DoremiEta * (loss - mix))" +
+              s" div $DoremiEgBase").as("wr"))
+        val tot = raw.agg(sum(col("wr")).as("wtot"))
+        w = CacheScope.pinned(raw.crossJoin(broadcast(tot))
+          .select(col("source"),
+            expr(s"wr * $DoremiWeightScale div wtot").as("w")))
+      }
+      loss.select(col("source"), col("n_occ"), col("loss").as("loss_scaled"))
+        .join(w.select(col("source"), col("w").as("weight_ppm")), "source")
+    })
   )
 
   /** The cascade's policy-independent signal extraction — the expensive
@@ -458,6 +509,26 @@ object PipelineQueries {
 
   /** Per-stratum size of the priority sample. */
   val PrioritySampleK = 20
+
+  /** DoReMi EG rounds. 6 keeps the unrolled oracle CTE chain tractable
+    * while the weights move visibly away from uniform. */
+  val DoremiRounds = 6
+
+  /** Integer scale of the per-domain loss signal (ppm of one occurrence
+    * per frequency unit: loss = n_occ·Scale div Σfreq ≤ Scale). */
+  val DoremiScale = 1000000L
+
+  /** Linearized-EG step denominator: update factor is
+    * (EgBase + η·excess)/EgBase. On the fixtures' ~±400-point excess this
+    * moves weights ~±2% over [[DoremiRounds]] rounds (measured at sf0.001
+    * and sf0.01; strict monotone-in-loss at both); a pathological corpus
+    * could push η·excess past −EgBase, which the GREATEST(1, ·) clamp in
+    * both engine and oracle turns into the same positive floor. */
+  val DoremiEgBase = 10000000L
+  val DoremiEta = 100L
+
+  /** Mixture weights carried in parts-per-million. */
+  val DoremiWeightScale = 1000000L
 
   val oracleSql: Map[String, String] = Map(
     "pipeline_clean_corpus" ->
@@ -696,8 +767,54 @@ object PipelineQueries {
       s"""SELECT reason, COUNT(*) AS n_docs,
          |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
          |FROM (${cascadeSelectSql(CascadeRepX10, CascadeStopDen)}) f
-         |GROUP BY reason""".stripMargin
+         |GROUP BY reason""".stripMargin,
+    // DoReMi replayed as unrolled CTEs (the k-means/PageRank/BPE oracle
+    // pattern): same integer loss signal, same mixture-mean excess, same
+    // linearized-EG factor and ppm renormalization every round — `//` on
+    // the all-positive operands ≡ Spark's `div`, and each round's sums are
+    // CAST back to BIGINT so DuckDB's HUGEINT promotion never leaks into
+    // the compared schema.
+    "pipeline_doremi_weights" -> doremiSqlStr
   )
+
+  /** Unrolled-CTE oracle for the DoReMi trainer. */
+  private def doremiSqlStr: String = {
+    val rounds = (1 to DoremiRounds).map { t =>
+      s"""mix$t AS MATERIALIZED (
+         |  SELECT CAST(SUM(w.w * l.loss) // SUM(w.w) AS BIGINT) AS mix
+         |  FROM w${t - 1} w JOIN loss l USING (source)),
+         |wr$t AS MATERIALIZED (
+         |  SELECT w.source,
+         |         CAST(w.w * GREATEST(1, $DoremiEgBase
+         |             + $DoremiEta * (l.loss - m.mix)) // $DoremiEgBase
+         |           AS BIGINT) AS wr
+         |  FROM w${t - 1} w JOIN loss l USING (source) CROSS JOIN mix$t m),
+         |wt$t AS MATERIALIZED (
+         |  SELECT CAST(SUM(wr) AS BIGINT) AS wtot FROM wr$t),
+         |w$t AS MATERIALIZED (
+         |  SELECT source, CAST(wr * $DoremiWeightScale // wtot AS BIGINT) AS w
+         |  FROM wr$t CROSS JOIN wt$t)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH g AS MATERIALIZED (
+       |  SELECT source, unnest(list_transform(range(len(toks) - 1),
+       |    i -> concat_ws(' ', toks[i+1], toks[i+2]))) AS bg
+       |  FROM (SELECT source, ${Hashing.tokensSql("text")} AS toks
+       |        FROM documents) t
+       |  WHERE len(toks) >= 2),
+       |lm AS MATERIALIZED (SELECT bg, COUNT(*) AS c FROM g GROUP BY bg),
+       |loss AS MATERIALIZED (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_occ,
+       |         CAST(COUNT(*) * $DoremiScale // CAST(SUM(c) AS BIGINT)
+       |           AS BIGINT) AS loss
+       |  FROM g JOIN lm USING (bg) GROUP BY source),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM loss),
+       |w0 AS MATERIALIZED (
+       |  SELECT source, CAST($DoremiWeightScale // nd AS BIGINT) AS w
+       |  FROM loss CROSS JOIN nd),
+       |$rounds
+       |SELECT l.source, l.n_occ, l.loss AS loss_scaled, w.w AS weight_ppm
+       |FROM loss l JOIN w$DoremiRounds w USING (source)""".stripMargin
+  }
 
   /** The cascade's oracle SELECT (no CTEs, so it embeds as a subquery or a
     * diff arm), parameterized by the same policy knobs as

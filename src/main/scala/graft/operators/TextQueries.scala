@@ -426,6 +426,29 @@ object TextQueries {
         .agg(sum(col("n_occ")).as("n_words"),
           sum(col("n_occ") * col("n_syms")).as("n_subwords"))
     }),
+    // BPE FERTILITY — subwords-per-word by language, the standard readout
+    // of how well a trained vocabulary serves each language (a tokenizer
+    // trained on an English-heavy corpus fragments Chinese; fertility is
+    // the number multilingual tokenizer papers report, e.g. the XLM-R and
+    // NLLB analyses). Same trained segmentation as `text_bpe_encode`,
+    // rolled up per LANGUAGE instead of per document: integer n_words /
+    // n_subwords sums, one IEEE division at the very end. Post-training
+    // cost is O(vocab) + one corpus shuffle; the languages frame is
+    // control-plane sized at any corpus scale.
+    "text_bpe_fertility" -> ((spark, sfDir) => {
+      val syms = bpeTrain(spark, sfDir)._2
+      val seg = syms.groupBy(col("word")).agg(count(lit(1)).as("n_syms"))
+      Tables.load(spark, sfDir, "documents")
+        .select(col("lang"), explode(Hashing.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy(col("lang"), col("word")).agg(count(lit(1)).as("n_occ"))
+        .join(seg, "word")
+        .groupBy(col("lang"))
+        .agg(sum(col("n_occ")).as("n_words"),
+          sum(col("n_occ") * col("n_syms")).as("n_subwords"))
+        .withColumn("fertility",
+          col("n_subwords").cast("double") / col("n_words").cast("double"))
+    }),
     "text_heavy_hitters" -> ((spark, sfDir) => {
       val words = Tables.load(spark, sfDir, "documents")
         .select(explode(Hashing.tokens(col("text"))).as("word"))
@@ -615,9 +638,26 @@ object TextQueries {
        |  CAST(SUM(n_occ * n_syms) AS BIGINT) AS n_subwords
        |FROM dwf JOIN seg USING (word) GROUP BY doc_id""".stripMargin
 
+  // the trained segmentation rolled up per LANGUAGE: same recurrence, same
+  // seg CTE, per-(lang, word) multiset, integer sums then one division
+  private val bpeFertilitySqlStr: String =
+    s"""$bpeCtesStr,
+       |seg AS (
+       |  SELECT word, COUNT(*) AS n_syms FROM syms$BpeMerges GROUP BY word),
+       |lwf AS (
+       |  SELECT lang, word, COUNT(*) AS n_occ FROM (
+       |    SELECT lang, unnest($toksE) AS word FROM documents) t
+       |  WHERE length(word) >= 2 GROUP BY lang, word)
+       |SELECT lang, CAST(SUM(n_occ) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_occ * n_syms) AS BIGINT) AS n_subwords,
+       |  CAST(CAST(SUM(n_occ * n_syms) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(SUM(n_occ) AS BIGINT) AS DOUBLE) AS fertility
+       |FROM lwf JOIN seg USING (word) GROUP BY lang""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "text_bpe_merges" -> bpeMergesSqlStr,
     "text_bpe_encode" -> bpeEncodeSqlStr,
+    "text_bpe_fertility" -> bpeFertilitySqlStr,
     "text_inverted_index" ->
       s"""WITH dt AS (
          |  SELECT DISTINCT doc_id, unnest(list_transform(

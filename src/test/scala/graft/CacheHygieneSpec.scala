@@ -24,7 +24,12 @@ class CacheHygieneSpec extends SparkTestBase {
       "dedup_semantic", "pipeline_dsir_select", "mm_phash_dedup",
       "pipeline_manifest_diff",
       // late round-8 pinned-cache additions
-      "text_ccnet_buckets", "mm_video_shared_frames", "stream_neardup")
+      "text_ccnet_buckets", "mm_video_shared_frames", "stream_neardup",
+      // round-8 finale: doremi pins loss + per-round weight frames and
+      // caches the bigram pass; fertility runs the pinned BPE trainer
+      "pipeline_doremi_weights", "text_bpe_fertility",
+      // substring spans pin the positioned-gram frame for df count + joins
+      "dedup_substring_spans")
     // neutralize anything earlier suites in this shared JVM left behind —
     // the assertion is about what THESE queries leave, not JVM history
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))

@@ -37,6 +37,33 @@ class DedupSpec extends SparkTestBase {
     d.foreach(r => assert(r.getAs[Long]("keeper_id") < r.getAs[Long]("vec_id")))
   }
 
+  test("substring spans: planted copies surface on the zero diagonal, spans honor the floor") {
+    val K = DedupQueries.SpanK
+    val rows = SparkEntry.queries("dedup_substring_spans")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("span_tokens") >= DedupQueries.SpanMinTokens, r.toString)
+      assert(r.getAs[Long]("start_a") >= 0L && r.getAs[Long]("start_b") >= 0L)
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+    }
+    // an exact +B copy shares its whole prefix: some span for that pair
+    // sits on the zero diagonal (same start on both sides)
+    val copyDiag0 = rows.filter(r =>
+      r.getAs[Long]("doc_b") == r.getAs[Long]("doc_a") + B &&
+        r.getAs[Long]("start_a") == r.getAs[Long]("start_b"))
+    assert(copyDiag0.nonEmpty, "no zero-diagonal span for any planted exact copy")
+    // maximality: runs are distinct per (pair, diag) — no two spans of the
+    // same pair on the same diagonal may touch (they'd be one island)
+    rows.groupBy(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+      r.getAs[Long]("start_a") - r.getAs[Long]("start_b"))).values.foreach { g =>
+      val iv = g.map(r => (r.getAs[Long]("start_a"),
+        r.getAs[Long]("start_a") + r.getAs[Long]("span_tokens") - K + 1)).sortBy(_._1)
+      iv.zip(iv.tail).foreach { case ((_, e1), (s2, _)) =>
+        assert(s2 > e1, s"mergeable islands on one diagonal: $iv")
+      }
+    }
+  }
+
   test("minhash LSH recovers exact copies (jaccard 1.0) and near copies") {
     val pairs = DedupQueries.queries("dedup_minhash_lsh")(spark, Sf)
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),

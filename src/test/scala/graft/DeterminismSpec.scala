@@ -77,6 +77,22 @@ class DeterminismSpec extends SparkTestBase {
       }
   }
 
+  test("round-8 finale additions are shuffle-partitioning-invariant") {
+    // doremi: integer EG loop over pinned tiny frames (floor-div mixture
+    // mean + renormalization each round); fertility: trained-segmentation
+    // rollup with one final IEEE division; dist drift: integer ppm
+    // histogram shares + windowed TVD over the tiny grouped frame
+    Seq("pipeline_doremi_weights", "text_bpe_fertility", "diff_dist_drift",
+      // substring spans: df-banded candidates + diag-island windows —
+      // pure relational, partition-count-free
+      "dedup_substring_spans")
+      .foreach { q =>
+        val a = repartitioned(2)(q)
+        val b = repartitioned(17)(q)
+        assert(a == b && a.nonEmpty, q)
+      }
+  }
+
   test("round-3 additions are shuffle-partitioning-invariant") {
     // rfm: ntile over doubles with user_id tiebreaks; gapfill: generated
     // grid + forward-fill window; prefix join: candidate set + array

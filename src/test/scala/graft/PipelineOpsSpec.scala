@@ -216,4 +216,69 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(sampleMean > corpusMean.sum.toDouble / corpusMean.length,
       s"sample mean $sampleMean not above corpus mean")
   }
+
+  test("doremi: weights stay a simplex and move toward the harder domains") {
+    val W = graft.operators.PipelineQueries.DoremiWeightScale
+    val rows = SparkEntry.queries("pipeline_doremi_weights")(spark, Sf).collect()
+    val nd = rows.length
+    assert(nd >= 2, "needs at least two domains to reweight")
+    val weights = rows.map(_.getAs[Long]("weight_ppm"))
+    // renormalized every round: sums to the ppm scale up to the floor-div
+    // remainder, every domain keeps positive mass
+    assert(weights.forall(_ > 0L))
+    assert(weights.sum <= W && W - weights.sum < nd,
+      s"weight sum ${weights.sum} not within floor remainder of $W")
+    // EG direction: the hardest domain ends above uniform, the easiest
+    // below (strict on the fixture — per-source losses genuinely differ)
+    val uniform = W / nd
+    val byLoss = rows.sortBy(_.getAs[Long]("loss_scaled"))
+    assert(byLoss.last.getAs[Long]("weight_ppm") > uniform,
+      s"hardest domain not upweighted: ${byLoss.last}")
+    assert(byLoss.head.getAs[Long]("weight_ppm") < uniform,
+      s"easiest domain not downweighted: ${byLoss.head}")
+    // weight order follows loss order (the linearized-EG monotonicity)
+    val lossAsc = byLoss.map(_.getAs[Long]("weight_ppm"))
+    assert(lossAsc.zip(lossAsc.tail).forall { case (a, b) => a <= b },
+      s"weights not monotone in loss: ${lossAsc.mkString(",")}")
+  }
+
+  test("bpe fertility: every language needs at least one subword per word") {
+    val rows = SparkEntry.queries("text_bpe_fertility")(spark, Sf).collect()
+    val langs = Tables.load(spark, Sf, "documents")
+      .select("lang").distinct().count()
+    assert(rows.length == langs)
+    rows.foreach { r =>
+      val (w, s) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_subwords"))
+      assert(w > 0 && s >= w, s"fertility < 1 impossible: $r")
+      assert(math.abs(r.getAs[Double]("fertility") - s.toDouble / w) < 1e-12)
+    }
+    // 8 merges cannot collapse every multi-char word to one symbol: some
+    // language must still fragment
+    assert(rows.exists(r => r.getAs[Double]("fertility") > 1.0))
+  }
+
+  test("dist drift: mutation's emergent status surfaces; TVD is bounded and consistent") {
+    val rows = SparkEntry.queries("diff_dist_drift")(spark, Sf).collect()
+    val status = rows.filter(_.getAs[String]("col_name") == "o_orderstatus")
+    // the orders mutation writes status 'X' on %10=4 rows: a bucket that
+    // exists only in the after snapshot — the emergent-category alert
+    val x = status.filter(_.getAs[String]("bucket") == "X")
+    assert(x.length == 1 && x.head.getAs[Long]("before_n") == 0L
+      && x.head.getAs[Long]("after_n") > 0L, status.mkString(";"))
+    for (grp <- rows.groupBy(_.getAs[String]("col_name")).values) {
+      // ppm shares sum to <= 1e6 (floor-div) and within remainder of it
+      val bp = grp.map(_.getAs[Long]("before_ppm"))
+      assert(bp.sum <= 1000000L && 1000000L - bp.sum < grp.length)
+      // every row of a column carries the same TVD, equal to sum|p-q|/2
+      val tvd = grp.map(_.getAs[Long]("col_tvd_ppm")).distinct
+      assert(tvd.length == 1)
+      val expect = grp.map(r =>
+        math.abs(r.getAs[Long]("before_ppm") - r.getAs[Long]("after_ppm"))).sum / 2
+      assert(tvd.head == expect && tvd.head >= 0 && tvd.head <= 1000000L)
+    }
+    // the mutation moves BOTH tracked columns (deletes/inserts alone shift
+    // the bands): nonzero drift everywhere
+    assert(rows.groupBy(_.getAs[String]("col_name")).values
+      .forall(_.head.getAs[Long]("col_tvd_ppm") > 0L))
+  }
 }

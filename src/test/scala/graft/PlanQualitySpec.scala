@@ -300,6 +300,51 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("__b_"), "wide per-column diff shape leaked back in")
   }
 
+  test("doremi: the EG loop reads checkpoint leaves, not the bigram generator") {
+    // loss and every round's weight frame are pinned: the returned plan
+    // joins two <=#sources-row checkpoint leaves — the corpus-sized bigram
+    // pass ran once during pinning and must be nowhere in the final tree
+    val p = plan("pipeline_doremi_weights")
+    assert(p.contains("Scan ExistingRDD"), s"no checkpoint leaf\n${p.take(1500)}")
+    assert(!p.contains("FileScan"), "bigram generator lineage leaked past the pins")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    CacheScope.releaseAll()
+  }
+
+  test("bpe fertility: trained segmentation joins as a leaf, no cartesian") {
+    // the per-word segmentation comes from the pinned trainer output (a
+    // checkpoint leaf); the corpus rollup is equi-joins + aggregates only
+    val p = plan("text_bpe_fertility")
+    assert(p.contains("Scan ExistingRDD"), s"no checkpoint leaf\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    CacheScope.releaseAll()
+  }
+
+  test("dist drift: histogram aggregation, no global sort, no join at all") {
+    // keyless histogram drift: two scan→explode arms union into ONE
+    // grouped frame; shares and TVD are windows over the tiny result —
+    // nothing joins and nothing range-sorts at any scale
+    val p = plan("diff_dist_drift")
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+    assert(!p.contains("Join"), s"unexpected join in a keyless histogram:\n${p.take(2000)}")
+    assert(p.contains("Exchange hashpartitioning"), p.take(2000))
+  }
+
+  test("substring spans: df-banded candidates, window never range-partitions globally") {
+    // the positioned-gram frame is pinned (df count + both join sides read
+    // the checkpoint leaf); candidate fan-out is equi-joined on fp — never
+    // cartesian; the island window hash-partitions on (pair, diag) with a
+    // partition-local sort — a global range sort would be a scale killer
+    val p = plan("dedup_substring_spans")
+    assert(p.contains("Scan ExistingRDD"), s"no checkpoint leaf\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+    assert(p.contains("WindowExec") || p.contains("Window"), p.take(2000))
+    CacheScope.releaseAll()
+  }
+
   test("iterative graph trainers: unrolled steps read the checkpoint leaf, not the generator") {
     // CacheScope.pinned truncates the static frame's lineage: the
     // returned plan must hang off an in-memory RDD scan, with the simhash
