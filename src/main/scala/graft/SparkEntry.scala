@@ -56,7 +56,8 @@ object SparkEntry {
     "pipeline_manifest_diff", "stream_cascade_funnel", "stream_neardup",
     "text_ccnet_buckets", "pipeline_length_buckets", "mm_video_shared_frames",
     "text_bpe_encode", "pipeline_doremi_weights", "text_bpe_fertility",
-    "diff_dist_drift", "dedup_substring_spans")
+    "diff_dist_drift", "dedup_substring_spans", "ann_matryoshka_topk",
+    "pipeline_curation_e2e")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -695,6 +695,34 @@ object DedupQueries {
       |  ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
 
+  /** The survivorship CTE chain — extended corpus → simhash bands →
+    * candidate pairs → recursive connected components — shared by the
+    * `dedup_survivors` oracle and exposed (with the per-doc kept flag) for
+    * composition into cross-family oracles (the curation capstone). The
+    * chain contains a recursive CTE: embed only under `WITH RECURSIVE`. */
+  private[operators] def componentsCtes: Seq[(String, String)] =
+    Seq("corpus" -> corpusSql) ++ simhashCtes ++ Seq(
+      chunksCte,
+      "pairs" -> simhashPairsSelect,
+      "edges" ->
+        """SELECT doc_a AS src, doc_b AS dst FROM pairs
+          |UNION ALL
+          |SELECT doc_b AS src, doc_a AS dst FROM pairs""".stripMargin,
+      "verts" -> "SELECT DISTINCT src AS id FROM edges",
+      "reach" ->
+        """SELECT id, id AS label FROM verts
+          |UNION
+          |SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id""".stripMargin,
+      "comps" ->
+        "SELECT id AS doc_id, MIN(label) AS component_id FROM reach GROUP BY id")
+
+  /** [[componentsCtes]] plus the per-doc kept flag (canonical == self). */
+  private[operators] def survivorsCtes: Seq[(String, String)] =
+    componentsCtes :+ ("surv" ->
+      """SELECT c.doc_id,
+        |  COALESCE(k.component_id, c.doc_id) = c.doc_id AS kept
+        |FROM corpus c LEFT JOIN comps k ON k.doc_id = c.doc_id""".stripMargin)
+
   private lazy val minhashLshOracle: String = withSql(
     corpusCtes ++ Seq(sigsCte, bandsCte) ++ Seq(
       "cand" ->
@@ -890,21 +918,7 @@ object DedupQueries {
             |JOIN shing sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
             |GROUP BY c.doc_a, c.doc_b""".stripMargin),
       jaccardSql + "WHERE jaccard >= 0.5"),
-    "dedup_survivors" -> withRecursiveSql(
-      Seq("corpus" -> corpusSql) ++ simhashCtes ++ Seq(
-        chunksCte,
-        "pairs" -> simhashPairsSelect,
-        "edges" ->
-          """SELECT doc_a AS src, doc_b AS dst FROM pairs
-            |UNION ALL
-            |SELECT doc_b AS src, doc_a AS dst FROM pairs""".stripMargin,
-        "verts" -> "SELECT DISTINCT src AS id FROM edges",
-        "reach" ->
-          """SELECT id, id AS label FROM verts
-            |UNION
-            |SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id""".stripMargin,
-        "comps" ->
-          "SELECT id AS doc_id, MIN(label) AS component_id FROM reach GROUP BY id"),
+    "dedup_survivors" -> withRecursiveSql(componentsCtes,
       """SELECT c.doc_id,
         |  COALESCE(k.component_id, c.doc_id) AS canonical_id,
         |  COALESCE(k.component_id, c.doc_id) = c.doc_id AS kept

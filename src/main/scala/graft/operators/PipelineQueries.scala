@@ -376,7 +376,74 @@ object PipelineQueries {
     // k-means/PageRank/BPE, and at 100 TB the loop costs nothing beyond
     // the single corpus scan. The DuckDB oracle replays every round as
     // unrolled CTEs, so the iterative trainer is hash-checked end to end.
-    "pipeline_doremi_weights" -> ((spark, sfDir) => {
+    "pipeline_doremi_weights" -> ((spark, sfDir) =>
+      doremiWeightFrame(spark, sfDir)
+        .select(col("source"), col("n_occ"), col("loss").as("loss_scaled"),
+          col("w").as("weight_ppm"))),
+    // END-TO-END CURATION CAPSTONE — the whole training-data funnel as ONE
+    // oracle-checked query, composing three verified stages the way a real
+    // pretraining pipeline chains them:
+    //   1. quality cascade (Gopher-rule first-failure verdicts) keeps docs;
+    //   2. near-dup survivorship (simhash banding → connected components)
+    //      keeps only each cluster's canonical doc;
+    //   3. DoReMi mixture weights retarget the surviving natural source
+    //      shares by deterministic rejection sampling: accept ratio
+    //      α_s ∝ weight_s / share_s, normalized so the largest ratio
+    //      accepts everything (the standard resample-to-target-mixture
+    //      construction), routed by content-free md5(doc_id) — the same
+    //      routing every sampling operator here uses, so the decision
+    //      composes with epoch shuffling and sharding unchanged.
+    // Per source: funnel counts (input → kept), natural share vs target
+    // weight (ppm), the accept rate, and the sampled doc/token yield.
+    // Scale shape: the cascade is a projection, survivorship is the
+    // banded-candidate component pass, DoReMi is one bigram scan + a
+    // control-plane loop, sampling is a hash predicate — nothing here
+    // adds a stage the pieces didn't already pay for, and every join off
+    // the corpus is against a ≤#sources-row broadcast frame.
+    "pipeline_curation_e2e" -> ((spark, sfDir) => {
+      val kept = CacheScope.pinned(
+        cascadeDecisions(spark, sfDir, CascadeRepX10, CascadeStopDen)
+          .filter(col("keep"))
+          .select(col("doc_id"), col("n_tokens"))
+          .join(DedupQueries.queries("dedup_survivors")(spark, sfDir)
+            .filter(col("kept")).select(col("doc_id")), "doc_id")
+          .join(graft.Tables.load(spark, sfDir, "documents")
+            .select(col("doc_id"), col("source")), "doc_id"))
+      val inputs = graft.Tables.load(spark, sfDir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_input"))
+      val shares = kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"))
+      val tot = shares.agg(sum(col("n_kept")).as("__t"))
+      val ratios = shares.crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("n_kept * 1000000 div __t"))
+        .join(doremiWeightFrame(spark, sfDir)
+          .select(col("source"), col("w").as("weight_ppm")), "source")
+        .withColumn("__ratio",
+          expr("weight_ppm * 1000000 div greatest(1, share_ppm)"))
+      val mx = ratios.agg(max(col("__ratio")).as("__mx"))
+      val rates = ratios.crossJoin(broadcast(mx))
+        .withColumn("accept_ppm", expr("__ratio * 1000000 div __mx"))
+        .select(col("source"), col("n_kept"), col("share_ppm"),
+          col("weight_ppm"), col("accept_ppm"))
+      val sampled = kept.join(broadcast(rates), "source")
+        .filter(pmod(Hashing.hash64(concat(lit("e2e:"),
+          col("doc_id").cast("string"))), lit(1000000L)) < col("accept_ppm"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_tokens")).as("sampled_tokens"))
+      inputs.join(rates, "source")
+        .join(sampled, Seq("source"), "left_outer")
+        .select(col("source"), col("n_input"), col("n_kept"),
+          col("share_ppm"), col("weight_ppm"), col("accept_ppm"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("sampled_tokens"), lit(0L)).as("sampled_tokens"))
+    })
+  )
+
+  /** The DoReMi trainer shared by `pipeline_doremi_weights` and the
+    * curation capstone: per-source `(source, n_occ, loss, w)` after
+    * [[DoremiRounds]] exponentiated-gradient rounds. */
+  def doremiWeightFrame(spark: SparkSession, sfDir: String): DataFrame = {
       val grams = graft.Tables.load(spark, sfDir, "documents")
         .withColumn("__toks", Hashing.tokens(col("text")))
         .filter(size(col("__toks")) >= 2)
@@ -405,10 +472,9 @@ object PipelineQueries {
           .select(col("source"),
             expr(s"wr * $DoremiWeightScale div wtot").as("w")))
       }
-      loss.select(col("source"), col("n_occ"), col("loss").as("loss_scaled"))
-        .join(w.select(col("source"), col("w").as("weight_ppm")), "source")
-    })
-  )
+      loss.select(col("source"), col("n_occ"), col("loss"))
+        .join(w.select(col("source"), col("w")), "source")
+  }
 
   /** The cascade's policy-independent signal extraction — the expensive
     * token/5-gram pass, shared across policy versions. */
@@ -774,11 +840,77 @@ object PipelineQueries {
     // the all-positive operands ≡ Spark's `div`, and each round's sums are
     // CAST back to BIGINT so DuckDB's HUGEINT promotion never leaks into
     // the compared schema.
-    "pipeline_doremi_weights" -> doremiSqlStr
+    "pipeline_doremi_weights" -> doremiSqlStr,
+    // the capstone composed from its stages' own oracle pieces: the
+    // cascade SELECT embeds as the `casc` CTE, survivorship reuses
+    // DedupQueries.survivorsCtes verbatim (recursive components — hence
+    // the WITH RECURSIVE), the mixture weights reuse the unrolled DoReMi
+    // chain, and the sampling predicate replays the engine's md5 routing
+    "pipeline_curation_e2e" -> curationE2eSqlStr
   )
 
+  /** Composed oracle for the end-to-end curation capstone. */
+  private def curationE2eSqlStr: String = {
+    val survCtes = DedupQueries.survivorsCtes
+      .map { case (n, q) => s"$n AS (\n$q\n)" }.mkString(",\n")
+    s"""WITH RECURSIVE $survCtes,
+       |$doremiCtesStr,
+       |casc AS (
+       |  SELECT doc_id, n_tokens
+       |  FROM (${cascadeSelectSql(CascadeRepX10, CascadeStopDen)}) c
+       |  WHERE keep),
+       |keptdocs AS (
+       |  SELECT c.doc_id, c.n_tokens, d.source
+       |  FROM casc c
+       |  JOIN surv s ON s.doc_id = c.doc_id AND s.kept
+       |  JOIN documents d ON d.doc_id = c.doc_id),
+       |inputs AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_input
+       |  FROM documents GROUP BY source),
+       |shares AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+       |  FROM keptdocs GROUP BY source),
+       |tt AS (SELECT CAST(SUM(n_kept) AS BIGINT) AS t FROM shares),
+       |ratios AS (
+       |  SELECT s.source, s.n_kept,
+       |         CAST(s.n_kept * 1000000 // tt.t AS BIGINT) AS share_ppm,
+       |         w.w AS weight_ppm,
+       |         CAST(w.w * 1000000 // GREATEST(1,
+       |             CAST(s.n_kept * 1000000 // tt.t AS BIGINT))
+       |           AS BIGINT) AS ratio
+       |  FROM shares s CROSS JOIN tt
+       |  JOIN w$DoremiRounds w ON w.source = s.source),
+       |mx AS (SELECT CAST(MAX(ratio) AS BIGINT) AS mx FROM ratios),
+       |rates AS (
+       |  SELECT source, n_kept, share_ppm, weight_ppm,
+       |         CAST(ratio * 1000000 // mx AS BIGINT) AS accept_ppm
+       |  FROM ratios CROSS JOIN mx),
+       |samp AS (
+       |  SELECT k.source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       |         CAST(SUM(k.n_tokens) AS BIGINT) AS sampled_tokens
+       |  FROM keptdocs k JOIN rates r ON r.source = k.source
+       |  WHERE ${Hashing.hash64Sql("concat('e2e:', CAST(k.doc_id AS VARCHAR))")}
+       |          % 1000000 < r.accept_ppm
+       |  GROUP BY k.source)
+       |SELECT i.source, i.n_input, r.n_kept, r.share_ppm, r.weight_ppm,
+       |       r.accept_ppm,
+       |       COALESCE(s.n_sampled, 0) AS n_sampled,
+       |       COALESCE(s.sampled_tokens, 0) AS sampled_tokens
+       |FROM inputs i
+       |JOIN rates r USING (source)
+       |LEFT JOIN samp s USING (source)""".stripMargin
+  }
+
   /** Unrolled-CTE oracle for the DoReMi trainer. */
-  private def doremiSqlStr: String = {
+  private def doremiSqlStr: String =
+    s"""WITH $doremiCtesStr
+       |SELECT l.source, l.n_occ, l.loss AS loss_scaled, w.w AS weight_ppm
+       |FROM loss l JOIN w$DoremiRounds w USING (source)""".stripMargin
+
+  /** The DoReMi CTE chain (g → lm → loss → w0 → … → w[[DoremiRounds]])
+    * without the WITH prefix — shared by [[doremiSqlStr]] and the curation
+    * capstone's composed oracle. */
+  private def doremiCtesStr: String = {
     val rounds = (1 to DoremiRounds).map { t =>
       s"""mix$t AS MATERIALIZED (
          |  SELECT CAST(SUM(w.w * l.loss) // SUM(w.w) AS BIGINT) AS mix
@@ -795,7 +927,7 @@ object PipelineQueries {
          |  SELECT source, CAST(wr * $DoremiWeightScale // wtot AS BIGINT) AS w
          |  FROM wr$t CROSS JOIN wt$t)""".stripMargin
     }.mkString(",\n")
-    s"""WITH g AS MATERIALIZED (
+    s"""g AS MATERIALIZED (
        |  SELECT source, unnest(list_transform(range(len(toks) - 1),
        |    i -> concat_ws(' ', toks[i+1], toks[i+2]))) AS bg
        |  FROM (SELECT source, ${Hashing.tokensSql("text")} AS toks
@@ -811,9 +943,7 @@ object PipelineQueries {
        |w0 AS MATERIALIZED (
        |  SELECT source, CAST($DoremiWeightScale // nd AS BIGINT) AS w
        |  FROM loss CROSS JOIN nd),
-       |$rounds
-       |SELECT l.source, l.n_occ, l.loss AS loss_scaled, w.w AS weight_ppm
-       |FROM loss l JOIN w$DoremiRounds w USING (source)""".stripMargin
+       |$rounds""".stripMargin
   }
 
   /** The cascade's oracle SELECT (no CTEs, so it embeds as a subquery or a

@@ -75,6 +75,21 @@ object SimilarityQueries {
   val KmK = 8
   val KmIters = 3
 
+  /** Matryoshka prefix width: the first MatPrefDim of [[Dim]] dims score
+    * the shortlist stage (MRL-trained embeddings front-load information, so
+    * the truncated prefix is itself a usable embedding — Kusupati et al.,
+    * "Matryoshka Representation Learning", NeurIPS 2022). 32 of 64 dims =
+    * 2× fewer multiplies on the corpus-sized stage; the synthetic fixture
+    * embeddings spread information UNIFORMLY across dims (nothing trained
+    * them to front-load), so the fixture is the adversarial case for a
+    * prefix ranker — a 16-dim prefix measured recall 0.40 there, 32 dims
+    * clears the pin. MRL-trained production embeddings would tolerate the
+    * shorter prefix. */
+  val MatPrefDim = 32
+
+  /** Prefix-score shortlist width fed to the exact full-dim rerank. */
+  val MatShortlist = 50
+
   /** SemDeDup similarity threshold: a same-cluster pair at or above this
     * cosine marks the higher id a semantic duplicate ([[semanticDupes]]).
     * Looser than the 0.95 the LSH near-dup query uses — SemDeDup's point
@@ -677,6 +692,48 @@ object SimilarityQueries {
     // EVERY scale, not just the ones where the constants coincide.
     "ann_ivf_sampled" -> ((spark, sfDir) =>
       ivfSampledTopk(Tables.load(spark, sfDir, "embeddings"))),
+    // MATRYOSHKA two-stage retrieval (Kusupati et al., NeurIPS 2022 — the
+    // adaptive-dimension serving pattern): the corpus-sized stage scores
+    // only the first [[MatPrefDim]] of [[Dim]] dims (4× fewer multiplies
+    // per candidate — at 100 TB the scan stage is compute-bound, so the
+    // prefix IS the speedup), keeps a [[MatShortlist]]-wide shortlist per
+    // probe by prefix cosine, then reranks the shortlist exact full-dim.
+    // [[QuantizedVec.QuantizedDot]] scores over the common prefix of its
+    // two arrays, so `slice(embedding, 1, MatPrefDim)` against the FULL
+    // neighbor vector computes the truncated dot with no second corpus
+    // copy; norms for the truncated space come from the same slice. Both
+    // window stages partition on probe_id — one Exchange, reused. The
+    // shortlist is an approximation (prefix order ≠ full order); recall vs
+    // the exact baseline is pinned by spec, the arithmetic by the oracle
+    // hash gate. Composes with the IVF router exactly like ADC does
+    // (route probes → prefix-score inside lists) at the next scale rung.
+    "ann_matryoshka_topk" -> ((spark, sfDir) => {
+      val raw = Tables.load(spark, sfDir, "embeddings")
+      val emb = raw.select(col("vec_id"), col("embedding"),
+        QuantizedVec.qnormsq(col("embedding")).as("nsq"),
+        QuantizedVec.qnormsq(slice(col("embedding"), 1, MatPrefDim)).as("pnsq"))
+      val probes = emb.filter(col("vec_id") % probeStride(raw.count()) === 0)
+        .select(col("vec_id").as("probe_id"),
+          slice(col("embedding"), 1, MatPrefDim).as("p_pref"),
+          col("embedding").as("p_emb"),
+          col("nsq").as("p_nsq"), col("pnsq").as("p_pnsq"))
+      val scored = broadcast(probes).join(emb, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          col("p_emb"), col("p_nsq"), col("embedding"), col("nsq"),
+          QuantizedVec.qcosine(col("p_pref"), col("embedding"),
+            col("p_pnsq"), col("pnsq")).as("pcos"))
+      val wS = Window.partitionBy(col("probe_id"))
+        .orderBy(col("pcos").desc, col("neighbor_id"))
+      val short = scored.withColumn("srank", row_number().over(wS))
+        .filter(col("srank") <= MatShortlist)
+      val wR = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos").desc, col("neighbor_id"))
+      short.withColumn("cos", QuantizedVec.qcosine(col("p_emb"),
+          col("embedding"), col("p_nsq"), col("nsq")))
+        .withColumn("rank", row_number().over(wR).cast("long"))
+        .filter(col("rank") <= TopK)
+        .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rank"))
+    }),
     // Product-quantization ANN — the MEMORY-COMPRESSED scan (FAISS
     // IndexPQ's ADC search): the corpus is encoded once to PqM=8 codes
     // per vector (64-dim float → 8 bytes, 32×; 4-bit packing → 64×), and a
@@ -952,6 +1009,50 @@ object SimilarityQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
          |                               ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored) t WHERE rank <= $TopK""".stripMargin,
+    // matryoshka replayed: prefix dots are the same qn join restricted to
+    // d < MatPrefDim, prefix norms likewise; shortlist and rerank use the
+    // engine's exact tiebreaks (score, then neighbor_id)
+    "ann_matryoshka_topk" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+         |${qnCte._1} AS (${qnCte._2}),
+         |${normsCte._1} AS (${normsCte._2}),
+         |pnorms AS (
+         |  SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS pnsq
+         |  FROM qn WHERE d < $MatPrefDim GROUP BY vec_id),
+         |$pstrideCte,
+         |pdots AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         |         CAST(SUM(a.qv * b.qv) AS BIGINT) AS pdot
+         |  FROM qn a JOIN qn b ON a.d = b.d AND a.vec_id <> b.vec_id
+         |  CROSS JOIN pp
+         |  WHERE a.vec_id % pp.pstride = 0 AND a.d < $MatPrefDim
+         |  GROUP BY a.vec_id, b.vec_id),
+         |pscored AS (
+         |  SELECT probe_id, neighbor_id,
+         |         CAST(pdot AS DOUBLE) / (sqrt(CAST(pa.pnsq AS DOUBLE)) * sqrt(CAST(pb.pnsq AS DOUBLE))) AS pcos
+         |  FROM pdots JOIN pnorms pa ON pa.vec_id = probe_id
+         |             JOIN pnorms pb ON pb.vec_id = neighbor_id),
+         |short AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                                 ORDER BY pcos DESC, neighbor_id) AS srank
+         |    FROM pscored) t WHERE srank <= $MatShortlist),
+         |fdots AS (
+         |  SELECT s.probe_id, s.neighbor_id,
+         |         CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
+         |  FROM short s
+         |  JOIN qn qa ON qa.vec_id = s.probe_id
+         |  JOIN qn qb ON qb.vec_id = s.neighbor_id AND qb.d = qa.d
+         |  GROUP BY s.probe_id, s.neighbor_id),
+         |fscored AS (
+         |  SELECT probe_id, neighbor_id,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
+         |  FROM fdots JOIN norms na ON na.vec_id = probe_id
+         |             JOIN norms nb ON nb.vec_id = neighbor_id)
+         |SELECT probe_id, neighbor_id, cos, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                               ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM fscored) t WHERE rank <= $TopK""".stripMargin,
     "ann_filtered_topk" ->
       s"""WITH corpus AS (SELECT vec_id, label, embedding FROM embeddings),
          |qn AS (

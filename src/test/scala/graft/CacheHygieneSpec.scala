@@ -29,7 +29,9 @@ class CacheHygieneSpec extends SparkTestBase {
       // caches the bigram pass; fertility runs the pinned BPE trainer
       "pipeline_doremi_weights", "text_bpe_fertility",
       // substring spans pin the positioned-gram frame for df count + joins
-      "dedup_substring_spans")
+      "dedup_substring_spans",
+      // the capstone pins the kept-docs frame and runs the doremi trainer
+      "pipeline_curation_e2e")
     // neutralize anything earlier suites in this shared JVM left behind —
     // the assertion is about what THESE queries leave, not JVM history
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))

@@ -85,7 +85,12 @@ class DeterminismSpec extends SparkTestBase {
     Seq("pipeline_doremi_weights", "text_bpe_fertility", "diff_dist_drift",
       // substring spans: df-banded candidates + diag-island windows —
       // pure relational, partition-count-free
-      "dedup_substring_spans")
+      "dedup_substring_spans",
+      // matryoshka: integer prefix scores, per-probe windows with full
+      // (score, neighbor_id) tiebreaks
+      "ann_matryoshka_topk",
+      // capstone: every stage integer/hash-deterministic by construction
+      "pipeline_curation_e2e")
       .foreach { q =>
         val a = repartitioned(2)(q)
         val b = repartitioned(17)(q)

@@ -91,6 +91,29 @@ class IvfRecallSpec extends SparkTestBase {
     assert(overlap >= 0.85, f"indexed-hybrid overlap $overlap%.3f below 0.85")
   }
 
+  test("matryoshka rung: prefix-shortlist recall@10 vs the exact baseline") {
+    // the 16-of-64-dim prefix shortlist (MatShortlist=50) must recover
+    // most of the exact top-10 — the MRL serving contract: prefix order
+    // approximates full order well enough that a small shortlist suffices
+    val exact = SimilarityQueries.queries("ann_cosine_topk")(spark, Sf)
+      .select(col("probe_id"), col("neighbor_id"))
+    val mat = SparkEntry.queries("ann_matryoshka_topk")(spark, Sf)
+      .select(col("probe_id"), col("neighbor_id"))
+    val nExact = exact.count()
+    val hit = exact.join(mat, Seq("probe_id", "neighbor_id"), "left_semi").count()
+    val recall = hit.toDouble / nExact
+    info(f"matryoshka recall@${SimilarityQueries.TopK} = $recall%.3f ($hit/$nExact)")
+    assert(recall >= 0.5, f"matryoshka recall $recall%.3f below 0.5")
+    // reranked scores are FULL-dim cosines: every returned cos must equal
+    // the exact baseline's score for the same (probe, neighbor) pair
+    val ex = SimilarityQueries.queries("ann_cosine_topk")(spark, Sf)
+      .select(col("probe_id"), col("neighbor_id"), col("cos").as("ex_cos"))
+    val mismatch = SparkEntry.queries("ann_matryoshka_topk")(spark, Sf)
+      .join(ex, Seq("probe_id", "neighbor_id"))
+      .filter(col("cos") =!= col("ex_cos")).count()
+    assert(mismatch == 0, s"$mismatch reranked scores differ from exact full-dim cosine")
+  }
+
   test("recall@10 vs the exact baseline is >= 0.5") {
     val exact = SimilarityQueries.queries("ann_cosine_topk")(spark, Sf)
       .select(col("probe_id"), col("neighbor_id"))

@@ -257,6 +257,33 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows.exists(r => r.getAs[Double]("fertility") > 1.0))
   }
 
+  test("curation e2e: funnel narrows, accept rates target the doremi mixture") {
+    val rows = SparkEntry.queries("pipeline_curation_e2e")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (in, kept, samp) = (r.getAs[Long]("n_input"), r.getAs[Long]("n_kept"),
+        r.getAs[Long]("n_sampled"))
+      // the funnel only narrows: input ⊇ cascade+dedup survivors ⊇ sample
+      assert(in >= kept && kept >= samp && samp >= 0, r.toString)
+      assert(r.getAs[Long]("accept_ppm") >= 0 && r.getAs[Long]("accept_ppm") <= 1000000L)
+      assert(r.getAs[Long]("sampled_tokens") >= samp, "docs kept by cascade have >= 1 token each")
+    }
+    // the max weight/share ratio source accepts everything (rate 1e6 by
+    // the rejection-sampling normalization) and something is sampled
+    assert(rows.exists(_.getAs[Long]("accept_ppm") == 1000000L), rows.mkString(";"))
+    assert(rows.map(_.getAs[Long]("n_sampled")).sum > 0)
+    // shares are a simplex over the surviving sources (floor-div remainder)
+    val shp = rows.map(_.getAs[Long]("share_ppm"))
+    assert(shp.sum <= 1000000L && 1000000L - shp.sum < rows.length)
+    // acceptance follows the weight/share ratio ordering (monotone in it)
+    val byRatio = rows.sortBy(r =>
+      r.getAs[Long]("weight_ppm") * 1000000L /
+        math.max(1L, r.getAs[Long]("share_ppm")))
+    val acc = byRatio.map(_.getAs[Long]("accept_ppm"))
+    assert(acc.zip(acc.tail).forall { case (a, b) => a <= b },
+      s"accept rates not monotone in weight/share: ${acc.mkString(",")}")
+  }
+
   test("dist drift: mutation's emergent status surfaces; TVD is bounded and consistent") {
     val rows = SparkEntry.queries("diff_dist_drift")(spark, Sf).collect()
     val status = rows.filter(_.getAs[String]("col_name") == "o_orderstatus")

@@ -345,6 +345,31 @@ class PlanQualitySpec extends SparkTestBase {
     CacheScope.releaseAll()
   }
 
+  test("matryoshka: shortlist and rerank windows share one probe_id exchange") {
+    // both window stages partition on probe_id — Catalyst must plan ONE
+    // hash Exchange on it (shuffle the scored candidates once, sort twice);
+    // a range partitioning anywhere would mean a global sort crept in
+    val p = plan("ann_matryoshka_topk")
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+    val probeExchanges = "Exchange hashpartitioning\\(probe_id".r
+      .findAllIn(p).size
+    assert(probeExchanges == 1,
+      s"expected exactly 1 probe_id exchange, saw $probeExchanges\n${p.take(2000)}")
+  }
+
+  test("curation e2e: sampling reads the pinned kept-docs leaf, rates broadcast") {
+    // the kept-docs frame is pinned (feeds shares AND the sampled rollup);
+    // the per-source rates frame joins into it broadcast — the corpus-side
+    // work never shuffles on anything but the tiny grouped keys, and no
+    // global sort exists anywhere in the funnel
+    val p = plan("pipeline_curation_e2e")
+    assert(p.contains("Scan ExistingRDD"), s"no checkpoint leaf\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    CacheScope.releaseAll()
+  }
+
   test("iterative graph trainers: unrolled steps read the checkpoint leaf, not the generator") {
     // CacheScope.pinned truncates the static frame's lineage: the
     // returned plan must hang off an in-memory RDD scan, with the simhash
