@@ -48,7 +48,20 @@ object GraphOps {
       val neigh = sym.join(labels.select(col("id").as("__nid"), col("label")),
           col("dst") === col("__nid"))
         .select(col("src").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).union(neigh)
+      // POINTER DOUBLING (the shortcut hop of large-star/small-star CC —
+      // Kiveris et al., "Connected Components in MapReduce and Beyond",
+      // SoCC 2014): each vertex also adopts its label's label. Plain
+      // neighbor propagation needs DIAMETER rounds — a 100-replica
+      // copy-of-copy chain at sf10 blew the 25-round budget; with the
+      // label(label(v)) hop the frontier distance halves every round, so
+      // convergence is O(log diameter) and 25 rounds cover diameters to
+      // ~2^25. The hop preserves the invariant (labels only ever decrease
+      // toward the component's min id), so the fixed point is unchanged.
+      val hop = labels
+        .join(labels.select(col("id").as("__hid"), col("label").as("__hlabel")),
+          col("label") === col("__hid"))
+        .select(col("id"), col("__hlabel").as("label"))
+      val next = labels.select(col("id"), col("label")).union(neigh).union(hop)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
         .persist()
       val changed = next

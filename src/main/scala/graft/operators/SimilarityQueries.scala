@@ -701,38 +701,35 @@ object SimilarityQueries {
     // [[QuantizedVec.QuantizedDot]] scores over the common prefix of its
     // two arrays, so `slice(embedding, 1, MatPrefDim)` against the FULL
     // neighbor vector computes the truncated dot with no second corpus
-    // copy; norms for the truncated space come from the same slice. Both
-    // window stages partition on probe_id — one Exchange, reused. The
+    // copy; norms for the truncated space come from the same slice. The
     // shortlist is an approximation (prefix order ≠ full order); recall vs
     // the exact baseline is pinned by spec, the arithmetic by the oracle
     // hash gate. Composes with the IVF router exactly like ADC does
     // (route probes → prefix-score inside lists) at the next scale rung.
     "ann_matryoshka_topk" -> ((spark, sfDir) => {
       val raw = Tables.load(spark, sfDir, "embeddings")
-      val emb = raw.select(col("vec_id"), col("embedding"),
-        QuantizedVec.qnormsq(col("embedding")).as("nsq"),
+      val pemb = raw.select(col("vec_id"), col("embedding"),
         QuantizedVec.qnormsq(slice(col("embedding"), 1, MatPrefDim)).as("pnsq"))
-      val probes = emb.filter(col("vec_id") % probeStride(raw.count()) === 0)
+      val probes = pemb.filter(col("vec_id") % probeStride(raw.count()) === 0)
         .select(col("vec_id").as("probe_id"),
           slice(col("embedding"), 1, MatPrefDim).as("p_pref"),
-          col("embedding").as("p_emb"),
-          col("nsq").as("p_nsq"), col("pnsq").as("p_pnsq"))
-      val scored = broadcast(probes).join(emb, col("vec_id") =!= col("probe_id"))
+          col("pnsq").as("p_pnsq"))
+      // the corpus-sized stage emits only (probe_id, neighbor_id, pcos):
+      // three narrow columns into the shortlist window (WindowGroupLimit
+      // keeps 50/probe per map partition BEFORE the shuffle). Carrying the
+      // vectors through instead measured 35.6 s at sf10 — a 30×-wider
+      // shuffle that made the "cheap" stage dearer than the exact scan.
+      val pscored = broadcast(probes).join(pemb, col("vec_id") =!= col("probe_id"))
         .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-          col("p_emb"), col("p_nsq"), col("embedding"), col("nsq"),
           QuantizedVec.qcosine(col("p_pref"), col("embedding"),
             col("p_pnsq"), col("pnsq")).as("pcos"))
       val wS = Window.partitionBy(col("probe_id"))
         .orderBy(col("pcos").desc, col("neighbor_id"))
-      val short = scored.withColumn("srank", row_number().over(wS))
+      val cand = pscored.withColumn("srank", row_number().over(wS))
         .filter(col("srank") <= MatShortlist)
-      val wR = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      short.withColumn("cos", QuantizedVec.qcosine(col("p_emb"),
-          col("embedding"), col("p_nsq"), col("nsq")))
-        .withColumn("rank", row_number().over(wR).cast("long"))
-        .filter(col("rank") <= TopK)
-        .select(col("probe_id"), col("neighbor_id"), col("cos"), col("rank"))
+        .select(col("probe_id"), col("neighbor_id"))
+      // exact full-dim rerank fetches vectors ONLY for the tiny shortlist
+      topkRerank(cand, normed(raw))
     }),
     // Product-quantization ANN — the MEMORY-COMPRESSED scan (FAISS
     // IndexPQ's ADC search): the corpus is encoded once to PqM=8 codes

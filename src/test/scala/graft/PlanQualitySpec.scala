@@ -345,12 +345,15 @@ class PlanQualitySpec extends SparkTestBase {
     CacheScope.releaseAll()
   }
 
-  test("matryoshka: shortlist and rerank windows share one probe_id exchange") {
-    // both window stages partition on probe_id — Catalyst must plan ONE
-    // hash Exchange on it (shuffle the scored candidates once, sort twice);
-    // a range partitioning anywhere would mean a global sort crept in
+  test("matryoshka: narrow shortlist shuffle with partial top-k, one probe_id exchange") {
+    // the corpus-sized prefix stage must shuffle only (probe_id,
+    // neighbor_id, pcos) — WindowGroupLimit keeps 50/probe per map
+    // partition BEFORE the exchange — and the rerank window reuses the
+    // shortlist's probe_id partitioning (broadcast joins preserve it):
+    // exactly one hash exchange, no range partitioning anywhere
     val p = plan("ann_matryoshka_topk")
     assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+    assert(p.contains("WindowGroupLimit"), p.take(2000))
     val probeExchanges = "Exchange hashpartitioning\\(probe_id".r
       .findAllIn(p).size
     assert(probeExchanges == 1,
