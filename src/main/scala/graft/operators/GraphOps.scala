@@ -61,21 +61,23 @@ object GraphOps {
         .join(labels.select(col("id").as("__hid"), col("label").as("__hlabel")),
           col("label") === col("__hid"))
         .select(col("id"), col("__hlabel").as("label"))
-      val next = labels.select(col("id"), col("label")).union(neigh).union(hop)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .persist()
+      // pin EVERY round. `labels` appears three times in a round's plan
+      // (self + neighbor hop + both sides of the label-of-label join), so
+      // without truncation the logical tree TRIPLES per round — 3^k
+      // subtree copies by round k. A pin-every-5 cadence measured 82 s at
+      // sf10 (10–25 s per checkpoint replan, growing analysis cost in the
+      // rounds between); pinning each round keeps every plan one round
+      // deep — 0.1 s per pin, 16 s total, identical labels. The eager
+      // checkpoint is also the round's only materialization: the
+      // convergence count below reads the leaf.
+      val next = CacheScope.pinned(
+        labels.select(col("id"), col("label")).union(neigh).union(hop)
+          .groupBy(col("id")).agg(min(col("label")).as("label")))
       val changed = next
         .join(labels.select(col("id"), col("label").as("__old")), Seq("id"))
         .filter(col("label") =!= col("__old")).count()
-      labels.unpersist()
-      // persist caches data but NOT lineage: by round k the logical plan
-      // nests k join+agg layers and Catalyst re-analyzes the whole tree
-      // each round (O(k²) planning, eventual stack depth). A pinned
-      // checkpoint truncates the lineage every few rounds so planning cost
-      // stays flat for high-diameter graphs.
-      labels =
-        if ((iter + 1) % 5 == 0) { val cp = CacheScope.pinned(next); next.unpersist(); cp }
-        else next
+      labels.unpersist() // no-op on pinned ancestors (owned by CacheScope)
+      labels = next
       converged = changed == 0
       iter += 1
     }
