@@ -38,6 +38,81 @@ object DiffQueries {
     spark.sql(Mutations.afterSql(t.name))
   }
 
+  /** Distribution-drift oracle (shared by the batch query and the
+    * streaming twin — one oracle gates both): same explode into
+    * (col, bucket, side) rows, same ppm floor-div shares, same integer
+    * TVD; `//` on the all-positive operands ≡ Spark's `div`, sums CAST
+    * back to BIGINT so DuckDB's HUGEINT promotion never leaks into the
+    * compared schema. */
+  private def distDriftSqlStr: String =
+    s"""WITH aft AS (
+       |${Mutations.afterSql("orders")}
+       |),
+       |buck AS (
+       |  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS bucket,
+       |         'b' AS side FROM orders
+       |  UNION ALL
+       |  SELECT 'o_totalprice_band',
+       |         CAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS VARCHAR),
+       |         'b' FROM orders
+       |  UNION ALL
+       |  SELECT 'o_orderstatus', o_orderstatus, 'a' FROM aft
+       |  UNION ALL
+       |  SELECT 'o_totalprice_band',
+       |         CAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS VARCHAR),
+       |         'a' FROM aft),
+       |g AS (
+       |  SELECT col_name, bucket,
+       |    CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS before_n,
+       |    CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS after_n
+       |  FROM buck GROUP BY col_name, bucket),
+       |t AS (
+       |  SELECT *,
+       |    CAST(SUM(before_n) OVER (PARTITION BY col_name) AS BIGINT) AS btot,
+       |    CAST(SUM(after_n) OVER (PARTITION BY col_name) AS BIGINT) AS atot
+       |  FROM g),
+       |p AS (
+       |  SELECT col_name, bucket, before_n, after_n,
+       |    CAST(before_n * 1000000 // btot AS BIGINT) AS before_ppm,
+       |    CAST(after_n * 1000000 // atot AS BIGINT) AS after_ppm
+       |  FROM t)
+       |SELECT col_name, bucket, before_n, after_n, before_ppm, after_ppm,
+       |  CAST(abs(before_ppm - after_ppm) AS BIGINT) AS drift_ppm,
+       |  CAST(CAST(SUM(abs(before_ppm - after_ppm))
+       |      OVER (PARTITION BY col_name) AS BIGINT) // 2 AS BIGINT)
+       |    AS col_tvd_ppm
+       |FROM p""".stripMargin
+
+  /** The drift monitor's (col_name, bucket) explode over an orders-shaped
+    * frame — one categorical column and one fixed-edge numeric band.
+    * Stateless projection: shared verbatim by the batch `diff_dist_drift`
+    * and its streaming twin (fixed band edges are what make buckets
+    * comparable across snapshots, scales, and micro-batches). */
+  private[graft] def ordersDriftBuckets(df: DataFrame): DataFrame = df.select(
+    explode(array(
+      struct(lit("o_orderstatus").as("col_name"),
+        col("o_orderstatus").as("bucket")),
+      struct(lit("o_totalprice_band").as("col_name"),
+        expr("CAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS STRING)")
+          .as("bucket")))).as("cb"))
+    .select(col("cb.col_name").as("col_name"), col("cb.bucket").as("bucket"))
+
+  /** Integer ppm shares + per-column total-variation distance over the
+    * grouped (col_name, bucket, before_n, after_n) histogram frame —
+    * windows over a control-plane-sized table at any corpus scale. */
+  private[graft] def driftOver(g: DataFrame): DataFrame = {
+    val wc = Window.partitionBy(col("col_name"))
+    g.withColumn("__btot", sum(col("before_n")).over(wc))
+      .withColumn("__atot", sum(col("after_n")).over(wc))
+      .withColumn("before_ppm", expr("before_n * 1000000 div __btot"))
+      .withColumn("after_ppm", expr("after_n * 1000000 div __atot"))
+      .withColumn("drift_ppm", abs(col("before_ppm") - col("after_ppm")))
+      .withColumn("__tv", sum(col("drift_ppm")).over(wc))
+      .select(col("col_name"), col("bucket"), col("before_n"),
+        col("after_n"), col("before_ppm"), col("after_ppm"),
+        col("drift_ppm"), expr("__tv div 2").as("col_tvd_ppm"))
+  }
+
   private def diffQ(t: TableDef, pk: Seq[String]): Q = (spark, sfDir) => {
     val before = Tables.load(spark, sfDir, t.name)
     SnapshotDiff.diff(before, after(spark, sfDir, t), pk)
@@ -363,31 +438,24 @@ object DiffQueries {
       // frame and nothing wide ever moves.
       "diff_dist_drift" -> ((spark, sfDir) => {
         val t = Tables.orders
-        def buckets(df: DataFrame, side: String) = df.select(
-          explode(array(
-            struct(lit("o_orderstatus").as("col_name"),
-              col("o_orderstatus").as("bucket")),
-            struct(lit("o_totalprice_band").as("col_name"),
-              expr("CAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS STRING)")
-                .as("bucket")))).as("cb"))
-          .select(col("cb.col_name").as("col_name"),
-            col("cb.bucket").as("bucket"), lit(side).as("side"))
-        val wc = Window.partitionBy(col("col_name"))
-        buckets(Tables.load(spark, sfDir, t.name), "b")
-          .unionByName(buckets(after(spark, sfDir, t), "a"))
-          .groupBy(col("col_name"), col("bucket"))
-          .agg(sum(when(col("side") === "b", 1L).otherwise(0L)).as("before_n"),
-            sum(when(col("side") === "a", 1L).otherwise(0L)).as("after_n"))
-          .withColumn("__btot", sum(col("before_n")).over(wc))
-          .withColumn("__atot", sum(col("after_n")).over(wc))
-          .withColumn("before_ppm", expr("before_n * 1000000 div __btot"))
-          .withColumn("after_ppm", expr("after_n * 1000000 div __atot"))
-          .withColumn("drift_ppm", abs(col("before_ppm") - col("after_ppm")))
-          .withColumn("__tv", sum(col("drift_ppm")).over(wc))
-          .select(col("col_name"), col("bucket"), col("before_n"),
-            col("after_n"), col("before_ppm"), col("after_ppm"),
-            col("drift_ppm"), expr("__tv div 2").as("col_tvd_ppm"))
+        def buckets(df: DataFrame, side: String) =
+          ordersDriftBuckets(df).withColumn("side", lit(side))
+        driftOver(
+          buckets(Tables.load(spark, sfDir, t.name), "b")
+            .unionByName(buckets(after(spark, sfDir, t), "a"))
+            .groupBy(col("col_name"), col("bucket"))
+            .agg(sum(when(col("side") === "b", 1L).otherwise(0L)).as("before_n"),
+              sum(when(col("side") === "a", 1L).otherwise(0L)).as("after_n")))
       }),
+      // the SAME drift monitor as a STRUCTURED STREAM: the after-side feed
+      // arrives incrementally, the mutation is applied as stateless
+      // per-row fan-out on the stream, and the histogram is a streaming
+      // aggregation whose state is the ≤(#cols·#buckets)-row bucket table
+      // — the natural deployment for "did today's feed move?" monitoring.
+      // Final table spec-pinned equal to the batch query and gated by the
+      // same oracle row ([[graft.streaming.StreamingDrift]]).
+      "stream_dist_drift" -> ((spark, sfDir) =>
+        graft.streaming.StreamingDrift.runDistDriftOnce(spark, sfDir)),
       // P1+P2+P3 normalization exposed directly.
       "snapshot_normalize_customer" -> ((spark, sfDir) =>
         Normalize.withKey(Tables.load(spark, sfDir, "customer"), Tables.customer.pk)),
@@ -540,44 +608,10 @@ object DiffQueries {
       // distribution drift replayed: same explode into (col, bucket, side)
       // rows, same ppm floor-div shares, same integer TVD — `//` on the
       // all-positive operands ≡ Spark's `div`, sums CAST back to BIGINT.
-      "diff_dist_drift" ->
-        s"""WITH aft AS (
-           |${Mutations.afterSql("orders")}
-           |),
-           |buck AS (
-           |  SELECT 'o_orderstatus' AS col_name, o_orderstatus AS bucket,
-           |         'b' AS side FROM orders
-           |  UNION ALL
-           |  SELECT 'o_totalprice_band',
-           |         CAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS VARCHAR),
-           |         'b' FROM orders
-           |  UNION ALL
-           |  SELECT 'o_orderstatus', o_orderstatus, 'a' FROM aft
-           |  UNION ALL
-           |  SELECT 'o_totalprice_band',
-           |         CAST(CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS VARCHAR),
-           |         'a' FROM aft),
-           |g AS (
-           |  SELECT col_name, bucket,
-           |    CAST(SUM(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS before_n,
-           |    CAST(SUM(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS after_n
-           |  FROM buck GROUP BY col_name, bucket),
-           |t AS (
-           |  SELECT *,
-           |    CAST(SUM(before_n) OVER (PARTITION BY col_name) AS BIGINT) AS btot,
-           |    CAST(SUM(after_n) OVER (PARTITION BY col_name) AS BIGINT) AS atot
-           |  FROM g),
-           |p AS (
-           |  SELECT col_name, bucket, before_n, after_n,
-           |    CAST(before_n * 1000000 // btot AS BIGINT) AS before_ppm,
-           |    CAST(after_n * 1000000 // atot AS BIGINT) AS after_ppm
-           |  FROM t)
-           |SELECT col_name, bucket, before_n, after_n, before_ppm, after_ppm,
-           |  CAST(abs(before_ppm - after_ppm) AS BIGINT) AS drift_ppm,
-           |  CAST(CAST(SUM(abs(before_ppm - after_ppm))
-           |      OVER (PARTITION BY col_name) AS BIGINT) // 2 AS BIGINT)
-           |    AS col_tvd_ppm
-           |FROM p""".stripMargin,
+      "diff_dist_drift" -> distDriftSqlStr,
+      // the streaming twin converges to the identical table — one oracle
+      // gates both (the stream_neardup convention)
+      "stream_dist_drift" -> distDriftSqlStr,
       "diff_three_way" -> DiffOracle.threeWaySql(
         Tables.orders, Mutations.afterSql("orders"), Mutations.threeWayRightSql,
         Tables.orders.pk),

@@ -14,6 +14,19 @@ class StreamingDiffSpec extends SparkTestBase {
 
   private val colNames = Seq("c1", "c2")
 
+  test("streaming distribution drift equals the batch diff_dist_drift table exactly") {
+    // the stream applies the mutation as stateless fan-out and aggregates
+    // the histogram in Complete mode; after the feed drains, the monitor's
+    // table must be the batch operator's answer row-for-row — including
+    // the emergent 'X' bucket with before_n = 0
+    val streamed = SparkEntry.queries("stream_dist_drift")(spark, Sf)
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("diff_dist_drift")(spark, Sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.exists(r => r(0) == "o_orderstatus" && r(1) == "X"))
+  }
+
   test("changelog diff matches batch snapshot diff") {
     // snapshot 1 and snapshot 2 of a tiny table keyed by id
     val before = Seq((1, "a", "x"), (2, "b", "y"), (3, "c", "z")).toDF("id", "c1", "c2")
