@@ -83,6 +83,28 @@ class GraphSketchSpec extends SparkTestBase {
     assert(cc.size == 1)
   }
 
+  test("connectedComponents converges on a 200-vertex chain within the round budget") {
+    // the sf10 regression class: plain min-label propagation needs
+    // DIAMETER rounds, so a copy-of-copy chain longer than maxIter used
+    // to abort ("no convergence in 25 rounds"). The pointer-doubling
+    // label-of-label hop makes convergence O(log diameter): a 200-hop
+    // chain must finish inside the default 25-round budget with every
+    // vertex labeled by the chain's minimum id — this test fails on the
+    // pre-doubling implementation and pins the fix at fixture scale.
+    val chain = (1L until 200L).map(i => (i, i + 1))
+    val got = GraphOps.connectedComponents(
+        chain.toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 200)
+    assert(got.forall(_._2 == 1L), s"chain not fully labeled: ${got.filter(_._2 != 1L).take(5).toSeq}")
+    // and a disjoint 3-cycle keeps its own minimum
+    val two = GraphOps.connectedComponents(
+        (chain ++ Seq((500L, 501L), (501L, 502L), (502L, 500L)))
+          .toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(two(502L) == 500L && two(200L) == 1L)
+  }
+
   test("recursive-CTE BFS: hop distances from %10 seeds, bounded at 4 hops") {
     // chain from seed 10 longer than the hop bound + a separate seed pair;
     // symmetric-edge cycles must not diverge (the hop bound terminates them)
