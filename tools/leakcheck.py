@@ -43,6 +43,56 @@ PATTERNS = {
 }
 EXTS = {".scala", ".md", ".py", ".sbt", ".sh", ".json", ".yaml", ".yml"}
 
+# Literal token families that must never be written verbatim into any
+# committed artifact. mask() rewrites each to a stable, grep-inert stub
+# (first char + "*" + tail fragment) so a hit string can be quoted in
+# LEAKCHECK.json / VERDICT.md without re-introducing the literal into
+# git history on the next commit — this is what broke rounds 6-8: every
+# committed artifact that quoted a hit verbatim became a fresh git-log
+# hit for the following round's scan (quoting recursion).
+_MASKS = [
+    (_j("claude-", "cli-", "internal"), "c*-cli-i*"),
+    (_j(_ANT, "s/"), "a*s/"),
+    (_j("@", _ANT, "-ai"), "@a*-ai"),
+    (_j("com.", _ANT), "com.a*"),
+    (_ANT_INT, "a*-i*"),
+    (_j("#claude", "-code"), "#c*-code"),
+    (_j("sk-", "ant-"), "sk-a*-"),
+    (_ANT, "a*c"),  # bare vendor name last (substring of the above)
+]
+
+def mask(s: str) -> str:
+    for tok, stub in _MASKS:
+        s = s.replace(tok, stub)
+    return s
+
+def gitlog_scan():
+    """Masked git-history scan: counts pattern hits across `git log -p`
+    (full history, all refs) and records only MASKED snippets, so this
+    artifact itself never re-introduces a literal. Counts include both
+    added and removed patch lines — redaction commits that strip a
+    literal therefore bump the count exactly once and then it is flat."""
+    try:
+        log = subprocess.check_output(
+            ["git", "-C", str(ROOT), "log", "-p", "--all",
+             "--no-color", "--unified=0"],
+            stderr=subprocess.DEVNULL).decode(errors="replace")
+    except subprocess.CalledProcessError:
+        return {"total": -1, "by_category": {}, "sample_masked": []}
+    by_cat = {k: 0 for k in PATTERNS}
+    samples = []
+    for line in log.splitlines():
+        if not line or line[0] not in "+-":
+            continue
+        for cat, rx in PATTERNS.items():
+            if re.search(rx, line):
+                by_cat[cat] += 1
+                if len(samples) < 8:
+                    samples.append(mask(line)[:120])
+    return {"total": sum(by_cat.values()),
+            "by_category": {k: v for k, v in by_cat.items() if v},
+            "sample_masked": samples}
+
 def main():
     rnd = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     hits = {k: [] for k in PATTERNS}
@@ -58,13 +108,17 @@ def main():
         for i, line in enumerate(text.splitlines(), 1):
             for cat, rx in PATTERNS.items():
                 if re.search(rx, line):
-                    hits[cat].append(f"{p.relative_to(ROOT)}:{i}")
+                    # Location ref + MASKED snippet only — never the
+                    # literal token (see mask()).
+                    hits[cat].append(
+                        f"{p.relative_to(ROOT)}:{i}: {mask(line.strip())[:100]}")
     head = subprocess.check_output(
         ["git", "-C", str(ROOT), "rev-parse", "HEAD"]).decode().strip()
     out = {
         "round": rnd,
         "n_hits": sum(len(v) for v in hits.values()),
         "hits": hits,
+        "gitlog": gitlog_scan(),
         "generated_at": datetime.datetime.now(datetime.timezone.utc)
             .isoformat(timespec="seconds"),
         "head_sha": head,
@@ -72,11 +126,18 @@ def main():
                 "(parent of the commit adding this file). Scan covers the "
                 "whole tree including tools/ — scanner patterns are "
                 "fragment-assembled so no flagged token exists literally at "
-                "HEAD. Historical caveat: commits before this fix carried "
-                "the pattern tokens as literals inside tools/leakcheck.py, "
-                "so a git-log scan of pre-fix history will hit that file's "
-                "add/modify commits; that is scanner history, not source "
-                "provenance, and is not rewritable without history rewrite.",
+                "HEAD, and every hit string recorded here (tree or gitlog) "
+                "is MASKED before it is written, so committing this file "
+                "can never re-introduce a literal into history (the "
+                "rounds-6-8 quoting recursion). Historical caveat: commits "
+                "before round 7 carried the pattern tokens as literals in "
+                "tools/leakcheck.py, and rounds 7-8 committed artifacts "
+                "(LEAKCHECK.json GITLOG strings, VERDICT.md quotes) that "
+                "re-quoted them verbatim; the round-9 redaction commit "
+                "strips those literals from the tree, which adds its own "
+                "removal lines to git-log one final time. From that commit "
+                "on the gitlog total is expected to be FLAT round-over-"
+                "round; growth would indicate a new leak, not quoting.",
     }
     (ROOT / "LEAKCHECK.json").write_text(json.dumps(out, indent=1) + "\n")
     print(f"leakcheck: {out['n_hits']} hits at {head[:12]}")
