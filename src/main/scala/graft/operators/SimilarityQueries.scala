@@ -372,6 +372,76 @@ object SimilarityQueries {
     pqRerank(adc, comp)
   }
 
+  /** Matryoshka-over-IVF — the composition `ann_matryoshka_topk`'s
+    * scaladoc promises as the next rung (and the exact shape
+    * [[ivfAdcTopk]] demonstrates for PQ): probes route through the
+    * sampled-IVF lists ([[sampledCandidates]] — NProbe × [[IvfListTarget]]
+    * candidates per probe, constant in n), the [[MatPrefDim]]-dim prefix
+    * cosine scores ONLY those candidates (where the plain path scored the
+    * whole corpus per probe), and the [[MatShortlist]]-wide survivor set
+    * reranks exact full-dim through the shared [[topkRerank]]. Every stage
+    * is an equi-join; per-probe work is constant in n, so the query total
+    * is linear where the plain prefix scan was quadratic (probes ∝ n).
+    * Auto-selected by `ann_matryoshka_topk` above [[IvfLabelPathMax]];
+    * exercised directly at oracle scales as `ann_matryoshka_ivf`. */
+  /** Plain (full-scan) Matryoshka path — the exact branch oracle scales
+    * run: the prefix cosine scores every (probe, vector) pair via the
+    * broadcast-probe join, then the shortlist reranks exact full-dim. */
+  private def matryoshkaPlainTopk(raw: DataFrame, n: Long): DataFrame = {
+    val pemb = raw.select(col("vec_id"), col("embedding"),
+      QuantizedVec.qnormsq(slice(col("embedding"), 1, MatPrefDim)).as("pnsq"))
+    val probes = pemb.filter(col("vec_id") % probeStride(n) === 0)
+      .select(col("vec_id").as("probe_id"),
+        slice(col("embedding"), 1, MatPrefDim).as("p_pref"),
+        col("pnsq").as("p_pnsq"))
+    // the corpus-sized stage emits only (probe_id, neighbor_id, pcos):
+    // three narrow columns into the shortlist window (WindowGroupLimit
+    // keeps 50/probe per map partition BEFORE the shuffle). Carrying the
+    // vectors through instead measured 35.6 s at sf10 — a 30×-wider
+    // shuffle that made the "cheap" stage dearer than the exact scan.
+    val pscored = broadcast(probes).join(pemb, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        QuantizedVec.qcosine(col("p_pref"), col("embedding"),
+          col("p_pnsq"), col("pnsq")).as("pcos"))
+    val wS = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id"))
+    val cand = pscored.withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= MatShortlist)
+      .select(col("probe_id"), col("neighbor_id"))
+    // exact full-dim rerank fetches vectors ONLY for the tiny shortlist
+    topkRerank(cand, normed(raw))
+  }
+
+  def matryoshkaIvfTopk(raw: DataFrame, nKnown: Long = -1L): DataFrame = {
+    val n = if (nKnown >= 0) nKnown else raw.count()
+    // consumed by routing (codebook sample + assignment), prefix scoring
+    // (both candidate sides) and the exact rerank: eager pin, per the
+    // shared-frame discipline
+    val emb = CacheScope.pinned(normed(raw))
+    val cand = sampledCandidates(emb, n)
+    // prefix norms come from the sliced embedding; QuantizedDot scores
+    // over the common prefix of its two arrays, so the probe-side slice
+    // against the FULL neighbor vector computes the truncated dot with no
+    // second corpus copy (same trick as the plain path)
+    val pn = emb.select(col("vec_id"), col("embedding"),
+      QuantizedVec.qnormsq(slice(col("embedding"), 1, MatPrefDim)).as("pnsq"))
+    val pscored = cand
+      .join(pn.select(col("vec_id").as("probe_id"),
+        slice(col("embedding"), 1, MatPrefDim).as("p_pref"),
+        col("pnsq").as("p_pnsq")), "probe_id")
+      .join(pn.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"), col("pnsq").as("n_pnsq")), "neighbor_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        QuantizedVec.qcosine(col("p_pref"), col("n_emb"),
+          col("p_pnsq"), col("n_pnsq")).as("pcos"))
+    val wS = Window.partitionBy(col("probe_id"))
+      .orderBy(col("pcos").desc, col("neighbor_id"))
+    val short = pscored.withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= MatShortlist)
+      .select(col("probe_id"), col("neighbor_id"))
+    topkRerank(short, emb)
+  }
+
   // ---- hybrid retrieval (shared legs; plain + indexed rungs) ----------
 
   /** The joined documents ⋈ embeddings corpus both hybrid branches
@@ -704,33 +774,32 @@ object SimilarityQueries {
     // copy; norms for the truncated space come from the same slice. The
     // shortlist is an approximation (prefix order ≠ full order); recall vs
     // the exact baseline is pinned by spec, the arithmetic by the oracle
-    // hash gate. Composes with the IVF router exactly like ADC does
-    // (route probes → prefix-score inside lists) at the next scale rung.
+    // hash gate.
+    //
+    // SCALE RUNG (auto-selected, same crossover as ann_pq_topk): the plain
+    // prefix scan is per-probe corpus-linear — with probes ∝ n that total
+    // is QUADRATIC, and at fixture dim=64 the candidate sort dominates so
+    // the prefix buys ~nothing locally (measured sf10 22.2 s ≈ the exact
+    // scan; the multiply saving is real only at production dims). Above
+    // [[IvfLabelPathMax]] the query hands off to [[matryoshkaIvfTopk]]:
+    // route probes through the sampled-IVF lists, prefix-score only the
+    // NProbe × IvfListTarget candidates, exact-rerank the shortlist —
+    // per-probe work constant in n. Oracle scales (≤ sf1) keep this plain
+    // path bit-exact; the rung carries its own oracle row
+    // (ann_matryoshka_ivf) and recall pin (IvfRecallSpec).
     "ann_matryoshka_topk" -> ((spark, sfDir) => {
       val raw = Tables.load(spark, sfDir, "embeddings")
-      val pemb = raw.select(col("vec_id"), col("embedding"),
-        QuantizedVec.qnormsq(slice(col("embedding"), 1, MatPrefDim)).as("pnsq"))
-      val probes = pemb.filter(col("vec_id") % probeStride(raw.count()) === 0)
-        .select(col("vec_id").as("probe_id"),
-          slice(col("embedding"), 1, MatPrefDim).as("p_pref"),
-          col("pnsq").as("p_pnsq"))
-      // the corpus-sized stage emits only (probe_id, neighbor_id, pcos):
-      // three narrow columns into the shortlist window (WindowGroupLimit
-      // keeps 50/probe per map partition BEFORE the shuffle). Carrying the
-      // vectors through instead measured 35.6 s at sf10 — a 30×-wider
-      // shuffle that made the "cheap" stage dearer than the exact scan.
-      val pscored = broadcast(probes).join(pemb, col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-          QuantizedVec.qcosine(col("p_pref"), col("embedding"),
-            col("p_pnsq"), col("pnsq")).as("pcos"))
-      val wS = Window.partitionBy(col("probe_id"))
-        .orderBy(col("pcos").desc, col("neighbor_id"))
-      val cand = pscored.withColumn("srank", row_number().over(wS))
-        .filter(col("srank") <= MatShortlist)
-        .select(col("probe_id"), col("neighbor_id"))
-      // exact full-dim rerank fetches vectors ONLY for the tiny shortlist
-      topkRerank(cand, normed(raw))
+      val nVecs = raw.count()
+      if (nVecs > IvfLabelPathMax) matryoshkaIvfTopk(raw, nVecs)
+      else matryoshkaPlainTopk(raw, nVecs)
     }),
+    // The Matryoshka-over-IVF rung exercised directly at oracle scales
+    // (same pattern as ann_ivf_sampled / ann_ivfadc_topk): the branch that
+    // serves ann_matryoshka_topk past IvfLabelPathMax gets its own
+    // hash-checked CORRECTNESS row, with routing parameters computed in
+    // SQL from COUNT(*).
+    "ann_matryoshka_ivf" -> ((spark, sfDir) =>
+      matryoshkaIvfTopk(Tables.load(spark, sfDir, "embeddings"))),
     // Product-quantization ANN — the MEMORY-COMPRESSED scan (FAISS
     // IndexPQ's ADC search): the corpus is encoded once to PqM=8 codes
     // per vector (64-dim float → 8 bytes, 32×; 4-bit packing → 64×), and a
@@ -1024,6 +1093,49 @@ object SimilarityQueries {
          |  CROSS JOIN pp
          |  WHERE a.vec_id % pp.pstride = 0 AND a.d < $MatPrefDim
          |  GROUP BY a.vec_id, b.vec_id),
+         |pscored AS (
+         |  SELECT probe_id, neighbor_id,
+         |         CAST(pdot AS DOUBLE) / (sqrt(CAST(pa.pnsq AS DOUBLE)) * sqrt(CAST(pb.pnsq AS DOUBLE))) AS pcos
+         |  FROM pdots JOIN pnorms pa ON pa.vec_id = probe_id
+         |             JOIN pnorms pb ON pb.vec_id = neighbor_id),
+         |short AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                                 ORDER BY pcos DESC, neighbor_id) AS srank
+         |    FROM pscored) t WHERE srank <= $MatShortlist),
+         |fdots AS (
+         |  SELECT s.probe_id, s.neighbor_id,
+         |         CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
+         |  FROM short s
+         |  JOIN qn qa ON qa.vec_id = s.probe_id
+         |  JOIN qn qb ON qb.vec_id = s.neighbor_id AND qb.d = qa.d
+         |  GROUP BY s.probe_id, s.neighbor_id),
+         |fscored AS (
+         |  SELECT probe_id, neighbor_id,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
+         |  FROM fdots JOIN norms na ON na.vec_id = probe_id
+         |             JOIN norms nb ON nb.vec_id = neighbor_id)
+         |SELECT probe_id, neighbor_id, cos, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                               ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM fscored) t WHERE rank <= $TopK""".stripMargin,
+    // matryoshka-over-IVF replayed: the shared routing CTEs produce the
+    // cand set (parameters from COUNT(*), exactly as the engine), the
+    // prefix dots are the same qn join RESTRICTED to cand and d <
+    // MatPrefDim, then the plain path's shortlist + full-dim rerank tail
+    "ann_matryoshka_ivf" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+         |${qnCte._1} AS (${qnCte._2}),
+         |${normsCte._1} AS (${normsCte._2}),
+         |$ivfRoutingCtes,
+         |pnorms AS (
+         |  SELECT vec_id, CAST(SUM(qv * qv) AS BIGINT) AS pnsq
+         |  FROM qn WHERE d < $MatPrefDim GROUP BY vec_id),
+         |pdots AS (
+         |  SELECT c.probe_id, c.neighbor_id, CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS pdot
+         |  FROM cand c JOIN qn qa ON qa.vec_id = c.probe_id AND qa.d < $MatPrefDim
+         |              JOIN qn qb ON qb.vec_id = c.neighbor_id AND qb.d = qa.d
+         |  GROUP BY c.probe_id, c.neighbor_id),
          |pscored AS (
          |  SELECT probe_id, neighbor_id,
          |         CAST(pdot AS DOUBLE) / (sqrt(CAST(pa.pnsq AS DOUBLE)) * sqrt(CAST(pb.pnsq AS DOUBLE))) AS pcos

@@ -103,7 +103,9 @@ class IvfRecallSpec extends SparkTestBase {
     val hit = exact.join(mat, Seq("probe_id", "neighbor_id"), "left_semi").count()
     val recall = hit.toDouble / nExact
     info(f"matryoshka recall@${SimilarityQueries.TopK} = $recall%.3f ($hit/$nExact)")
-    assert(recall >= 0.5, f"matryoshka recall $recall%.3f below 0.5")
+    // measured 0.760 (deterministic arithmetic, fixed fixture) — floor at
+    // measured-minus-headroom so a real recall regression fails CI
+    assert(recall >= 0.65, f"matryoshka recall $recall%.3f below 0.65")
     // reranked scores are FULL-dim cosines: every returned cos must equal
     // the exact baseline's score for the same (probe, neighbor) pair
     val ex = SimilarityQueries.queries("ann_cosine_topk")(spark, Sf)
@@ -112,6 +114,29 @@ class IvfRecallSpec extends SparkTestBase {
       .join(ex, Seq("probe_id", "neighbor_id"))
       .filter(col("cos") =!= col("ex_cos")).count()
     assert(mismatch == 0, s"$mismatch reranked scores differ from exact full-dim cosine")
+  }
+
+  test("matryoshka-over-IVF rung: recall@10 vs the exact baseline stays useful") {
+    // the branch that serves ann_matryoshka_topk past IvfLabelPathMax,
+    // forced at fixture scale by calling it directly: IVF routing bounds
+    // the candidate set BEFORE the prefix shortlist, so its recall is the
+    // product of the two approximations — floor set measured-minus-headroom
+    val raw = Tables.load(spark, Sf, "embeddings")
+    val exact = SimilarityQueries.queries("ann_cosine_topk")(spark, Sf)
+      .select(col("probe_id"), col("neighbor_id"))
+    val routed = SimilarityQueries.matryoshkaIvfTopk(raw)
+      .select(col("probe_id"), col("neighbor_id"))
+    val nExact = exact.count()
+    val hit = exact.join(routed, Seq("probe_id", "neighbor_id"), "left_semi").count()
+    val recall = hit.toDouble / nExact
+    info(f"matryoshka-IVF recall@${SimilarityQueries.TopK} = $recall%.3f ($hit/$nExact)")
+    // measured 0.840 — floor at measured-minus-headroom
+    assert(recall >= 0.70, f"matryoshka-IVF recall $recall%.3f below 0.70")
+    // and it is the same function the registered oracle row exercises
+    val viaRegistry = SparkEntry.queries("ann_matryoshka_ivf")(spark, Sf)
+      .collect().map(_.toSeq).toSet
+    val direct = SimilarityQueries.matryoshkaIvfTopk(raw).collect().map(_.toSeq).toSet
+    assert(viaRegistry == direct && viaRegistry.nonEmpty)
   }
 
   test("recall@10 vs the exact baseline is >= 0.5") {
@@ -123,7 +148,9 @@ class IvfRecallSpec extends SparkTestBase {
     val hit = exact.join(ivf, Seq("probe_id", "neighbor_id"), "left_semi").count()
     val recall = hit.toDouble / nExact
     info(f"recall@${SimilarityQueries.TopK} = $recall%.3f ($hit/$nExact)")
-    assert(recall >= 0.5, f"recall $recall%.3f below 0.5")
+    // measured 0.580 on the 10-fixed-label path (recall granularity is
+    // 0.02 at 50 probes) — floor allows a 2-hit drop, no more
+    assert(recall >= 0.54, f"recall $recall%.3f below 0.54")
     // and the candidate scan really is pruned: IVF scores fewer pairs than
     // brute force would (NProbe of 10 clusters)
     assert(SimilarityQueries.NProbe < 10)

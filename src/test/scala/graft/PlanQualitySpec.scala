@@ -360,6 +360,20 @@ class PlanQualitySpec extends SparkTestBase {
       s"expected exactly 1 probe_id exchange, saw $probeExchanges\n${p.take(2000)}")
   }
 
+  test("matryoshka-over-IVF: only the K-row codebook routes via broadcast nested loop") {
+    // the routed rung's BNLJs are the sampled-codebook scoring (K rows
+    // broadcast — K-way routing's inherent shape; the subtree appears
+    // twice because assignment and probe routing both consume it, same as
+    // dedup_semantic); the prefix scoring and both rerank joins are
+    // candidate equi-joins, and no global sort exists anywhere
+    val p = plan("ann_matryoshka_ivf")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"unexpected non-codebook nested loop ($bnlj):\n${p.take(2000)}")
+    CacheScope.releaseAll()
+  }
+
   test("curation e2e: sampling reads the pinned kept-docs leaf, rates broadcast") {
     // the kept-docs frame is pinned (feeds shares AND the sampled rollup);
     // the per-source rates frame joins into it broadcast — the corpus-side

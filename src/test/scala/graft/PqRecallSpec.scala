@@ -46,7 +46,8 @@ class PqRecallSpec extends SparkTestBase {
     val recall = hit.toDouble / nExact
     info(f"PQ recall@${SimilarityQueries.TopK} = $recall%.3f ($hit/$nExact)")
     assert(nExact > 0)
-    assert(recall >= 0.4, f"recall $recall%.3f below 0.4")
+    // measured 0.540 (deterministic) — floor at measured-minus-headroom
+    assert(recall >= 0.45, f"recall $recall%.3f below 0.45")
   }
 
   test("IVFADC rung: recall@10 vs exact L2 top-k stays useful") {
@@ -63,7 +64,8 @@ class PqRecallSpec extends SparkTestBase {
     val recall = hit.toDouble / nExact
     info(f"IVFADC recall@${SimilarityQueries.TopK} = $recall%.3f ($hit/$nExact)")
     assert(nExact > 0)
-    assert(recall >= 0.5, f"IVFADC recall $recall%.3f below 0.5")
+    // measured 0.620 (deterministic) — floor at measured-minus-headroom
+    assert(recall >= 0.55, f"IVFADC recall $recall%.3f below 0.55")
     // and it is the same function the registered oracle row exercises
     val viaRegistry = SparkEntry.queries("ann_ivfadc_topk")(spark, Sf)
       .collect().map(_.toSeq).toSet
