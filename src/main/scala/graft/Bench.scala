@@ -168,6 +168,7 @@ object Bench {
     println(compact)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$att,"warm":$warm,"timeouts":$timeouts,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","timeouts":$timeouts,"n_queries":${results.size}}""")
+    CacheScope.releaseSession() // drop the standing-index tier at session end
     spark.stop()
   }
 }

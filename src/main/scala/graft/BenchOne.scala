@@ -25,6 +25,7 @@ object BenchOne {
       println(s"[benchone] $name: " +
         times.map(t => String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))).mkString(" "))
     }
+    CacheScope.releaseSession() // drop the standing-index tier at session end
     spark.stop()
   }
 }

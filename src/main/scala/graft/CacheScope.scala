@@ -97,6 +97,55 @@ object CacheScope {
     df
   }
 
+  private val sessionLive = new ConcurrentLinkedQueue[() => Unit]()
+  private val sessionMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  /** Memoized eager pin that SURVIVES [[releaseAll]] — the standing-index
+    * tier, for a frame several registry queries in one session each need
+    * in full (the dedup survivor table: `dedup_survivors` and the
+    * curation capstone both consume the same component pass; recomputing
+    * it inside the capstone paid the whole simhash+CC chain twice per
+    * bench session). Keyed by the caller's key + the application id, so a
+    * fresh SparkContext never sees another context's truncated frame.
+    * Released only by [[releaseSession]] (end of a Bench/Verify/CLI run;
+    * JVM exit otherwise) — so frames held this way must be
+    * control-plane-sized relative to the corpus (the survivor table is
+    * three narrow columns, ~n rows). The compute block runs at most once
+    * per (key, session); losers of the race reuse the winner's frame. */
+  def sessionPinned(key: String, spark: org.apache.spark.sql.SparkSession)(
+      compute: => DataFrame): DataFrame = {
+    val k = spark.sparkContext.applicationId + ":" + key
+    val existing = sessionMemo.get(k)
+    if (existing != null) existing
+    else sessionMemo.synchronized {
+      val again = sessionMemo.get(k)
+      if (again != null) again
+      else {
+        val cp = compute.localCheckpoint(eager = true)
+        RddShim.leafRdd(cp) match {
+          case Some(rdd) => sessionLive.add(() => {
+            if (releasedPins.size > ReleasedPinCap) releasedPins.clear()
+            releasedPins.add(rdd.id)
+            rdd.unpersist(blocking = false); ()
+          })
+          case None => sessionLive.add(() => { cp.unpersist(blocking = false); () })
+        }
+        sessionMemo.put(k, cp)
+        cp
+      }
+    }
+  }
+
+  /** Release every session-scoped pin and forget the memo. Harness
+    * contract: run at the END of a multi-query session ([[releaseAll]]
+    * runs BETWEEN queries and leaves session pins alone). Idempotent. */
+  def releaseSession(): Unit = {
+    sessionMemo.clear()
+    var f = sessionLive.poll()
+    while (f != null) { f(); f = sessionLive.poll() }
+  }
+
   /** Register an already-persisted frame for release at [[releaseAll]]. */
   def adopt(df: DataFrame): DataFrame = {
     live.add(() => { df.unpersist(blocking = false); () })

@@ -77,4 +77,41 @@ object BucketedSnapshots {
       .filter(col("diff_status") =!= SnapshotDiff.NotModified)
       .groupBy(col("diff_status"))
       .agg(countDistinct(col(Normalize.KeyCol)).as("n_keys"))
+
+  /** Multi-table changefeed export off the store — `diff_changefeed`'s
+    * store-backed form: each table's feed is
+    * [[SnapshotDiff.feedCompactNormalized]] over its two bucketed
+    * generations (pack projection preserves the buckets' hash
+    * distribution → the full-outer join sort-merges bucket-to-bucket),
+    * and the per-table feeds union by concatenation. ZERO Exchange in the
+    * whole export plan — where the plain changefeed pays one full-width
+    * shuffle per side per table, the store-backed feed streams every
+    * bucket straight to the sink. Gated by `BucketedDiffSpec`. */
+  def changefeed(spark: SparkSession,
+      tables: Seq[(String, String, String)]): DataFrame =
+    tables.map { case (beforeTable, afterTable, name) =>
+      val bn = spark.table(beforeTable)
+      SnapshotDiff.feedCompactNormalized(bn, spark.table(afterTable), name,
+        bn.columns.filterNot(_ == Normalize.KeyCol).toIndexedSeq)
+    }.reduce(_.unionByName(_))
+
+  /** Whole-lake report off the store — `diff_report`'s store-backed form.
+    * The plain report fuses N tables into ONE fingerprint shuffle because
+    * re-shuffling the lake N times is the thing to avoid; with bucketed
+    * generations there is nothing to avoid — each table's classification
+    * join is bucket-to-bucket (zero Exchange), the per-key distinct
+    * reuses the join's `__key` clustering (HashPartitioning(__key)
+    * satisfies the (status, key) grouping — no exchange), and the only
+    * shuffled rows are the ≤ N×3 per-partition status-count partials.
+    * Snapshot-side data NEVER moves. Gated by `BucketedDiffSpec`. */
+  def report(spark: SparkSession,
+      tables: Seq[(String, String, String)]): DataFrame =
+    tables.map { case (beforeTable, afterTable, name) =>
+      SnapshotDiff.classifyNormalized(
+          spark.table(beforeTable), spark.table(afterTable))
+        .filter(col("diff_status") =!= SnapshotDiff.NotModified)
+        .groupBy(col("diff_status"))
+        .agg(countDistinct(col(Normalize.KeyCol)).as("n_keys"))
+        .select(lit(name).as("table_name"), col("diff_status"), col("n_keys"))
+    }.reduce(_.unionByName(_))
 }

@@ -405,7 +405,9 @@ object PipelineQueries {
         cascadeDecisions(spark, sfDir, CascadeRepX10, CascadeStopDen)
           .filter(col("keep"))
           .select(col("doc_id"), col("n_tokens"))
-          .join(DedupQueries.queries("dedup_survivors")(spark, sfDir)
+          // the standing survivor frame (session-scoped pin): the simhash
+          // component pass runs once per session, not once per consumer
+          .join(DedupQueries.survivorFrame(spark, sfDir)
             .filter(col("kept")).select(col("doc_id")), "doc_id")
           .join(graft.Tables.load(spark, sfDir, "documents")
             .select(col("doc_id"), col("source")), "doc_id"))

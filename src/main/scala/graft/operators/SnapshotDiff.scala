@@ -274,13 +274,23 @@ object SnapshotDiff {
     * BEFORE-then-AFTER emission — `diff_changefeed`'s oracle stays the
     * unchanged per-table wide-diff SQL. */
   def feedCompact(before: DataFrame, after: DataFrame, pk: Seq[String],
+      tableName: String, cols: Seq[String]): DataFrame =
+    feedCompactNormalized(Normalize.withKey(before, pk),
+      Normalize.withKey(after, pk), tableName, cols)
+
+  /** [[feedCompact]] over already-normalized snapshots (data columns
+    * stringified + `__key`) — the entry point for pre-materialized stores:
+    * with both sides bucketed by `__key` ([[BucketedSnapshots]]) the pack
+    * projection preserves the buckets' hash distribution, the full-outer
+    * join sort-merges bucket-to-bucket, and the feed projection adds no
+    * shuffle — the WHOLE multi-table changefeed export plans with zero
+    * Exchange (gated by `BucketedDiffSpec`). */
+  def feedCompactNormalized(bn: DataFrame, an: DataFrame,
       tableName: String, cols: Seq[String]): DataFrame = {
-    def pack(df: DataFrame, out: String): DataFrame = {
-      val n = Normalize.withKey(df, pk)
-      n.select(col(Normalize.KeyCol), array(cols.map(col): _*).as(out))
-    }
-    val j = pack(before, "__b")
-      .join(pack(after, "__a"), Seq(Normalize.KeyCol), "full_outer")
+    def pack(df: DataFrame, out: String): DataFrame =
+      df.select(col(Normalize.KeyCol), array(cols.map(col): _*).as(out))
+    val j = pack(bn, "__b")
+      .join(pack(an, "__a"), Seq(Normalize.KeyCol), "full_outer")
     val names = array(cols.map(lit(_)): _*)
     // classification by EXACT array equality — a codegen'd element-wise
     // compare, not a higher-order lambda. zip_with/filter are

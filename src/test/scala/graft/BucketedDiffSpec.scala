@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{BucketedSnapshots, DiffQueries, SnapshotDiff}
+import graft.operators.{BucketedSnapshots, DiffQueries, Normalize, SnapshotDiff}
 
 /** The bucketed snapshot store produces identical diffs with a
   * shuffle-free physical plan. */
@@ -61,5 +61,51 @@ class BucketedDiffSpec extends SparkTestBase {
     spark.sql("DROP TABLE IF EXISTS snap_before")
     spark.sql("DROP TABLE IF EXISTS snap_after")
     spark.sql("DROP TABLE IF EXISTS snap_next")
+  }
+
+  test("store-backed changefeed and report: plain results, snapshot-side zero Exchange") {
+    val key = (r: org.apache.spark.sql.Row) => r.toSeq.map(String.valueOf).mkString("|")
+    // two tables so the union/fusion paths are exercised, not just 1-table
+    val ts = Seq(Tables.nation, Tables.region)
+    val dir = java.nio.file.Files.createTempDirectory("graft_buckets_feed")
+    val pairs = ts.map { t =>
+      val before = Tables.load(spark, Sf, t.name)
+      val after = DiffQueries.after(spark, Sf, t)
+      BucketedSnapshots.write(before, t.pk, s"feed_b_${t.name}", s"$dir/b_${t.name}", 4)
+      BucketedSnapshots.write(after, t.pk, s"feed_a_${t.name}", s"$dir/a_${t.name}", 4)
+      (s"feed_b_${t.name}", s"feed_a_${t.name}", t.name, before, after, t)
+    }
+    val stored = pairs.map { case (b, a, n, _, _, _) => (b, a, n) }
+
+    // changefeed: identical rows to the plain multi-table feed, and the
+    // WHOLE export plans with zero Exchange (pack projections preserve
+    // the bucket distribution; unions concatenate)
+    val feed = BucketedSnapshots.changefeed(spark, stored)
+    val plainFeed = pairs.map { case (_, _, n, before, after, t) =>
+      SnapshotDiff.feedCompact(before, after, t.pk, n, t.cols)
+    }.reduce(_.unionByName(_))
+    assert(feed.collect().map(key).sorted.toSeq
+      == plainFeed.collect().map(key).sorted.toSeq)
+    val feedPlan = feed.queryExecution.executedPlan.toString
+    assert(!feedPlan.contains("Exchange"),
+      s"expected shuffle-free changefeed export, got:\n$feedPlan")
+
+    // report: same counts as the fused plain report restricted to these
+    // tables; the ONLY exchanges are status-count partials — nothing may
+    // ever repartition by __key (snapshot-sized movement)
+    val rep = BucketedSnapshots.report(spark, stored)
+    val plainRep = SnapshotDiff.fusedReport(pairs.map {
+      case (_, _, n, before, after, t) => (n, before, after, t.pk) })
+    assert(rep.collect().map(key).sorted.toSeq
+      == plainRep.collect().map(key).sorted.toSeq)
+    val repPlan = rep.queryExecution.executedPlan.toString
+    assert(!repPlan.contains(s"Exchange hashpartitioning(${Normalize.KeyCol}"),
+      s"report reshuffled snapshot rows by __key:\n$repPlan")
+    assert(!repPlan.contains("Exchange rangepartitioning"), repPlan.take(2000))
+
+    pairs.foreach { case (b, a, _, _, _, _) =>
+      spark.sql(s"DROP TABLE IF EXISTS $b")
+      spark.sql(s"DROP TABLE IF EXISTS $a")
+    }
   }
 }

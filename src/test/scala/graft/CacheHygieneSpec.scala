@@ -30,6 +30,9 @@ class CacheHygieneSpec extends SparkTestBase {
       "pipeline_doremi_weights", "text_bpe_fertility",
       // substring spans pin the positioned-gram frame for df count + joins
       "dedup_substring_spans",
+      // round 9: survivors + capstone SHARE one session-scoped survivor
+      // pin (the only legitimate releaseAll survivor — asserted below)
+      "dedup_survivors",
       // the capstone pins the kept-docs frame and runs the doremi trainer
       "pipeline_curation_e2e")
     // neutralize anything earlier suites in this shared JVM left behind —
@@ -43,10 +46,38 @@ class CacheHygieneSpec extends SparkTestBase {
       CacheScope.releaseAll()
       spark.catalog.clearCache()
     }
+    // the ONE legitimate releaseAll survivor is the standing survivor
+    // frame (CacheScope.sessionPinned — shared by dedup_survivors and the
+    // capstone); everything else must be gone
+    val standing = spark.sparkContext.getPersistentRDDs
+    assert(standing.size <= 1,
+      s"leaked ${standing.size} persistent RDDs (expected <=1 session pin): " +
+        standing.values.map(r => s"${r.id}:${r.name}").mkString("; "))
+    // session end releases the standing tier too
+    CacheScope.releaseSession()
     val left = spark.sparkContext.getPersistentRDDs
     assert(left.isEmpty,
-      s"leaked ${left.size} persistent RDDs: " +
+      s"leaked ${left.size} persistent RDDs after releaseSession: " +
         left.values.map(r => s"${r.id}:${r.name}").mkString("; "))
+  }
+
+  test("survivor frame is computed once per session and shared by both consumers") {
+    CacheScope.releaseSession()
+    val first = graft.operators.DedupQueries.survivorFrame(spark, Sf)
+    // same memoized instance across releaseAll (the between-queries point)
+    CacheScope.releaseAll()
+    val second = graft.operators.DedupQueries.survivorFrame(spark, Sf)
+    assert(first eq second, "survivorFrame recomputed within one session")
+    val nKept = second.filter(org.apache.spark.sql.functions.col("kept")).count()
+    val nAll = second.count() // before release: a truncated frame can't recompute
+    assert(nKept > 0)
+    // and a released session forgets the memo (a fresh frame, not the
+    // truncated corpse)
+    CacheScope.releaseSession()
+    val third = graft.operators.DedupQueries.survivorFrame(spark, Sf)
+    assert(!(third eq second))
+    assert(third.count() == nAll)
+    CacheScope.releaseSession()
   }
 
   test("releaseAll is idempotent and safe with nothing registered") {
