@@ -116,11 +116,18 @@ object CacheScope {
   def sessionPinned(key: String, spark: org.apache.spark.sql.SparkSession)(
       compute: => DataFrame): DataFrame = {
     val k = spark.sparkContext.applicationId + ":" + key
+    // a memoized checkpoint whose blocks something ELSE unpersisted (a
+    // test harness force-clearing all persistent RDDs, an external
+    // catalog sweep) cannot recompute — its lineage is truncated. Detect
+    // via the leaf's storage level and recompute fresh instead of
+    // returning the corpse.
+    def blocksLive(df: DataFrame): Boolean = RddShim.leafRdd(df)
+      .forall(_.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
     val existing = sessionMemo.get(k)
-    if (existing != null) existing
+    if (existing != null && blocksLive(existing)) existing
     else sessionMemo.synchronized {
       val again = sessionMemo.get(k)
-      if (again != null) again
+      if (again != null && blocksLive(again)) again
       else {
         val cp = compute.localCheckpoint(eager = true)
         RddShim.leafRdd(cp) match {

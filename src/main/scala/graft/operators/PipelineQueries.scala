@@ -318,6 +318,64 @@ object PipelineQueries {
           (col("__avg").cast("double") / DsirScale.toDouble).as("score"),
           col("rank"))
     }),
+    // TRAINED quality classifier — the FineWeb-Edu / CCNet-style
+    // classifier-filter stage (Penedo et al. 2024; Wenzek et al. 2020):
+    // distill an expensive labeling rule into a cheap linear scorer that
+    // then annotates the corpus at scan speed. Teacher labels come from
+    // the Gopher rule cascade (keep=+1 / drop=-1 — in production this is
+    // the LLM-graded sample); the student is a linear model over hashed
+    // unigram features ([[QcFeatures]] buckets + bias), trained by
+    // [[QcRounds]] UNROLLED batch-perceptron rounds in exact integer
+    // arithmetic — w_j += Σ_{y·s≤0} y·x_j per round, no learning-rate
+    // float, no sigmoid — so DuckDB replays the whole trainer as CTEs and
+    // the fitted weights are hash-checked, the k-means/PageRank/DoReMi
+    // oracle discipline. Scale shape: ONE explode+groupBy pass builds the
+    // per-(doc, bucket) counts (pinned; K passes reuse it), every round's
+    // scoring joins the F+1-row weight table BROADCAST, and the apply
+    // stage is that same broadcast dot-product projection — at 100 TB the
+    // marginal cost of scoring is a projection over the corpus. Output:
+    // the per-source confusion of student vs teacher (the
+    // planted-truth-readout shape the ER family uses).
+    "pipeline_quality_classifier" -> ((spark, sfDir) => {
+      val docs = graft.Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val labeled = cascadeDecisions(spark, sfDir, CascadeRepX10, CascadeStopDen)
+        .select(col("doc_id"), when(col("keep"), 1L).otherwise(-1L).as("y"))
+      val tokFeat = docs
+        .select(col("doc_id"), explode(Hashing.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), (Hashing.hash64(col("tok")) % QcFeatures).as("j"))
+        .groupBy(col("doc_id"), col("j")).agg(count(lit(1)).as("x"))
+      val bias = docs.select(col("doc_id"), lit(QcFeatures).as("j"), lit(1L).as("x"))
+      // (doc_id, j, x, y): K trainer passes + the apply pass all reuse it
+      val feat = CacheScope.pinned(
+        tokFeat.unionByName(bias).join(labeled, "doc_id"))
+      def scoresOf(w: DataFrame): DataFrame = feat.join(broadcast(w), "j")
+        .groupBy(col("doc_id"))
+        .agg(min(col("y")).as("y"), sum(col("x") * col("w")).as("s"))
+      var w = CacheScope.pinned(spark.range(QcFeatures + 1)
+        .select(col("id").as("j"), lit(0L).as("w")))
+      for (_ <- 1 to QcRounds) {
+        // batch perceptron round: docs with y·s ≤ 0 vote y·x into Δw
+        // (w starts at 0, so round 1 updates on every doc). Weight frame
+        // pinned EVERY round — the iterative-trainer lineage discipline.
+        val upd = feat.join(
+            scoresOf(w).filter(col("y") * col("s") <= 0L).select(col("doc_id")),
+            "doc_id")
+          .groupBy(col("j")).agg(sum(col("y") * col("x")).as("dw"))
+        w = CacheScope.pinned(w.join(upd, Seq("j"), "left_outer")
+          .select(col("j"), (col("w") + coalesce(col("dw"), lit(0L))).as("w")))
+      }
+      scoresOf(w)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"),
+          when(col("s") > 0L, 1L).otherwise(-1L).as("pred"), col("y"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred") === 1L, 1L).otherwise(0L)).as("n_pred_keep"),
+          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_true_keep"),
+          sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_agree"))
+        .withColumn("accuracy_ppm", expr("n_agree * 1000000 div n_docs"))
+    }),
     // Gopher/RedPajama-style quality-rule CASCADE (Rae et al. 2021,
     // appendix A1; Together 2023): the ordered keep/drop decision list a
     // curation pipeline writes before training. Each rule is one of the
@@ -540,6 +598,15 @@ object PipelineQueries {
     * at every scale. */
   val CascadeRepX10V2 = 2L
   val CascadeStopDenV2 = 25L
+
+  /** Quality-classifier geometry: hashed-unigram feature space (plus one
+    * bias slot at index [[QcFeatures]]) and the unrolled batch-perceptron
+    * round count. Fixed — the weight table is F+1 rows (broadcast into
+    * the apply projection) and per-doc feature work is constant in corpus
+    * size; the trainer's only corpus-sized cost is [[QcRounds]] passes
+    * over the pinned (doc, bucket, count, label) frame. */
+  val QcFeatures = 64L
+  val QcRounds = 3
 
   /** Hashed-feature space size for DSIR (buckets the bigram vocabulary).
     * Fixed — per-doc work and the broadcast weight table stay constant in
@@ -815,6 +882,12 @@ object PipelineQueries {
     // CASE — first failing rule wins the reason.
     "pipeline_filter_cascade" ->
       cascadeSelectSql(CascadeRepX10, CascadeStopDen),
+    // the trained classifier replayed: cascade labels, hashed-unigram
+    // features (+bias), then every batch-perceptron round unrolled —
+    // score join vs w_{t-1}, misclassified set y·s ≤ 0, integer Δw —
+    // the k-means/DoReMi trainer-oracle pattern; per-round CASTs keep
+    // DuckDB's HUGEINT promotion out of the compared schema
+    "pipeline_quality_classifier" -> qualityClassifierSqlStr,
     // The manifest diff replayed via the shared [[DiffOracle]] generator:
     // v1 manifest as the "before" CTE, v2 as the after arm, same
     // normalize → full-outer → classify → emit contract as every diff_*.
@@ -850,6 +923,57 @@ object PipelineQueries {
     // chain, and the sampling predicate replays the engine's md5 routing
     "pipeline_curation_e2e" -> curationE2eSqlStr
   )
+
+  /** Unrolled-trainer oracle for the quality classifier. */
+  private def qualityClassifierSqlStr: String = {
+    val rounds = (1 to QcRounds).map { t =>
+      s"""s$t AS (
+         |  SELECT f.doc_id, MIN(f.y) AS y, CAST(SUM(f.x * w.w) AS BIGINT) AS s
+         |  FROM featy f JOIN w${t - 1} w ON w.j = f.j GROUP BY f.doc_id),
+         |u$t AS (
+         |  SELECT f.j, CAST(SUM(f.y * f.x) AS BIGINT) AS dw
+         |  FROM featy f JOIN s$t m ON m.doc_id = f.doc_id
+         |  WHERE m.y * m.s <= 0 GROUP BY f.j),
+         |w$t AS (
+         |  SELECT w.j, CAST(w.w + COALESCE(u.dw, 0) AS BIGINT) AS w
+         |  FROM w${t - 1} w LEFT JOIN u$t u ON u.j = w.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH casc AS (
+       |  SELECT doc_id, CASE WHEN keep THEN 1 ELSE -1 END AS y
+       |  FROM (${cascadeSelectSql(CascadeRepX10, CascadeStopDen)}) c),
+       |toks AS (SELECT doc_id, source, ${Hashing.tokensSql("text")} AS tk
+       |         FROM documents),
+       |tf AS (
+       |  SELECT doc_id, bucket AS j, CAST(COUNT(*) AS BIGINT) AS x
+       |  FROM (SELECT doc_id, ${Hashing.hash64Sql("tok")} % $QcFeatures AS bucket
+       |        FROM (SELECT doc_id, unnest(tk) AS tok FROM toks))
+       |  GROUP BY doc_id, bucket),
+       |feat AS (
+       |  SELECT doc_id, j, x FROM tf
+       |  UNION ALL
+       |  SELECT doc_id, CAST($QcFeatures AS BIGINT) AS j, CAST(1 AS BIGINT) AS x
+       |  FROM toks),
+       |featy AS (
+       |  SELECT f.doc_id, f.j, f.x, c.y
+       |  FROM feat f JOIN casc c ON c.doc_id = f.doc_id),
+       |w0 AS (SELECT CAST(r.j AS BIGINT) AS j, CAST(0 AS BIGINT) AS w
+       |       FROM range(0, ${QcFeatures + 1}) r(j)),
+       |$rounds,
+       |fs AS (
+       |  SELECT f.doc_id, MIN(f.y) AS y, CAST(SUM(f.x * w.w) AS BIGINT) AS s
+       |  FROM featy f JOIN w$QcRounds w ON w.j = f.j GROUP BY f.doc_id),
+       |pred AS (
+       |  SELECT t.source, CASE WHEN fs.s > 0 THEN 1 ELSE -1 END AS pred, fs.y
+       |  FROM fs JOIN toks t ON t.doc_id = fs.doc_id)
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN pred = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_keep,
+       |  CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_keep,
+       |  CAST(SUM(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |  CAST(SUM(CASE WHEN pred = y THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+       |    AS BIGINT) AS accuracy_ppm
+       |FROM pred GROUP BY source""".stripMargin
+  }
 
   /** Composed oracle for the end-to-end curation capstone. */
   private def curationE2eSqlStr: String = {

@@ -34,9 +34,16 @@ class CacheHygieneSpec extends SparkTestBase {
       // pin (the only legitimate releaseAll survivor — asserted below)
       "dedup_survivors",
       // the capstone pins the kept-docs frame and runs the doremi trainer
-      "pipeline_curation_e2e")
+      "pipeline_curation_e2e",
+      // round 9: the classifier pins the feature frame + per-round weights
+      "pipeline_quality_classifier")
     // neutralize anything earlier suites in this shared JVM left behind —
-    // the assertion is about what THESE queries leave, not JVM history
+    // the assertion is about what THESE queries leave, not JVM history.
+    // releaseSession FIRST: it clears the session-pin memo, so the force
+    // unpersist below can't leave the memo pointing at a block-less
+    // checkpoint corpse (sessionPinned also self-heals via storage-level
+    // check, but the memo should start empty here regardless)
+    CacheScope.releaseSession()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     spark.catalog.clearCache()
     names.foreach { n =>

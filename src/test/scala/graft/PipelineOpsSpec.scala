@@ -105,6 +105,27 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("quality classifier: student agrees with the cascade teacher on most docs") {
+    // distillation contract: a linear probe on hashed unigrams must
+    // recover the rule cascade's verdict well above chance on the fixture
+    // corpus (floor measured-minus-headroom, the recall-pin discipline)
+    val rows = SparkEntry.queries("pipeline_quality_classifier")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val nAgree = rows.map(_.getAs[Long]("n_agree")).sum
+    val acc = nAgree.toDouble / nDocs
+    info(f"classifier accuracy vs cascade teacher = $acc%.3f ($nAgree/$nDocs)")
+    // measured 0.922 (deterministic trainer, fixed fixture) — floor at
+    // measured-minus-headroom so a real distillation regression fails CI
+    assert(acc >= 0.85, f"distilled accuracy $acc%.3f below 0.85")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_pred_keep") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("n_agree") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("accuracy_ppm") ==
+        r.getAs[Long]("n_agree") * 1000000L / r.getAs[Long]("n_docs"))
+    }
+  }
+
   test("manifest diff: policy tightening only UPDATEs, and never rescues a drop") {
     val rows = SparkEntry.queries("pipeline_manifest_diff")(spark, Sf).collect()
     assert(rows.nonEmpty, "v2 must flip a real slice of the corpus")

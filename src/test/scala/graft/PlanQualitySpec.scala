@@ -374,6 +374,20 @@ class PlanQualitySpec extends SparkTestBase {
     CacheScope.releaseAll()
   }
 
+  test("quality classifier: apply is a broadcast dot-product over the pinned features") {
+    // the returned plan is the APPLY stage: the pinned feature frame
+    // (checkpoint leaf — the trainer's K passes reused it) joins the
+    // F+1-row fitted weights BROADCAST, and nothing plans cartesian or a
+    // global sort — the 100 TB contract that scoring is projection-priced
+    val p = plan("pipeline_quality_classifier")
+    assert(p.contains("Scan ExistingRDD"), s"no checkpoint leaf\n${p.take(1500)}")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+    CacheScope.releaseAll()
+  }
+
   test("curation e2e: sampling reads the pinned kept-docs leaf, rates broadcast") {
     // the kept-docs frame is pinned (feeds shares AND the sampled rollup);
     // the per-source rates frame joins into it broadcast — the corpus-side
