@@ -337,44 +337,12 @@ object PipelineQueries {
     // the per-source confusion of student vs teacher (the
     // planted-truth-readout shape the ER family uses).
     "pipeline_quality_classifier" -> ((spark, sfDir) => {
-      val docs = graft.Tables.load(spark, sfDir, "documents")
-        .select(col("doc_id"), col("source"), col("text"))
-      val labeled = cascadeDecisions(spark, sfDir, CascadeRepX10, CascadeStopDen)
-        .select(col("doc_id"), when(col("keep"), 1L).otherwise(-1L).as("y"))
-      val tokFeat = docs
-        .select(col("doc_id"), explode(Hashing.tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), (Hashing.hash64(col("tok")) % QcFeatures).as("j"))
-        .groupBy(col("doc_id"), col("j")).agg(count(lit(1)).as("x"))
-      val bias = docs.select(col("doc_id"), lit(QcFeatures).as("j"), lit(1L).as("x"))
-      // (doc_id, j, x, y): K trainer passes + the apply pass all reuse it
-      val feat = CacheScope.pinned(
-        tokFeat.unionByName(bias).join(labeled, "doc_id"))
-      def scoresOf(w: DataFrame): DataFrame = feat.join(broadcast(w), "j")
-        .groupBy(col("doc_id"))
-        .agg(min(col("y")).as("y"), sum(col("x") * col("w")).as("s"))
-      var w = CacheScope.pinned(spark.range(QcFeatures + 1)
-        .select(col("id").as("j"), lit(0L).as("w")))
-      for (_ <- 1 to QcRounds) {
-        // batch perceptron round: docs with y·s ≤ 0 vote y·x into Δw
-        // (w starts at 0, so round 1 updates on every doc). Weight frame
-        // pinned EVERY round — the iterative-trainer lineage discipline.
-        val upd = feat.join(
-            scoresOf(w).filter(col("y") * col("s") <= 0L).select(col("doc_id")),
-            "doc_id")
-          .groupBy(col("j")).agg(sum(col("y") * col("x")).as("dw"))
-        w = CacheScope.pinned(w.join(upd, Seq("j"), "left_outer")
-          .select(col("j"), (col("w") + coalesce(col("dw"), lit(0L))).as("w")))
-      }
-      scoresOf(w)
-        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      val (feat, w) = qcFit(spark, sfDir)
+      qcConfusion(qcScores(feat, w)
+        .join(graft.Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"), col("source")), "doc_id")
         .select(col("source"),
-          when(col("s") > 0L, 1L).otherwise(-1L).as("pred"), col("y"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("pred") === 1L, 1L).otherwise(0L)).as("n_pred_keep"),
-          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_true_keep"),
-          sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_agree"))
-        .withColumn("accuracy_ppm", expr("n_agree * 1000000 div n_docs"))
+          when(col("s") > 0L, 1L).otherwise(-1L).as("pred"), col("y")))
     }),
     // Gopher/RedPajama-style quality-rule CASCADE (Rae et al. 2021,
     // appendix A1; Together 2023): the ordered keep/drop decision list a
@@ -415,6 +383,15 @@ object PipelineQueries {
     // [[graft.streaming.StreamingCuration]].
     "stream_cascade_funnel" -> ((spark, sfDir) =>
       graft.streaming.StreamingCuration.runCascadeFunnelOnce(spark, sfDir)),
+    // The trained classifier DEPLOYED as a structured stream: offline
+    // batch training, fitted integer weights shipped into a stateless
+    // per-row scoring projection (literal array — no join, no state),
+    // decisions to a parquet sink, per-source confusion folded in batch.
+    // Registered under the BATCH query's oracle — stream == batch
+    // bit-for-bit because integer adds commute. See
+    // [[graft.streaming.StreamingClassifier]].
+    "stream_quality_classifier" -> ((spark, sfDir) =>
+      graft.streaming.StreamingClassifier.runClassifierOnce(spark, sfDir)),
     // DoReMi-style domain reweighting (Xie et al., "DoReMi: Optimizing Data
     // Mixtures Speeds Up Language Model Pretraining", NeurIPS 2023): the
     // iterative exponentiated-gradient loop that turns per-domain excess
@@ -567,21 +544,21 @@ object PipelineQueries {
   def cascadeOver(docs: DataFrame): DataFrame =
     withVerdict(signalsOver(docs), CascadeRepX10, CascadeStopDen)
 
-  private def signalsOver(docs: DataFrame): DataFrame = {
+  private def signalsOver(docs: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
     val toks = Hashing.tokens(col("text"))
     docs
       .withColumn("__toks", toks)
       .withColumn("__grams", when(size(col("__toks")) >= 5,
         expr("transform(sequence(0, size(__toks)-5), i -> concat_ws(' ', slice(__toks, i+1, 5)))"))
         .otherwise(expr("CAST(array() AS ARRAY<STRING>)")))
-      .select(col("doc_id"),
+      .select((col("doc_id") +: passthrough.map(col)) ++ Seq(
         size(col("__toks")).cast("long").as("n_tokens"),
         aggregate(col("__toks"), lit(0L), (acc, t) => acc + length(t)).as("sum_token_len"),
         TextQueries.markerHits(col("__toks"), TextQueries.Stopwords)
           .cast("long").as("n_stop"),
         size(col("__grams")).cast("long").as("n_grams"),
         (size(col("__grams")) - size(array_distinct(col("__grams"))))
-          .cast("long").as("n_dup_grams"))
+          .cast("long").as("n_dup_grams")): _*)
   }
 
   /** Mean-word-length acceptance band for the cascade (Gopher uses 3–10
@@ -888,6 +865,9 @@ object PipelineQueries {
     // the k-means/DoReMi trainer-oracle pattern; per-round CASTs keep
     // DuckDB's HUGEINT promotion out of the compared schema
     "pipeline_quality_classifier" -> qualityClassifierSqlStr,
+    // the streaming twin is gated by the SAME oracle: the deployed
+    // literal-array scorer computes the identical integer score
+    "stream_quality_classifier" -> qualityClassifierSqlStr,
     // The manifest diff replayed via the shared [[DiffOracle]] generator:
     // v1 manifest as the "before" CTE, v2 as the after arm, same
     // normalize → full-outer → classify → emit contract as every diff_*.
@@ -923,6 +903,77 @@ object PipelineQueries {
     // chain, and the sampling predicate replays the engine's md5 routing
     "pipeline_curation_e2e" -> curationE2eSqlStr
   )
+
+  /** Fit the quality classifier on the corpus at `sfDir`: returns the
+    * pinned `(doc_id, j, x, y)` feature frame (teacher label y = ±1 from
+    * the cascade; j = hashed-unigram bucket, [[QcFeatures]] = bias) and
+    * the fitted F+1-row weight frame after [[QcRounds]] batch-perceptron
+    * rounds — exact integer arithmetic throughout, weight frame pinned
+    * EVERY round (the iterative-trainer lineage discipline). Shared by
+    * the batch query and the streaming twin's offline-training stage. */
+  def qcFit(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), col("text"))
+    val labeled = cascadeDecisions(spark, sfDir, CascadeRepX10, CascadeStopDen)
+      .select(col("doc_id"), when(col("keep"), 1L).otherwise(-1L).as("y"))
+    val tokFeat = docs
+      .select(col("doc_id"), explode(Hashing.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), (Hashing.hash64(col("tok")) % QcFeatures).as("j"))
+      .groupBy(col("doc_id"), col("j")).agg(count(lit(1)).as("x"))
+    val bias = docs.select(col("doc_id"), lit(QcFeatures).as("j"), lit(1L).as("x"))
+    // (doc_id, j, x, y): K trainer passes + the apply pass all reuse it
+    val feat = CacheScope.pinned(
+      tokFeat.unionByName(bias).join(labeled, "doc_id"))
+    var w = CacheScope.pinned(spark.range(QcFeatures + 1)
+      .select(col("id").as("j"), lit(0L).as("w")))
+    for (_ <- 1 to QcRounds) {
+      // batch perceptron round: docs with y·s ≤ 0 vote y·x into Δw
+      // (w starts at 0, so round 1 updates on every doc)
+      val upd = feat.join(
+          qcScores(feat, w).filter(col("y") * col("s") <= 0L).select(col("doc_id")),
+          "doc_id")
+        .groupBy(col("j")).agg(sum(col("y") * col("x")).as("dw"))
+      w = CacheScope.pinned(w.join(upd, Seq("j"), "left_outer")
+        .select(col("j"), (col("w") + coalesce(col("dw"), lit(0L))).as("w")))
+    }
+    (feat, w)
+  }
+
+  /** Per-doc integer scores under a weight frame: the broadcast
+    * dot-product — (doc_id, y, s = Σ_j x_j·w_j). */
+  private def qcScores(feat: DataFrame, w: DataFrame): DataFrame =
+    feat.join(broadcast(w), "j")
+      .groupBy(col("doc_id"))
+      .agg(min(col("y")).as("y"), sum(col("x") * col("w")).as("s"))
+
+  /** Per-source student-vs-teacher confusion over (source, pred, y). */
+  def qcConfusion(decisions: DataFrame): DataFrame = decisions
+    .groupBy(col("source"))
+    .agg(count(lit(1)).as("n_docs"),
+      sum(when(col("pred") === 1L, 1L).otherwise(0L)).as("n_pred_keep"),
+      sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_true_keep"),
+      sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_agree"))
+    .withColumn("accuracy_ppm", expr("n_agree * 1000000 div n_docs"))
+
+  /** Stateless per-row decision projection under FITTED weights — the
+    * deployment form of the classifier: the F+1 fitted weights become a
+    * literal array, a document's score is `Σ_tokens w[hash(tok) % F] +
+    * w[F]` (integer adds in any order ≡ the batch Σ_j x_j·w_j exactly),
+    * and the teacher label rides along from [[cascadeOver]]. No join, no
+    * state — runs unchanged under Structured Streaming
+    * ([[graft.streaming.StreamingClassifier]]). */
+  def qcDecide(docs: DataFrame, weights: Array[Long]): DataFrame = {
+    val wArr = array(weights.map(lit(_)): _*)
+    val score = aggregate(Hashing.tokens(col("text")),
+      lit(weights(QcFeatures.toInt)), // bias
+      (acc, t) => acc + element_at(wArr, (Hashing.hash64(t) % QcFeatures).cast("int") + 1))
+    val scored = docs.withColumn("__s", score)
+    withVerdict(signalsOver(scored, Seq("source", "__s")),
+        CascadeRepX10, CascadeStopDen)
+      .select(col("doc_id"), col("source"),
+        when(col("__s") > 0L, 1L).otherwise(-1L).as("pred"),
+        when(col("keep"), 1L).otherwise(-1L).as("y"))
+  }
 
   /** Unrolled-trainer oracle for the quality classifier. */
   private def qualityClassifierSqlStr: String = {

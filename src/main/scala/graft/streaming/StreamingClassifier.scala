@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** The trained quality classifier as a CONTINUOUS scoring stage — the
+  * deployment shape of the FineWeb-Edu/CCNet filter: the model trains
+  * OFFLINE (the batch perceptron, [[graft.operators.PipelineQueries.qcFit]]),
+  * and the fitted F+1 integer weights ship into the stream as a literal
+  * array inside a stateless per-row projection — a document's score is
+  * `Σ_tokens w[hash(tok) % F] + bias`, integer adds in any order, so the
+  * stream's decisions equal the batch apply's Σ_j x_j·w_j bit-for-bit.
+  * No join, no state on the scoring path; the only stateful stage is the
+  * per-source confusion rollup over the sunk decisions, aggregated in
+  * batch off the parquet sink exactly like the cascade funnel.
+  *
+  * At 100 TB-a-day ingest this is the stage that scores documents as they
+  * arrive at scan speed; the trainer reruns offline on whatever cadence
+  * the teacher labels refresh. Temp dir and checkpoint are per-call and
+  * deleted on exit (the [[StreamingDiff.runCdc]] discipline).
+  */
+object StreamingClassifier {
+  private val runSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Train in batch, score the documents fixture as a structured stream
+    * into a parquet sink, fold the sunk decisions into the per-source
+    * confusion — identical to the batch `pipeline_quality_classifier`
+    * result, which is exactly what the shared oracle checks. */
+  def runClassifierOnce(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    // offline training stage (production: the labeled sample refresh)
+    val (_, wFrame) = graft.operators.PipelineQueries.qcFit(spark, sfDir)
+    val weights = {
+      val m = wFrame.collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      Array.tabulate(graft.operators.PipelineQueries.QcFeatures.toInt + 1)(
+        j => m.getOrElse(j, 0L))
+    }
+    graft.CacheScope.releaseAll() // trainer pins are spent once weights are local
+    val path = s"$sfDir/documents.parquet"
+    val schema = spark.read.parquet(path).schema
+    val raw =
+      if (new java.io.File(path).isDirectory)
+        spark.readStream.schema(schema).parquet(path)
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val root = java.nio.file.Files.createTempDirectory("graft_qclf_").toString
+    val (outDir, ckptDir) = (s"$root/decisions", s"$root/ckpt")
+    try {
+      val q = graft.operators.PipelineQueries.qcDecide(raw, weights)
+        .writeStream.outputMode(OutputMode.Append)
+        .queryName(s"quality_classifier_${runSeq.incrementAndGet()}")
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckptDir)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val local = graft.operators.PipelineQueries
+        .qcConfusion(spark.read.parquet(outDir))
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      local.toDF("source", "n_docs", "n_pred_keep", "n_true_keep",
+        "n_agree", "accuracy_ppm")
+    } finally {
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator().asScala
+          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+      } catch { case _: Throwable => () }
+    }
+  }
+}

@@ -11,6 +11,18 @@ import org.apache.spark.sql.streaming.OutputMode
 class StreamingSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("deployed streaming classifier == batch classifier confusion") {
+    // the literal-array scorer on the stream must reproduce the batch
+    // broadcast-join apply bit-for-bit (integer adds commute); both are
+    // gated by the same oracle row, this pins them against each other
+    val batch = SparkEntry.queries("pipeline_quality_classifier")(spark, Sf)
+      .collect().map(_.toSeq).toSet
+    CacheScope.releaseAll()
+    val stream = SparkEntry.queries("stream_quality_classifier")(spark, Sf)
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch && stream.nonEmpty)
+  }
+
   test("streaming tumbling counts == batch tumbling counts") {
     val batchEvents = Tables.load(spark, Sf, "events")
     val batch = EventsQueries.queries("events_tumbling")(spark, Sf)
