@@ -57,7 +57,7 @@ object SparkEntry {
     "text_ccnet_buckets", "pipeline_length_buckets", "mm_video_shared_frames",
     "text_bpe_encode", "pipeline_doremi_weights", "text_bpe_fertility",
     "diff_dist_drift", "dedup_substring_spans", "ann_matryoshka_topk",
-    "ann_matryoshka_ivf", "pipeline_quality_classifier",
+    "ann_matryoshka_ivf", "ann_imi_topk", "pipeline_quality_classifier",
     "stream_quality_classifier", "pipeline_curation_e2e", "stream_dist_drift")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -90,6 +90,9 @@ object SimilarityQueries {
   /** Prefix-score shortlist width fed to the exact full-dim rerank. */
   val MatShortlist = 50
 
+  /** Coarse cells probed per query in the IMI two-level router. */
+  val ImiCoarseProbe = 2
+
   /** SemDeDup similarity threshold: a same-cluster pair at or above this
     * cosine marks the higher id a semantic duplicate ([[semanticDupes]]).
     * Looser than the 0.95 the LSH near-dup query uses — SemDeDup's point
@@ -440,6 +443,87 @@ object SimilarityQueries {
       .filter(col("srank") <= MatShortlist)
       .select(col("probe_id"), col("neighbor_id"))
     topkRerank(short, emb)
+  }
+
+  /** IMI-style two-level router — the rung ABOVE [[ivfSampledTopk]] that
+    * the [[IvfLabelPathMax]] routing-cost ladder documents: the flat
+    * sampled-IVF rung's assignment pass costs n × K cosines
+    * (K = n / [[IvfListTarget]] — fine at 10⁵ vectors, ~2B at 10⁷). Here
+    * the K-entry fine codebook is itself clustered into C ≈ √K coarse
+    * cells (a stride sample OF the codebook, each fine centroid assigned
+    * to its nearest coarse cell), and every vector routes coarse-then-
+    * fine: C coarse cosines, then only the ~K/C fine centroids inside its
+    * cell — n × (√K + K/√K) total, the inverted-multi-index shape
+    * (Babenko & Lempitsky, "The Inverted Multi-Index", CVPR 2012).
+    * Candidates and the exact rerank tail are the family's shared ones;
+    * every tiebreak is (cos desc, id asc). Exercised directly at oracle
+    * scales as `ann_imi_topk`; recall pinned by `IvfRecallSpec`. */
+  def imiTopk(raw: DataFrame, nKnown: Long = -1L): DataFrame = {
+    val n = if (nKnown >= 0) nKnown else raw.count()
+    // routing (three scoring stages) + rerank all reuse the normed corpus
+    val emb = CacheScope.pinned(normed(raw))
+    val k = math.max(10L, n / IvfListTarget)
+    val s = math.max(1L, n / k)
+    val c = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
+    val cf = math.max(1L, k / c)
+    val fine = emb.filter(col("vec_id") % s === 0)
+      .select(col("vec_id").as("f"), col("embedding").as("f_emb"),
+        col("nsq").as("f_nsq"))
+    val coarse = emb.filter(col("vec_id") % (s * cf) === 0)
+      .select(col("vec_id").as("c"), col("embedding").as("c_emb"),
+        col("nsq").as("c_nsq"))
+    // fine centroid → coarse cell: K × C cosines, both sides broadcast-tiny
+    val f2c = fine.crossJoin(broadcast(coarse))
+      .select(col("f"), col("c"),
+        QuantizedVec.qcosine(col("f_emb"), col("c_emb"),
+          col("f_nsq"), col("c_nsq")).as("ccos"))
+      .groupBy(col("f"))
+      .agg(max(struct(col("ccos"), (-col("c")).as("negc"))).as("__m"))
+      .select(col("f"), (-col("__m.negc")).as("c"))
+    // the broadcast fine-cell table downstream stages equi-join on c —
+    // K rows, eager-pinned so the three consumers read a leaf instead of
+    // re-embedding the K × C scoring subtree in their plans
+    val fineCells = CacheScope.pinned(f2c.join(fine, "f")
+      .select(col("c"), col("f"), col("f_emb"), col("f_nsq")))
+    // vector → coarse cell: n × C cosines (consumed by assignment AND
+    // probe routing — score once)
+    val v2c = emb.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("c"),
+        QuantizedVec.qcosine(col("embedding"), col("c_emb"),
+          col("nsq"), col("c_nsq")).as("ccos"))
+      .transform(CacheScope.cached)
+    val vCell = v2c.groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("c")).as("negc"))).as("__m"))
+      .select(col("vec_id"), (-col("__m.negc")).as("c"))
+    // vector → fine list WITHIN its coarse cell: n × ~K/C cosines via the
+    // c equi-join against the broadcast fine-cell table
+    val assigned = emb.join(vCell, "vec_id")
+      .join(broadcast(fineCells), "c")
+      .select(col("vec_id"), col("f"),
+        QuantizedVec.qcosine(col("embedding"), col("f_emb"),
+          col("nsq"), col("f_nsq")).as("fcos"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("fcos"), (-col("f")).as("negf"))).as("__m"))
+      .select(col("vec_id").as("neighbor_id"), (-col("__m.negf")).as("f"))
+    // probes: top ImiCoarseProbe coarse cells, then top NProbe fine lists
+    // inside them
+    val wC = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c"))
+    val pCells = v2c.filter(col("vec_id") % probeStride(n) === 0)
+      .withColumn("rn", row_number().over(wC)).filter(col("rn") <= ImiCoarseProbe)
+      .select(col("vec_id").as("probe_id"), col("c"))
+    val pFineScored = pCells.join(broadcast(fineCells), "c")
+      .join(emb.select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nsq").as("p_nsq")), "probe_id")
+      .select(col("probe_id"), col("f"),
+        QuantizedVec.qcosine(col("p_emb"), col("f_emb"),
+          col("p_nsq"), col("f_nsq")).as("fcos"))
+    val wF = Window.partitionBy(col("probe_id")).orderBy(col("fcos").desc, col("f"))
+    val pLists = pFineScored.withColumn("rn", row_number().over(wF))
+      .filter(col("rn") <= NProbe).select(col("probe_id"), col("f"))
+    val cand = pLists.join(assigned, "f")
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("neighbor_id"))
+    topkRerank(cand, emb)
   }
 
   // ---- hybrid retrieval (shared legs; plain + indexed rungs) ----------
@@ -800,6 +884,14 @@ object SimilarityQueries {
     // SQL from COUNT(*).
     "ann_matryoshka_ivf" -> ((spark, sfDir) =>
       matryoshkaIvfTopk(Tables.load(spark, sfDir, "embeddings"))),
+    // The IMI two-level router exercised directly at oracle scales (same
+    // pattern as ann_ivf_sampled): the rung the routing-cost ladder
+    // documents ABOVE the flat sampled codebook — coarse-then-fine
+    // assignment cuts the router's n × K cosines to n × (√K + K/√K),
+    // pre-building the 10⁷-vector decade. Geometry (K, √K cells, strides,
+    // probe batch) all derive from COUNT(*) in the oracle too.
+    "ann_imi_topk" -> ((spark, sfDir) =>
+      imiTopk(Tables.load(spark, sfDir, "embeddings"))),
     // Product-quantization ANN — the MEMORY-COMPRESSED scan (FAISS
     // IndexPQ's ADC search): the corpus is encoded once to PqM=8 codes
     // per vector (64-dim float → 8 bytes, 32×; 4-bit packing → 64×), and a
@@ -1119,6 +1211,108 @@ object SimilarityQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
          |                               ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM fscored) t WHERE rank <= $TopK""".stripMargin,
+    // IMI two-level router replayed: geometry from COUNT(*), coarse cells
+    // as a stride sample OF the fine codebook, fine→coarse / vec→coarse /
+    // vec→fine-within-cell argmaxes with the engine's (cos desc, id asc)
+    // tiebreaks, probe routing coarse-then-fine, shared exact-rerank tail
+    "ann_imi_topk" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+         |${qnCte._1} AS (${qnCte._2}),
+         |${normsCte._1} AS (${normsCte._2}),
+         |prm AS (
+         |  SELECT n, k, GREATEST(1, n // k) AS s,
+         |         GREATEST(1, k // GREATEST(2,
+         |           CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT))) AS cf,
+         |         GREATEST(100, n // 200) AS pstride
+         |  FROM (SELECT n, GREATEST(10, n // $IvfListTarget) AS k
+         |        FROM (SELECT COUNT(*) AS n FROM corpus) t0) t1),
+         |fcents AS (SELECT vec_id AS f FROM corpus, prm WHERE vec_id % prm.s = 0),
+         |ccents AS (SELECT vec_id AS c FROM corpus, prm
+         |           WHERE vec_id % (prm.s * prm.cf) = 0),
+         |f2cd AS (
+         |  SELECT fc.f, cc.c, CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
+         |  FROM fcents fc JOIN qn qa ON qa.vec_id = fc.f
+         |       CROSS JOIN ccents cc
+         |       JOIN qn qb ON qb.vec_id = cc.c AND qb.d = qa.d
+         |  GROUP BY fc.f, cc.c),
+         |f2c AS (
+         |  SELECT f, c FROM (
+         |    SELECT fd.f, fd.c,
+         |           ROW_NUMBER() OVER (PARTITION BY fd.f ORDER BY
+         |             CAST(fd.dot AS DOUBLE) /
+         |               (sqrt(CAST(nf.nsq AS DOUBLE)) * sqrt(CAST(nc.nsq AS DOUBLE)))
+         |             DESC, fd.c) AS rn
+         |    FROM f2cd fd JOIN norms nf ON nf.vec_id = fd.f
+         |                 JOIN norms nc ON nc.vec_id = fd.c) t WHERE rn = 1),
+         |v2cd AS (
+         |  SELECT a.vec_id, cc.c, CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
+         |  FROM qn a JOIN qn b ON b.d = a.d JOIN ccents cc ON cc.c = b.vec_id
+         |  GROUP BY a.vec_id, cc.c),
+         |v2cs AS (
+         |  SELECT vd.vec_id, vd.c,
+         |         CAST(dot AS DOUBLE) /
+         |           (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS ccos
+         |  FROM v2cd vd JOIN norms na ON na.vec_id = vd.vec_id
+         |               JOIN norms nb ON nb.vec_id = vd.c),
+         |vcell AS (
+         |  SELECT vec_id, c FROM (
+         |    SELECT vec_id, c,
+         |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c) AS rn
+         |    FROM v2cs) t WHERE rn = 1),
+         |v2fd AS (
+         |  SELECT v.vec_id, fc.f, CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
+         |  FROM vcell v JOIN f2c fc ON fc.c = v.c
+         |       JOIN qn qa ON qa.vec_id = v.vec_id
+         |       JOIN qn qb ON qb.vec_id = fc.f AND qb.d = qa.d
+         |  GROUP BY v.vec_id, fc.f),
+         |assigned AS (
+         |  SELECT vec_id AS neighbor_id, f FROM (
+         |    SELECT vd.vec_id, vd.f,
+         |           ROW_NUMBER() OVER (PARTITION BY vd.vec_id ORDER BY
+         |             CAST(vd.dot AS DOUBLE) /
+         |               (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+         |             DESC, vd.f) AS rn
+         |    FROM v2fd vd JOIN norms na ON na.vec_id = vd.vec_id
+         |                 JOIN norms nb ON nb.vec_id = vd.f) t WHERE rn = 1),
+         |pcells AS (
+         |  SELECT vec_id AS probe_id, c FROM (
+         |    SELECT s.vec_id, s.c,
+         |           ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY s.ccos DESC, s.c) AS rn
+         |    FROM v2cs s, prm WHERE s.vec_id % prm.pstride = 0) t
+         |  WHERE rn <= $ImiCoarseProbe),
+         |pfined AS (
+         |  SELECT p.probe_id, fc.f, CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
+         |  FROM pcells p JOIN f2c fc ON fc.c = p.c
+         |       JOIN qn qa ON qa.vec_id = p.probe_id
+         |       JOIN qn qb ON qb.vec_id = fc.f AND qb.d = qa.d
+         |  GROUP BY p.probe_id, fc.f),
+         |plists AS (
+         |  SELECT probe_id, f FROM (
+         |    SELECT pd.probe_id, pd.f,
+         |           ROW_NUMBER() OVER (PARTITION BY pd.probe_id ORDER BY
+         |             CAST(pd.dot AS DOUBLE) /
+         |               (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+         |             DESC, pd.f) AS rn
+         |    FROM pfined pd JOIN norms na ON na.vec_id = pd.probe_id
+         |                   JOIN norms nb ON nb.vec_id = pd.f) t WHERE rn <= $NProbe),
+         |cand AS (
+         |  SELECT p.probe_id, a.neighbor_id
+         |  FROM plists p JOIN assigned a ON a.f = p.f
+         |  WHERE a.neighbor_id <> p.probe_id),
+         |pdots AS (
+         |  SELECT cd.probe_id, cd.neighbor_id, CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
+         |  FROM cand cd JOIN qn qa ON qa.vec_id = cd.probe_id
+         |               JOIN qn qb ON qb.vec_id = cd.neighbor_id AND qb.d = qa.d
+         |  GROUP BY cd.probe_id, cd.neighbor_id),
+         |scored AS (
+         |  SELECT p.probe_id, p.neighbor_id,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
+         |  FROM pdots p JOIN norms na ON na.vec_id = p.probe_id
+         |               JOIN norms nb ON nb.vec_id = p.neighbor_id)
+         |SELECT probe_id, neighbor_id, cos, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                               ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored) t WHERE rank <= $TopK""".stripMargin,
     // matryoshka-over-IVF replayed: the shared routing CTEs produce the
     // cand set (parameters from COUNT(*), exactly as the engine), the
     // prefix dots are the same qn join RESTRICTED to cand and d <

@@ -139,6 +139,28 @@ class IvfRecallSpec extends SparkTestBase {
     assert(viaRegistry == direct && viaRegistry.nonEmpty)
   }
 
+  test("IMI two-level rung: recall@10 vs the exact baseline stays useful") {
+    // coarse-then-fine routing can only shrink the candidate set vs the
+    // flat sampled rung (fine lists are reached through ImiCoarseProbe
+    // coarse cells), so its bar sits below the flat rung's 0.8
+    val raw = Tables.load(spark, Sf, "embeddings")
+    val exact = SimilarityQueries.queries("ann_cosine_topk")(spark, Sf)
+      .select(col("probe_id"), col("neighbor_id"))
+    val imi = SimilarityQueries.imiTopk(raw)
+      .select(col("probe_id"), col("neighbor_id"))
+    val nExact = exact.count()
+    val hit = exact.join(imi, Seq("probe_id", "neighbor_id"), "left_semi").count()
+    val recall = hit.toDouble / nExact
+    info(f"IMI recall@${SimilarityQueries.TopK} = $recall%.3f ($hit/$nExact)")
+    // measured 0.960 (deterministic) — floor at measured-minus-headroom
+    assert(recall >= 0.85, f"IMI recall $recall%.3f below 0.85")
+    // and it is the same function the registered oracle row exercises
+    val viaRegistry = SparkEntry.queries("ann_imi_topk")(spark, Sf)
+      .collect().map(_.toSeq).toSet
+    val direct = SimilarityQueries.imiTopk(raw).collect().map(_.toSeq).toSet
+    assert(viaRegistry == direct && viaRegistry.nonEmpty)
+  }
+
   test("recall@10 vs the exact baseline is >= 0.5") {
     val exact = SimilarityQueries.queries("ann_cosine_topk")(spark, Sf)
       .select(col("probe_id"), col("neighbor_id"))

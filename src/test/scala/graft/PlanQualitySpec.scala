@@ -388,6 +388,21 @@ class PlanQualitySpec extends SparkTestBase {
     CacheScope.releaseAll()
   }
 
+  test("IMI router: only the coarse-codebook scoring routes via broadcast nested loop") {
+    // the only BNLJ subtree is the vec × coarse-codebook scoring (C rows
+    // broadcast — K-way routing's inherent shape), which appears twice
+    // because assignment and probe routing both consume it (the
+    // dedup_semantic pattern); the K-row fine-cell table is pinned to a
+    // leaf, and everything corpus-sized downstream is an equi-join on
+    // cell/list ids with no global sort anywhere
+    val p = plan("ann_imi_topk")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+    val bnlj = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(bnlj <= 2, s"unexpected non-codebook nested loop ($bnlj):\n${p.take(2000)}")
+    CacheScope.releaseAll()
+  }
+
   test("curation e2e: sampling reads the pinned kept-docs leaf, rates broadcast") {
     // the kept-docs frame is pinned (feeds shares AND the sampled rollup);
     // the per-source rates frame joins into it broadcast — the corpus-side
