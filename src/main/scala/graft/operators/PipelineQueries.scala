@@ -912,6 +912,19 @@ object PipelineQueries {
     * EVERY round (the iterative-trainer lineage discipline). Shared by
     * the batch query and the streaming twin's offline-training stage. */
   def qcFit(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val feat = CacheScope.pinned(qcFeatBuild(spark, sfDir))
+    (feat, qcTrain(spark, sfDir, Some(feat)))
+  }
+
+  /** The fitted weight frame ALONE — the streaming twin's entry point: on
+    * a session-pin hit this never touches the corpus (the batch apply
+    * path needs the feature frame anyway; the stream scorer does not). */
+  def qcWeights(spark: SparkSession, sfDir: String): DataFrame =
+    qcTrain(spark, sfDir, None)
+
+  /** The (doc_id, j, x, y) feature frame: teacher label joined onto the
+    * hashed-unigram counts + the bias row. Lazy — callers pin it. */
+  private def qcFeatBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = graft.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"), col("text"))
     val labeled = cascadeDecisions(spark, sfDir, CascadeRepX10, CascadeStopDen)
@@ -921,23 +934,36 @@ object PipelineQueries {
       .select(col("doc_id"), (Hashing.hash64(col("tok")) % QcFeatures).as("j"))
       .groupBy(col("doc_id"), col("j")).agg(count(lit(1)).as("x"))
     val bias = docs.select(col("doc_id"), lit(QcFeatures).as("j"), lit(1L).as("x"))
-    // (doc_id, j, x, y): K trainer passes + the apply pass all reuse it
-    val feat = CacheScope.pinned(
-      tokFeat.unionByName(bias).join(labeled, "doc_id"))
-    var w = CacheScope.pinned(spark.range(QcFeatures + 1)
-      .select(col("id").as("j"), lit(0L).as("w")))
-    for (_ <- 1 to QcRounds) {
-      // batch perceptron round: docs with y·s ≤ 0 vote y·x into Δw
-      // (w starts at 0, so round 1 updates on every doc)
-      val upd = feat.join(
-          qcScores(feat, w).filter(col("y") * col("s") <= 0L).select(col("doc_id")),
-          "doc_id")
-        .groupBy(col("j")).agg(sum(col("y") * col("x")).as("dw"))
-      w = CacheScope.pinned(w.join(upd, Seq("j"), "left_outer")
-        .select(col("j"), (col("w") + coalesce(col("dw"), lit(0L))).as("w")))
-    }
-    (feat, w)
+    tokFeat.unionByName(bias).join(labeled, "doc_id")
   }
+
+  /** The trainer, SESSION-PINNED on its fitted F+1-row weight frame (the
+    * standing-index tier, same precedent as the dedup survivor frame): the
+    * batch query and the streaming deployment twin each need the same
+    * weights, and retraining per consumer paid the [[QcRounds]] corpus
+    * passes twice per session. The memoized frame is 65 rows —
+    * control-plane-sized — and survives `releaseAll`; `featShared` lets
+    * the batch path's already-pinned feature frame feed the first (and
+    * only) training run instead of a second extraction pass. */
+  private def qcTrain(spark: SparkSession, sfDir: String,
+      featShared: Option[DataFrame]): DataFrame =
+    CacheScope.sessionPinned(s"qc_weights:$sfDir", spark) {
+      val feat = featShared.getOrElse(
+        CacheScope.pinned(qcFeatBuild(spark, sfDir)))
+      var w = CacheScope.pinned(spark.range(QcFeatures + 1)
+        .select(col("id").as("j"), lit(0L).as("w")))
+      for (_ <- 1 to QcRounds) {
+        // batch perceptron round: docs with y·s ≤ 0 vote y·x into Δw
+        // (w starts at 0, so round 1 updates on every doc)
+        val upd = feat.join(
+            qcScores(feat, w).filter(col("y") * col("s") <= 0L).select(col("doc_id")),
+            "doc_id")
+          .groupBy(col("j")).agg(sum(col("y") * col("x")).as("dw"))
+        w = CacheScope.pinned(w.join(upd, Seq("j"), "left_outer")
+          .select(col("j"), (col("w") + coalesce(col("dw"), lit(0L))).as("w")))
+      }
+      w
+    }
 
   /** Per-doc integer scores under a weight frame: the broadcast
     * dot-product — (doc_id, y, s = Σ_j x_j·w_j). */
@@ -964,7 +990,12 @@ object PipelineQueries {
     * ([[graft.streaming.StreamingClassifier]]). */
   def qcDecide(docs: DataFrame, weights: Array[Long]): DataFrame = {
     val wArr = array(weights.map(lit(_)): _*)
-    val score = aggregate(Hashing.tokens(col("text")),
+    // coalesce: a NULL text must score bias-only (the batch join path sees
+    // only the bias feature row for such docs) — aggregate over a null
+    // array would yield a NULL score and force pred=-1, a silent
+    // stream-vs-batch divergence
+    val score = aggregate(
+      coalesce(Hashing.tokens(col("text")), array().cast("array<string>")),
       lit(weights(QcFeatures.toInt)), // bias
       (acc, t) => acc + element_at(wArr, (Hashing.hash64(t) % QcFeatures).cast("int") + 1))
     val scored = docs.withColumn("__s", score)

@@ -29,14 +29,19 @@ object StreamingClassifier {
     * result, which is exactly what the shared oracle checks. */
   def runClassifierOnce(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    // offline training stage (production: the labeled sample refresh)
-    val (_, wFrame) = graft.operators.PipelineQueries.qcFit(spark, sfDir)
+    // offline training stage (production: the labeled sample refresh) —
+    // SESSION-PINNED: one trainer pass per session shared with the batch
+    // query; a memo hit never touches the corpus. No releaseAll here: the
+    // CacheScope contract reserves it for BETWEEN-queries points, and a
+    // caller holding another registry frame across this query must not
+    // have its blocks swept mid-query (the trainer's own per-round pins
+    // are released at the harness's next between-queries releaseAll).
+    val wFrame = graft.operators.PipelineQueries.qcWeights(spark, sfDir)
     val weights = {
       val m = wFrame.collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
       Array.tabulate(graft.operators.PipelineQueries.QcFeatures.toInt + 1)(
         j => m.getOrElse(j, 0L))
     }
-    graft.CacheScope.releaseAll() // trainer pins are spent once weights are local
     val path = s"$sfDir/documents.parquet"
     val schema = spark.read.parquet(path).schema
     val raw =

@@ -53,12 +53,14 @@ class CacheHygieneSpec extends SparkTestBase {
       CacheScope.releaseAll()
       spark.catalog.clearCache()
     }
-    // the ONE legitimate releaseAll survivor is the standing survivor
-    // frame (CacheScope.sessionPinned — shared by dedup_survivors and the
-    // capstone); everything else must be gone
+    // the TWO legitimate releaseAll survivors are the standing
+    // CacheScope.sessionPinned frames: the survivor index (shared by
+    // dedup_survivors and the capstone) and the fitted classifier weights
+    // (shared by the batch classifier and its streaming twin); everything
+    // else must be gone
     val standing = spark.sparkContext.getPersistentRDDs
-    assert(standing.size <= 1,
-      s"leaked ${standing.size} persistent RDDs (expected <=1 session pin): " +
+    assert(standing.size <= 2,
+      s"leaked ${standing.size} persistent RDDs (expected <=2 session pins): " +
         standing.values.map(r => s"${r.id}:${r.name}").mkString("; "))
     // session end releases the standing tier too
     CacheScope.releaseSession()
@@ -85,6 +87,37 @@ class CacheHygieneSpec extends SparkTestBase {
     assert(!(third eq second))
     assert(third.count() == nAll)
     CacheScope.releaseSession()
+  }
+
+  test("classifier weights train once per session and are shared by both twins") {
+    CacheScope.releaseSession()
+    val first = graft.operators.PipelineQueries.qcWeights(spark, Sf)
+    // the batch path's qcFit must reuse the same memoized weight frame
+    CacheScope.releaseAll()
+    val (_, second) = graft.operators.PipelineQueries.qcFit(spark, Sf)
+    assert(first eq second, "qc weights retrained within one session")
+    assert(second.count() ==
+      graft.operators.PipelineQueries.QcFeatures + 1)
+    // fresh session ⇒ fresh trainer run
+    CacheScope.releaseSession()
+    val third = graft.operators.PipelineQueries.qcWeights(spark, Sf)
+    assert(!(third eq second))
+    CacheScope.releaseSession()
+    CacheScope.releaseAll()
+  }
+
+  test("qcDecide scores a NULL text bias-only, matching the batch join path") {
+    import spark.implicits._
+    // weights with positive bias: a null-text doc must score +bias (pred
+    // +1), not NULL (which would silently force pred = -1)
+    val f = graft.operators.PipelineQueries.QcFeatures.toInt
+    val w = Array.fill(f + 1)(0L); w(f) = 7L
+    val docs = Seq((1L, "src", "some text here"), (2L, "src", null))
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.PipelineQueries.qcDecide(docs, w)
+      .select($"doc_id", $"pred").as[(Long, Long)].collect().toMap
+    assert(out(2L) == 1L, "null text must score bias-only (+7 > 0)")
+    CacheScope.releaseAll()
   }
 
   test("releaseAll is idempotent and safe with nothing registered") {
