@@ -93,6 +93,22 @@ object SimilarityQueries {
   /** Coarse cells probed per query in the IMI two-level router. */
   val ImiCoarseProbe = 2
 
+  /** Semantic-drift boundary for [[queries]]' `diff_semantic_drift`: an
+    * UPDATED embedding whose before→after quantized cosine falls below
+    * this is a SEMANTIC edit (re-embed / re-index it); at or above is
+    * COSMETIC (renormalization, an epsilon touch — skip the rebuild).
+    * Far from both planted edit classes (rotation ≈ uncorrelated,
+    * rescale ≈ 1.0), so classification is robust to quantization. */
+  val DriftTau = 0.99
+
+  /** Rotation width of the planted semantic edit (dims shift left 7). */
+  val DriftRot = 7
+
+  /** Insert band for the drift fixture's new arrivals — above the dedup
+    * delta bands so scaled fixtures' real vec_ids can never collide
+    * (same discipline as the mutation bands; ScaleUp asserts headroom). */
+  val DriftInsertBand = 10000000000L
+
   /** SemDeDup similarity threshold: a same-cluster pair at or above this
     * cosine marks the higher id a semantic duplicate ([[semanticDupes]]).
     * Looser than the 0.95 the LSH near-dup query uses — SemDeDup's point
@@ -260,6 +276,68 @@ object SimilarityQueries {
       .agg(min(col("vec_a")).as("keeper_id"), max(col("cos")).as("max_cos"))
       .select(col("vec_b").as("vec_id"), col("cluster"),
         col("keeper_id"), col("max_cos"))
+  }
+
+  /** SEMANTIC DRIFT DIFF — the diff family (reference's 5-state keyed
+    * snapshot diff, `extract_data.go:161-184`) crossed with the embedding
+    * column: which rows changed, and of the UPDATED ones, which changed
+    * MEANINGFULLY — the CDC-for-RAG primitive ("which docs need
+    * re-embedding/re-indexing since the last index build" vs "which were
+    * cosmetic touches the index can skip"). The after-arm is the
+    * deterministic in-engine mutation convention every diff_* uses:
+    * deletes (`vec_id % 17 = 2`), SEMANTIC edits (dims rotated left
+    * [[DriftRot]] — an uncorrelated re-embedding), COSMETIC edits (every
+    * component × 1.01 — a renormalization, cosine-invariant), inserts
+    * (copies at +[[DriftInsertBand]]).
+    *
+    * Scale shape: ONE full-outer equi-join of the two quantized component
+    * frames on (vec_id, d) IS simultaneously the diff (presence/equality
+    * per key) and the drift score (dot + both norms accumulate in the
+    * same keyed aggregation) — there is no second corpus pass to fetch
+    * vectors for the delta, and the output is delta-sized (NOT_MODIFIED
+    * keys drop in the same aggregation's filter). Strictly fewer passes
+    * than diff-then-rejoin; plan-gated (no cartesian, no window, no
+    * corpus re-join after the diff). The fixture's after-arm mutation
+    * reads the parquet twice (mutated body + insert band union); in
+    * production the after side is the incoming snapshot — one scan each.
+    * Classification thresholds compare identical doubles in both engines
+    * ([[DriftTau]] sits far from both planted classes). */
+  def semanticDrift(before: DataFrame): DataFrame = {
+    val dbl = expr("transform(embedding, v -> CAST(v AS DOUBLE))")
+    val rotated = expr(s"""transform(sequence(1, $Dim),
+      i -> CAST(element_at(embedding, CAST((i + ${DriftRot - 1}) % $Dim + 1 AS INT)) AS DOUBLE))""")
+    val scaled = expr("transform(embedding, v -> CAST(v AS DOUBLE) * CAST(1.01 AS DOUBLE))")
+    val after = before.filter(col("vec_id") % 17 =!= 2)
+      .select(col("vec_id"),
+        when(col("vec_id") % 17 === 5, rotated)
+          .when(col("vec_id") % 17 === 11, scaled)
+          .otherwise(dbl).as("embedding"))
+      .unionByName(before.filter(col("vec_id") % 17 === 8)
+        .select((col("vec_id") + DriftInsertBand).as("vec_id"),
+          dbl.as("embedding")))
+    val bq = quantizedComponents(before.withColumn("label", lit(0))).drop("label")
+    val aq = quantizedComponents(after.withColumn("label", lit(0))).drop("label")
+    val j = bq.select(col("vec_id"), col("d"), col("qv").as("bqv"))
+      .join(aq.select(col("vec_id"), col("d"), col("qv").as("aqv")),
+        Seq("vec_id", "d"), "full_outer")
+    val g = j.groupBy(col("vec_id"))
+      .agg(count(col("bqv")).as("nb"), count(col("aqv")).as("na"),
+        sum(col("bqv") * col("aqv")).as("dot"),
+        sum(col("bqv") * col("bqv")).as("bn"),
+        sum(col("aqv") * col("aqv")).as("an"),
+        max(abs(col("bqv") - col("aqv"))).as("maxdiff"))
+    g.filter(col("nb") === 0 || col("na") === 0 || col("maxdiff") > 0)
+      .select(col("vec_id"),
+        when(col("nb") === 0, SnapshotDiff.Inserted)
+          .when(col("na") === 0, SnapshotDiff.Deleted)
+          .otherwise(SnapshotDiff.Updated).as("status"),
+        when(col("nb") > 0 && col("na") > 0,
+          col("dot").cast("double") /
+            (sqrt(col("bn").cast("double")) * sqrt(col("an").cast("double"))))
+          .as("cos"))
+      .withColumn("drift",
+        when(col("status") === SnapshotDiff.Updated,
+          when(col("cos") < DriftTau, "semantic").otherwise("cosmetic")))
   }
 
   /** The sampled-IVF routing stage shared by [[ivfSampledTopk]],
@@ -1008,6 +1086,10 @@ object SimilarityQueries {
             col("nsq_a"), col("nsq_b")).as("cos"))
         .filter(col("cos") >= 0.95)
     }),
+    // Semantic drift diff over the embeddings table — see [[semanticDrift]].
+    "diff_semantic_drift" -> ((spark, sfDir) =>
+      semanticDrift(Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding")))),
     // SemDeDup over the planted near-dup corpus (embeddings itself has no
     // duplicates) — cluster-bounded semantic dedup, see [[semanticDupes]].
     "dedup_semantic" -> ((spark, sfDir) => {
@@ -1655,6 +1737,57 @@ object SimilarityQueries {
          |  FROM pdots p JOIN norms na ON na.vec_id = p.vec_a
          |               JOIN norms nb ON nb.vec_id = p.vec_b) t
          |WHERE cos >= 0.95""".stripMargin,
+    // Semantic drift replayed: the same deterministic after-arm mutation,
+    // both component frames quantized identically, one full-outer join on
+    // (vec_id, d) whose keyed aggregation yields presence, equality, dot
+    // and both norms at once — exactly [[semanticDrift]]'s fused pass.
+    "diff_semantic_drift" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+         |aft AS (
+         |  SELECT vec_id,
+         |         CASE WHEN vec_id % 17 = 5 THEN
+         |                list_transform(range(1, ${Dim + 1}),
+         |                  i -> CAST(embedding[((i + ${DriftRot - 1}) % $Dim) + 1] AS DOUBLE))
+         |              WHEN vec_id % 17 = 11 THEN
+         |                list_transform(embedding,
+         |                  v -> CAST(v AS DOUBLE) * CAST(1.01 AS DOUBLE))
+         |              ELSE list_transform(embedding, v -> CAST(v AS DOUBLE))
+         |         END AS embedding
+         |  FROM corpus WHERE vec_id % 17 <> 2
+         |  UNION ALL
+         |  SELECT vec_id + $DriftInsertBand AS vec_id,
+         |         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS embedding
+         |  FROM corpus WHERE vec_id % 17 = 8),
+         |bq AS (
+         |  SELECT vec_id, i - 1 AS d, $qv AS qv
+         |  FROM corpus, range(1, ${Dim + 1}) r(i)),
+         |aq AS (
+         |  SELECT vec_id, i - 1 AS d, $qv AS qv
+         |  FROM aft, range(1, ${Dim + 1}) r(i)),
+         |j AS (
+         |  SELECT COALESCE(b.vec_id, a.vec_id) AS vec_id, b.qv AS bqv, a.qv AS aqv
+         |  FROM bq b FULL JOIN aq a ON a.vec_id = b.vec_id AND a.d = b.d),
+         |g AS (
+         |  SELECT vec_id, COUNT(bqv) AS nb, COUNT(aqv) AS na,
+         |         CAST(SUM(bqv * aqv) AS BIGINT) AS dot,
+         |         CAST(SUM(bqv * bqv) AS BIGINT) AS bn,
+         |         CAST(SUM(aqv * aqv) AS BIGINT) AS an,
+         |         MAX(ABS(bqv - aqv)) AS maxdiff
+         |  FROM j GROUP BY vec_id)
+         |SELECT vec_id,
+         |       CASE WHEN nb = 0 THEN 'INSERTED'
+         |            WHEN na = 0 THEN 'DELETED'
+         |            ELSE 'UPDATED' END AS status,
+         |       CASE WHEN nb > 0 AND na > 0 THEN
+         |         CAST(dot AS DOUBLE) /
+         |           (sqrt(CAST(bn AS DOUBLE)) * sqrt(CAST(an AS DOUBLE)))
+         |       END AS cos,
+         |       CASE WHEN nb > 0 AND na > 0 THEN
+         |         CASE WHEN CAST(dot AS DOUBLE) /
+         |                (sqrt(CAST(bn AS DOUBLE)) * sqrt(CAST(an AS DOUBLE)))
+         |              < $DriftTau THEN 'semantic' ELSE 'cosmetic' END
+         |       END AS drift
+         |FROM g WHERE nb = 0 OR na = 0 OR maxdiff > 0""".stripMargin,
     // SemDeDup: the sampled-codebook routing CTEs give the clustering;
     // pairwise cosine is scored ONLY within a cluster, then each dropped
     // vector reports its min-id keeper and strongest similarity — exactly

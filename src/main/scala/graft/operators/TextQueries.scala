@@ -449,6 +449,25 @@ object TextQueries {
         .withColumn("fertility",
           col("n_subwords").cast("double") / col("n_words").cast("double"))
     }),
+    // BPE DECODE — the symbol-table inverse that completes the tokenizer
+    // lifecycle (train → encode → fertility → decode): a word's trained
+    // segmentation concatenated back in position order must reproduce the
+    // word exactly — the lossless-round-trip property every production
+    // tokenizer guarantees (detokenize(tokenize(x)) == x). One keyed
+    // aggregation over the trained symbol table (vocab-sized, not
+    // corpus-sized — decode cost is independent of corpus rows);
+    // `array_sort` over (pos, sym) structs makes the collect_list order
+    // deterministic, mirroring the oracle's ORDER BY pos. The `roundtrip`
+    // column is asserted all-true by spec AND hash-checked by the oracle.
+    "text_bpe_decode" -> ((spark, sfDir) => {
+      val syms = bpeTrain(spark, sfDir)._2
+      syms.groupBy(col("word"))
+        .agg(count(lit(1)).as("n_syms"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("sym")))),
+            x => x.getField("sym")), "").as("decoded"))
+        .withColumn("roundtrip", col("decoded") === col("word"))
+    }),
     "text_heavy_hitters" -> ((spark, sfDir) => {
       val words = Tables.load(spark, sfDir, "documents")
         .select(explode(Hashing.tokens(col("text"))).as("word"))
@@ -654,10 +673,21 @@ object TextQueries {
        |    / CAST(CAST(SUM(n_occ) AS BIGINT) AS DOUBLE) AS fertility
        |FROM lwf JOIN seg USING (word) GROUP BY lang""".stripMargin
 
+  // the decode inverse: concatenate each word's trained segmentation in
+  // position order — the round-trip equality is itself a compared column
+  private val bpeDecodeSqlStr: String =
+    s"""$bpeCtesStr,
+       |dec AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_syms,
+       |         string_agg(sym, '' ORDER BY pos) AS decoded
+       |  FROM syms$BpeMerges GROUP BY word)
+       |SELECT word, n_syms, decoded, (decoded = word) AS roundtrip FROM dec""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "text_bpe_merges" -> bpeMergesSqlStr,
     "text_bpe_encode" -> bpeEncodeSqlStr,
     "text_bpe_fertility" -> bpeFertilitySqlStr,
+    "text_bpe_decode" -> bpeDecodeSqlStr,
     "text_inverted_index" ->
       s"""WITH dt AS (
          |  SELECT DISTINCT doc_id, unnest(list_transform(

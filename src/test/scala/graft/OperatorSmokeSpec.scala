@@ -62,6 +62,41 @@ class OperatorSmokeSpec extends SparkTestBase {
     }
   }
 
+  test("bpe decode round-trips every trained segmentation to its word") {
+    // the lossless-tokenizer property: decode(encode(word)) == word for
+    // EVERY word the trainer segmented — concatenating a word's symbol
+    // sequence in position order reproduces the word exactly
+    val dec = SparkEntry.queries("text_bpe_decode")(spark, Sf)
+    CacheScope.requireLive(dec)
+    val bad = dec.filter(!col("roundtrip")).count()
+    assert(bad == 0, s"$bad words failed decode(encode(word)) == word")
+    // and the decoded vocabulary covers exactly the trainer's word set
+    val nWords = Tables.load(spark, Sf, "documents")
+      .select(explode(graft.functions.Hashing.tokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2).select(col("w")).distinct().count()
+    assert(dec.count() == nWords)
+    // doc-level corollary: rejoining each document's (length>=2) words
+    // after a word-level decode reproduces the normalized document
+    val docWords = Tables.load(spark, Sf, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.functions.Hashing.tokens(col("text"))).as(Seq("p", "w")))
+      .filter(length(col("w")) >= 2)
+    val viaDecode = docWords
+      .join(dec.select(col("word").as("w"), col("decoded")), "w")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("p"), col("decoded")))),
+        x => x.getField("decoded")), " ").as("rebuilt"))
+    val direct = docWords.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("p"), col("w")))),
+        x => x.getField("w")), " ").as("expected"))
+    val docBad = viaDecode.join(direct, "doc_id")
+      .filter(col("rebuilt") =!= col("expected")).count()
+    assert(docBad == 0, s"$docBad documents failed doc-level decode round-trip")
+    CacheScope.releaseAll()
+  }
+
   test("multimodal decode is deterministic and complete") {
     val f1 = SparkEntry.queries("mm_decode_features")(spark, Sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("fingerprint")).toMap

@@ -55,6 +55,23 @@ class PlanQualitySpec extends SparkTestBase {
     assert(exchanges == 2, s"expected 2 Exchanges (one per side), got $exchanges:\n$p")
   }
 
+  test("semantic drift: one fused full-outer pass, no corpus re-join, no window") {
+    val p = plan("diff_semantic_drift")
+    // the diff and the drift score share ONE full-outer component join —
+    // exactly one join operator of any kind in the whole plan
+    assert(p.contains("FullOuter"), p.take(2000))
+    val joins = p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(joins == 1, s"expected the single fused diff+score join, got $joins:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(!p.contains("Window"), "drift must classify in the aggregation, not a window")
+    // delta fetch must not rescan the corpus: before (1) + after union (2)
+    val scans = p.linesIterator.count(_.contains("FileScan"))
+    assert(scans <= 3, s"corpus re-scan crept in ($scans FileScans):\n$p")
+  }
+
   test("fused report: no join operator anywhere in the plan") {
     val p = plan("diff_report")
     Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
