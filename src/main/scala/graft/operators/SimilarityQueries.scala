@@ -54,11 +54,12 @@ object SimilarityQueries {
     * sf1 decade on the label path bit-for-bit.
     *
     * Routing-cost ladder (same convention as `LinkageQueries.BandWidth`):
-    * the sampled rung's ASSIGNMENT pass costs n × K = n²/[[IvfListTarget]]
-    * codegen'd cosines — ~20M at sf10 (seconds), ~2B at ~10⁷ vectors,
-    * where the next rung is two-level routing (IMI-style: √K coarse cells
-    * over the codebook, assign via coarse-then-fine probing), which this
-    * corpus is still a decade away from needing. */
+    * the flat sampled rung's ASSIGNMENT pass cost n × K = n²/
+    * [[IvfListTarget]] codegen'd cosines — ~20M at sf10 (seconds), ~2B at
+    * ~10⁷ vectors. Since round 10 the WHOLE family assigns through the
+    * two-level [[twoLevelRouting]] pass (√K coarse cells over the
+    * codebook, coarse-then-fine argmax — n × (√K + K/√K)), so the
+    * 10⁷-vector decade holds without a further rung change. */
   val IvfLabelPathMax = 50000L
 
   /** Product quantization geometry: [[Dim]] splits into [[PqM]] subspaces
@@ -202,56 +203,105 @@ object SimilarityQueries {
   /** Sampled-codebook IVF for corpora past the label axis ([[IvfLabelPathMax]]):
     * the codebook is a deterministic 1-in-(n/K) sample of the corpus itself
     * (standard sample-based IVF training; each sampled vector sits near its
-    * true cluster's mass), K = n / [[IvfListTarget]] lists. Assignment and
-    * probe routing are codegen'd cosines against the BROADCAST codebook —
-    * the one deliberate broadcast nested loop in the family, inherent to
-    * K-way routing and bounded by the K-row broadcast — then the same
+    * true cluster's mass), K = n / [[IvfListTarget]] lists. Assignment
+    * routes through the shared two-level [[twoLevelRouting]] pass
+    * (n × (√K + K/√K) cosines); probe routing scores the ~200-query batch
+    * flat against the K-row broadcast fine-cell table; then the same
     * candidate equi-join and exact rerank as the label path, with the same
     * (cos desc, id asc) tiebreaks. Candidates/probe = NProbe ×
     * IvfListTarget, CONSTANT in n: the query total is linear where the
-    * fixed-K path was quadratic. */
+    * fixed-K path was quadratic — and the assignment pass now survives the
+    * 10⁷-vector decade the flat n × K router could not. */
   def ivfSampledTopk(raw: DataFrame, nKnown: Long = -1L): DataFrame = {
     val n = if (nKnown >= 0) nKnown else raw.count()
-    val emb = normed(raw)
+    // routing (fine/coarse samples, v2c, assignment), probe scoring and
+    // the exact rerank all consume it: eager pin, per the shared-frame
+    // discipline
+    val emb = CacheScope.pinned(normed(raw))
     topkRerank(sampledCandidates(emb, n), emb)
   }
 
-  /** Every vector's cosine against the sampled codebook (stride = n/K,
-    * K = n / [[IvfListTarget]]): the K-row broadcast nested loop inherent
-    * to K-way routing. `emb` must carry (vec_id, embedding, nsq) as
-    * produced by [[normed]]. */
-  private def sampledCentroidScores(emb: DataFrame, n: Long): DataFrame = {
+  /** The two-level (inverted-multi-index) codebook build and vector
+    * assignment SHARED BY THE WHOLE SAMPLED-IVF FAMILY — round 10's
+    * structural fix: the flat assignment scored every vector against all
+    * K fine centroids (n × K cosines with K = n / [[IvfListTarget]] ∝ n —
+    * quadratic, ~2 B cosines at the 10⁷-vector decade), and only
+    * [[imiTopk]] routed coarse-then-fine. Now EVERY rung assigns through
+    * this pass: the K-entry fine codebook (stride sample of the corpus,
+    * unchanged from the flat rung) is itself clustered into C ≈ √K coarse
+    * cells, and each vector scores C coarse cosines then only the ~K/C
+    * fine centroids inside its argmax cell — n × (√K + K/√K) total, the
+    * inverted-multi-index shape (Babenko & Lempitsky, "The Inverted
+    * Multi-Index", CVPR 2012).
+    *
+    * Returns (fineCells, v2c, assigned):
+    *   - `fineCells` (c, f, f_emb, f_nsq): the K-row fine-codebook table
+    *     keyed by coarse cell, eagerly pinned — consumers equi-join it
+    *     broadcast instead of re-embedding the K × C scoring subtree;
+    *   - `v2c` (vec_id, c, ccos): vector → coarse-cell cosines (n × C
+    *     rows; cached when `shareV2c` — IMI probe routing re-reads it,
+    *     the family's flat probe routing does not);
+    *   - `assigned` (neighbor_id, f): each vector's fine list, both
+    *     argmaxes as map-side-partial aggregates with (cos desc, id asc)
+    *     tiebreaks — never a window over the corpus-sized score frame. */
+  private def twoLevelRouting(emb: DataFrame, n: Long,
+      shareV2c: Boolean): (DataFrame, DataFrame, DataFrame) = {
     val k = math.max(10L, n / IvfListTarget)
-    val stride = math.max(1L, n / k)
-    val cents = broadcast(emb.filter(col("vec_id") % stride === 0)
+    val s = math.max(1L, n / k)
+    val c = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
+    val cf = math.max(1L, k / c)
+    val fine = emb.filter(col("vec_id") % s === 0)
+      .select(col("vec_id").as("f"), col("embedding").as("f_emb"),
+        col("nsq").as("f_nsq"))
+    val coarse = emb.filter(col("vec_id") % (s * cf) === 0)
       .select(col("vec_id").as("c"), col("embedding").as("c_emb"),
-        col("nsq").as("c_nsq")))
-    emb.crossJoin(cents)
+        col("nsq").as("c_nsq"))
+    // fine centroid → coarse cell: K × C cosines, both sides broadcast-tiny
+    val f2c = fine.crossJoin(broadcast(coarse))
+      .select(col("f"), col("c"),
+        QuantizedVec.qcosine(col("f_emb"), col("c_emb"),
+          col("f_nsq"), col("c_nsq")).as("ccos"))
+      .groupBy(col("f"))
+      .agg(max(struct(col("ccos"), (-col("c")).as("negc"))).as("__m"))
+      .select(col("f"), (-col("__m.negc")).as("c"))
+    // the broadcast fine-cell table downstream stages equi-join on c —
+    // K rows, eager-pinned so consumers read a leaf instead of
+    // re-embedding the K × C scoring subtree in their plans
+    val fineCells = CacheScope.pinned(f2c.join(fine, "f")
+      .select(col("c"), col("f"), col("f_emb"), col("f_nsq")))
+    // vector → coarse cell: n × C cosines
+    val v2cRaw = emb.crossJoin(broadcast(coarse))
       .select(col("vec_id"), col("c"),
         QuantizedVec.qcosine(col("embedding"), col("c_emb"),
           col("nsq"), col("c_nsq")).as("ccos"))
+    val v2c = if (shareV2c) v2cRaw.transform(CacheScope.cached) else v2cRaw
+    val vCell = v2c.groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos"), (-col("c")).as("negc"))).as("__m"))
+      .select(col("vec_id"), (-col("__m.negc")).as("c"))
+    // vector → fine list WITHIN its coarse cell: n × ~K/C cosines via the
+    // c equi-join against the broadcast fine-cell table
+    val assigned = emb.join(vCell, "vec_id")
+      .join(broadcast(fineCells), "c")
+      .select(col("vec_id"), col("f"),
+        QuantizedVec.qcosine(col("embedding"), col("f_emb"),
+          col("nsq"), col("f_nsq")).as("fcos"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("fcos"), (-col("f")).as("negf"))).as("__m"))
+      .select(col("vec_id").as("neighbor_id"), (-col("__m.negf")).as("f"))
+    (fineCells, v2c, assigned)
   }
-
-  /** Argmax cluster per vector over [[sampledCentroidScores]], as an
-    * aggregate (map-side partial; no window over the full n × K score
-    * frame); -c in the struct = min-c tiebreak, matching topClusters'
-    * label-asc order. Returns (neighbor_id, c). */
-  private def sampledAssignment(scores: DataFrame): DataFrame = scores
-    .groupBy(col("vec_id"))
-    .agg(max(struct(col("ccos"), (-col("c")).as("negc"))).as("__m"))
-    .select(col("vec_id").as("neighbor_id"), (-col("__m.negc")).as("c"))
 
   /** SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication", 2023): semantic near-dedup
     * over the embedding column with CLUSTER-BOUNDED candidate generation —
     * cluster the corpus, score pairwise cosine only WITHIN a cluster, and
     * drop every vector whose similarity to a lower-id same-cluster vector
-    * reaches [[SemTau]]. The clustering is the exact sampled-codebook
-    * assignment the IVF family runs ([[sampledCentroidScores]] +
-    * [[sampledAssignment]], K = n / [[IvfListTarget]] lists), so expected
-    * cluster size — and with it per-vector candidate work — stays constant
-    * in n: the quadratic all-pairs stage never exists, the same banding
-    * discipline as every other dedup candidate generator. Returns one row
+    * reaches [[SemTau]]. The clustering is the exact fine-list assignment
+    * the IVF family runs ([[twoLevelRouting]] — coarse-then-fine,
+    * K = n / [[IvfListTarget]] lists), so expected cluster size — and
+    * with it per-vector candidate work — stays constant in n: the
+    * quadratic all-pairs stage never exists, the same banding discipline
+    * as every other dedup candidate generator. Returns one row
     * per DROPPED vector with its keeper (min same-cluster id above
     * threshold) and the strongest similarity that doomed it — the dedup
     * decision list a 100 TB curation pipeline anti-joins against. */
@@ -260,8 +310,8 @@ object SimilarityQueries {
     // self-joined three ways (codebook sample, pair left, pair right):
     // eager pin, per the shared-frame discipline
     val emb = CacheScope.pinned(normed(raw))
-    val assigned = sampledAssignment(sampledCentroidScores(emb, n))
-      .select(col("neighbor_id").as("vec_id"), col("c").as("cluster"))
+    val assigned = twoLevelRouting(emb, n, shareV2c = false)._3
+      .select(col("neighbor_id").as("vec_id"), col("f").as("cluster"))
     val m = assigned.join(emb, "vec_id")
     val pairs = m.select(col("cluster"), col("vec_id").as("vec_a"),
         col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
@@ -341,20 +391,32 @@ object SimilarityQueries {
   }
 
   /** The sampled-IVF routing stage shared by [[ivfSampledTopk]],
-    * [[ivfAdcTopk]] and the indexed hybrid leg: sample the codebook
-    * (stride = n/K), assign every vector to its argmax-cosine list, route
-    * each probe to its NProbe nearest lists, and emit the bounded
-    * (probe_id, neighbor_id) candidate set — NProbe × [[IvfListTarget]]
-    * rows per probe, constant in n. `emb` must carry (vec_id, embedding,
-    * nsq) as produced by [[normed]]. */
+    * [[ivfAdcTopk]], [[matryoshkaIvfTopk]] and the indexed hybrid leg:
+    * every vector assigns to its fine list through the two-level
+    * [[twoLevelRouting]] pass (n × (√K + K/√K) cosines — the round-10
+    * fix for the flat rung's quadratic n × K assignment), then the
+    * ~n/pstride probe BATCH scores ALL K fine centroids flat (pstride
+    * pins the batch at ~200 queries, so this is ~200 × K cosines —
+    * negligible next to assignment at every decade, and it keeps the
+    * probe's NProbe lists exact rather than coarse-cell-restricted:
+    * the recall-preserving half of the flat rung at none of its cost).
+    * Candidates = NProbe × [[IvfListTarget]] rows per probe, constant in
+    * n. `emb` must carry (vec_id, embedding, nsq) as produced by
+    * [[normed]], PINNED by the caller (six stages consume it). */
   private def sampledCandidates(emb: DataFrame, n: Long): DataFrame = {
-    val scores = sampledCentroidScores(emb, n)
-    val assigned = sampledAssignment(scores)
-    val wProbe = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c"))
-    val probeClusters = scores.filter(col("vec_id") % probeStride(n) === 0)
-      .withColumn("rn", row_number().over(wProbe)).filter(col("rn") <= NProbe)
-      .select(col("vec_id").as("probe_id"), col("c"))
-    probeClusters.join(assigned, "c")
+    val (fineCells, _, assigned) = twoLevelRouting(emb, n, shareV2c = false)
+    val probes = emb.filter(col("vec_id") % probeStride(n) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nsq").as("p_nsq"))
+    val pscored = probes.crossJoin(broadcast(fineCells))
+      .select(col("probe_id"), col("f"),
+        QuantizedVec.qcosine(col("p_emb"), col("f_emb"),
+          col("p_nsq"), col("f_nsq")).as("fcos"))
+    val wP = Window.partitionBy(col("probe_id"))
+      .orderBy(col("fcos").desc, col("f"))
+    val pLists = pscored.withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= NProbe).select(col("probe_id"), col("f"))
+    pLists.join(assigned, "f")
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"))
   }
@@ -441,7 +503,7 @@ object SimilarityQueries {
     * exercised directly at oracle scales as `ann_ivfadc_topk`. */
   def ivfAdcTopk(raw: DataFrame, nKnown: Long = -1L): DataFrame = {
     val n = if (nKnown >= 0) nKnown else raw.count()
-    val cand = sampledCandidates(normed(raw), n)
+    val cand = sampledCandidates(CacheScope.pinned(normed(raw)), n)
     val (comp, dist, enc) = pqStages(raw)
     val dt = dist.filter(col("vec_id") % probeStride(n) === 0)
       .select(col("vec_id").as("probe_id"), col("m").as("em"),
@@ -523,66 +585,24 @@ object SimilarityQueries {
     topkRerank(short, emb)
   }
 
-  /** IMI-style two-level router — the rung ABOVE [[ivfSampledTopk]] that
-    * the [[IvfLabelPathMax]] routing-cost ladder documents: the flat
-    * sampled-IVF rung's assignment pass costs n × K cosines
-    * (K = n / [[IvfListTarget]] — fine at 10⁵ vectors, ~2B at 10⁷). Here
-    * the K-entry fine codebook is itself clustered into C ≈ √K coarse
-    * cells (a stride sample OF the codebook, each fine centroid assigned
-    * to its nearest coarse cell), and every vector routes coarse-then-
-    * fine: C coarse cosines, then only the ~K/C fine centroids inside its
-    * cell — n × (√K + K/√K) total, the inverted-multi-index shape
-    * (Babenko & Lempitsky, "The Inverted Multi-Index", CVPR 2012).
-    * Candidates and the exact rerank tail are the family's shared ones;
-    * every tiebreak is (cos desc, id asc). Exercised directly at oracle
-    * scales as `ann_imi_topk`; recall pinned by `IvfRecallSpec`. */
+  /** IMI-style fully-two-level rung: since round 10 the WHOLE family
+    * assigns through the shared [[twoLevelRouting]] pass; what remains
+    * distinctive here is the PROBE side — queries also route coarse-then-
+    * fine (top [[ImiCoarseProbe]] coarse cells, then the fine lists inside
+    * them) instead of scoring all K fine centroids flat, the full
+    * inverted-multi-index query shape (Babenko & Lempitsky, "The Inverted
+    * Multi-Index", CVPR 2012) for when even the probe batch's K-flat scan
+    * matters (huge K or per-query serving). Candidates and the exact
+    * rerank tail are the family's shared ones; every tiebreak is
+    * (cos desc, id asc). Exercised directly at oracle scales as
+    * `ann_imi_topk`; recall pinned by `IvfRecallSpec`. */
   def imiTopk(raw: DataFrame, nKnown: Long = -1L): DataFrame = {
     val n = if (nKnown >= 0) nKnown else raw.count()
     // routing (three scoring stages) + rerank all reuse the normed corpus
     val emb = CacheScope.pinned(normed(raw))
-    val k = math.max(10L, n / IvfListTarget)
-    val s = math.max(1L, n / k)
-    val c = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
-    val cf = math.max(1L, k / c)
-    val fine = emb.filter(col("vec_id") % s === 0)
-      .select(col("vec_id").as("f"), col("embedding").as("f_emb"),
-        col("nsq").as("f_nsq"))
-    val coarse = emb.filter(col("vec_id") % (s * cf) === 0)
-      .select(col("vec_id").as("c"), col("embedding").as("c_emb"),
-        col("nsq").as("c_nsq"))
-    // fine centroid → coarse cell: K × C cosines, both sides broadcast-tiny
-    val f2c = fine.crossJoin(broadcast(coarse))
-      .select(col("f"), col("c"),
-        QuantizedVec.qcosine(col("f_emb"), col("c_emb"),
-          col("f_nsq"), col("c_nsq")).as("ccos"))
-      .groupBy(col("f"))
-      .agg(max(struct(col("ccos"), (-col("c")).as("negc"))).as("__m"))
-      .select(col("f"), (-col("__m.negc")).as("c"))
-    // the broadcast fine-cell table downstream stages equi-join on c —
-    // K rows, eager-pinned so the three consumers read a leaf instead of
-    // re-embedding the K × C scoring subtree in their plans
-    val fineCells = CacheScope.pinned(f2c.join(fine, "f")
-      .select(col("c"), col("f"), col("f_emb"), col("f_nsq")))
-    // vector → coarse cell: n × C cosines (consumed by assignment AND
-    // probe routing — score once)
-    val v2c = emb.crossJoin(broadcast(coarse))
-      .select(col("vec_id"), col("c"),
-        QuantizedVec.qcosine(col("embedding"), col("c_emb"),
-          col("nsq"), col("c_nsq")).as("ccos"))
-      .transform(CacheScope.cached)
-    val vCell = v2c.groupBy(col("vec_id"))
-      .agg(max(struct(col("ccos"), (-col("c")).as("negc"))).as("__m"))
-      .select(col("vec_id"), (-col("__m.negc")).as("c"))
-    // vector → fine list WITHIN its coarse cell: n × ~K/C cosines via the
-    // c equi-join against the broadcast fine-cell table
-    val assigned = emb.join(vCell, "vec_id")
-      .join(broadcast(fineCells), "c")
-      .select(col("vec_id"), col("f"),
-        QuantizedVec.qcosine(col("embedding"), col("f_emb"),
-          col("nsq"), col("f_nsq")).as("fcos"))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("fcos"), (-col("f")).as("negf"))).as("__m"))
-      .select(col("vec_id").as("neighbor_id"), (-col("__m.negf")).as("f"))
+    // the codebook build + assignment are the family-shared two-level
+    // pass; v2c is cached because probe routing below re-reads it
+    val (fineCells, v2c, assigned) = twoLevelRouting(emb, n, shareV2c = true)
     // probes: top ImiCoarseProbe coarse cells, then top NProbe fine lists
     // inside them
     val wC = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c"))
@@ -662,8 +682,9 @@ object SimilarityQueries {
     val n = if (nKnown >= 0) nKnown else hybrid.count()
     val stride = probeStride(n)
     val trank = lexicalLeg(hybrid, stride)
-    val emb = hybrid.select(col("id").as("vec_id"), col("embedding"),
-      QuantizedVec.qnormsq(col("embedding")).as("nsq"))
+    val emb = CacheScope.pinned(
+      hybrid.select(col("id").as("vec_id"), col("embedding"),
+        QuantizedVec.qnormsq(col("embedding")).as("nsq")))
     val vrank = topkRerank(sampledCandidates(emb, n), emb, 20)
       .select(col("probe_id"), col("neighbor_id"), col("rank").as("vec_rank"))
     rrfFuse(trank, vrank)
@@ -918,10 +939,10 @@ object SimilarityQueries {
     // same ivfSampledTopk the auto-selected ann_ivf_topk serves with above
     // IvfLabelPathMax rows, called unconditionally so the branch that
     // actually runs at sf10 (and at 100 TB) carries its own green
-    // CORRECTNESS row — the oracle replays codebook sampling (stride =
-    // n/K), assignment argmax, probe routing and the exact rerank with
-    // parameters computed in SQL from COUNT(*), so it stays in lockstep at
-    // EVERY scale, not just the ones where the constants coincide.
+    // CORRECTNESS row — the oracle replays the two-level codebook build,
+    // coarse-then-fine assignment, flat probe routing and the exact
+    // rerank with parameters computed in SQL from COUNT(*), so it stays
+    // in lockstep at EVERY scale, not just where the constants coincide.
     "ann_ivf_sampled" -> ((spark, sfDir) =>
       ivfSampledTopk(Tables.load(spark, sfDir, "embeddings"))),
     // MATRYOSHKA two-stage retrieval (Kusupati et al., NeurIPS 2022 — the
@@ -1117,36 +1138,86 @@ object SimilarityQueries {
   private val pstrideCte: String =
     "pp AS (SELECT GREATEST(100, COUNT(*) // 200) AS pstride FROM corpus)"
 
-  /** Sampled-IVF routing CTE chain (mirrors [[sampledCandidates]]):
-    * stride/probe parameters computed from COUNT(*) over `corpus`, sampled
-    * codebook, argmax assignment, NProbe probe routing, and the final
-    * `cand(probe_id, neighbor_id)` set. Requires the qn + norms CTEs. */
+  /** Sampled-IVF routing CTE chain (mirrors [[sampledCandidates]], i.e.
+    * the shared [[twoLevelRouting]] assignment + flat probe routing):
+    * geometry (K, √K cells, strides, probe batch) computed from COUNT(*)
+    * over `corpus`, fine codebook clustered into coarse cells, every
+    * vector assigned coarse-then-fine, probes scored flat against all K
+    * fine centroids, and the final `cand(probe_id, neighbor_id)` set.
+    * `assigned` keeps its historical (neighbor_id, c) interface — `c` is
+    * now the FINE-LIST id — so every consumer's tail (rerank, ADC,
+    * prefix, SemDeDup pairs) is unchanged. Requires the qn + norms CTEs. */
   private val ivfRoutingCtes: String =
     s"""params AS (
-       |  SELECT GREATEST(1, n // GREATEST(10, n // $IvfListTarget)) AS stride,
+       |  SELECT n, k, GREATEST(1, n // k) AS s,
+       |         GREATEST(1, k // GREATEST(2,
+       |           CAST(ceil(sqrt(CAST(k AS DOUBLE))) AS BIGINT))) AS cf,
        |         GREATEST(100, n // 200) AS pstride
-       |  FROM (SELECT COUNT(*) AS n FROM corpus) t),
-       |cents AS (
-       |  SELECT vec_id AS c FROM corpus, params WHERE vec_id % params.stride = 0),
-       |cdots AS (
-       |  SELECT a.vec_id, b.vec_id AS c, CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
-       |  FROM qn a JOIN qn b ON b.d = a.d JOIN cents ce ON ce.c = b.vec_id
-       |  GROUP BY a.vec_id, b.vec_id),
-       |cscore AS (
-       |  SELECT cd.vec_id, cd.c,
-       |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS ccos
-       |  FROM cdots cd JOIN norms na ON na.vec_id = cd.vec_id
-       |                JOIN norms nb ON nb.vec_id = cd.c),
-       |assigned AS (
-       |  SELECT vec_id AS neighbor_id, c FROM (
+       |  FROM (SELECT n, GREATEST(10, n // $IvfListTarget) AS k
+       |        FROM (SELECT COUNT(*) AS n FROM corpus) t0) t1),
+       |fcents AS (SELECT vec_id AS f FROM corpus, params WHERE vec_id % params.s = 0),
+       |ccents AS (SELECT vec_id AS c FROM corpus, params
+       |           WHERE vec_id % (params.s * params.cf) = 0),
+       |f2cd AS (
+       |  SELECT fc.f, cc.c, CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
+       |  FROM fcents fc JOIN qn qa ON qa.vec_id = fc.f
+       |       CROSS JOIN ccents cc
+       |       JOIN qn qb ON qb.vec_id = cc.c AND qb.d = qa.d
+       |  GROUP BY fc.f, cc.c),
+       |f2c AS (
+       |  SELECT f, c FROM (
+       |    SELECT fd.f, fd.c,
+       |           ROW_NUMBER() OVER (PARTITION BY fd.f ORDER BY
+       |             CAST(fd.dot AS DOUBLE) /
+       |               (sqrt(CAST(nf.nsq AS DOUBLE)) * sqrt(CAST(nc.nsq AS DOUBLE)))
+       |             DESC, fd.c) AS rn
+       |    FROM f2cd fd JOIN norms nf ON nf.vec_id = fd.f
+       |                 JOIN norms nc ON nc.vec_id = fd.c) t WHERE rn = 1),
+       |v2cd AS (
+       |  SELECT a.vec_id, cc.c, CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
+       |  FROM qn a JOIN qn b ON b.d = a.d JOIN ccents cc ON cc.c = b.vec_id
+       |  GROUP BY a.vec_id, cc.c),
+       |v2cs AS (
+       |  SELECT vd.vec_id, vd.c,
+       |         CAST(dot AS DOUBLE) /
+       |           (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS ccos
+       |  FROM v2cd vd JOIN norms na ON na.vec_id = vd.vec_id
+       |               JOIN norms nb ON nb.vec_id = vd.c),
+       |vcell AS (
+       |  SELECT vec_id, c FROM (
        |    SELECT vec_id, c,
        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c) AS rn
-       |    FROM cscore) t WHERE rn = 1),
+       |    FROM v2cs) t WHERE rn = 1),
+       |v2fd AS (
+       |  SELECT v.vec_id, fc.f, CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
+       |  FROM vcell v JOIN f2c fc ON fc.c = v.c
+       |       JOIN qn qa ON qa.vec_id = v.vec_id
+       |       JOIN qn qb ON qb.vec_id = fc.f AND qb.d = qa.d
+       |  GROUP BY v.vec_id, fc.f),
+       |assigned AS (
+       |  SELECT vec_id AS neighbor_id, f AS c FROM (
+       |    SELECT vd.vec_id, vd.f,
+       |           ROW_NUMBER() OVER (PARTITION BY vd.vec_id ORDER BY
+       |             CAST(vd.dot AS DOUBLE) /
+       |               (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+       |             DESC, vd.f) AS rn
+       |    FROM v2fd vd JOIN norms na ON na.vec_id = vd.vec_id
+       |                 JOIN norms nb ON nb.vec_id = vd.f) t WHERE rn = 1),
+       |pfd AS (
+       |  SELECT a.vec_id AS probe_id, fc.f, CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
+       |  FROM qn a CROSS JOIN params
+       |       JOIN qn b ON b.d = a.d JOIN fcents fc ON fc.f = b.vec_id
+       |  WHERE a.vec_id % params.pstride = 0
+       |  GROUP BY a.vec_id, fc.f),
        |probeclusters AS (
-       |  SELECT vec_id AS probe_id, c FROM (
-       |    SELECT s.vec_id, s.c,
-       |           ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY s.ccos DESC, s.c) AS rn
-       |    FROM cscore s, params WHERE s.vec_id % params.pstride = 0) t WHERE rn <= $NProbe),
+       |  SELECT probe_id, f AS c FROM (
+       |    SELECT pd.probe_id, pd.f,
+       |           ROW_NUMBER() OVER (PARTITION BY pd.probe_id ORDER BY
+       |             CAST(pd.dot AS DOUBLE) /
+       |               (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+       |             DESC, pd.f) AS rn
+       |    FROM pfd pd JOIN norms na ON na.vec_id = pd.probe_id
+       |                JOIN norms nb ON nb.vec_id = pd.f) t WHERE rn <= $NProbe),
        |cand AS (
        |  SELECT p.probe_id, a.neighbor_id
        |  FROM probeclusters p JOIN assigned a ON a.c = p.c
