@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.SimilarityQueries
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Developer tool: measure routed-ANN-rung recall@k against the exact
+  * baselines at ANY fixture scale — `runMain graft.RecallProbe <sfDir>`.
+  *
+  * The spec-level pins (`IvfRecallSpec`, `PqRecallSpec`) assert at the
+  * sf0.001 fixture; routing geometry (K, C, NProbe lists, probe stride)
+  * all derive from COUNT(*), so recall COULD drift with scale without any
+  * spec noticing. This probe produces the per-scale datapoints recorded
+  * in bench/SCALING.json (round-10 verdict item: two recall datapoints
+  * per routed rung, sf0.1 and sf1, all above the fixture floors).
+  *
+  * Baselines: cosine rungs (sampled / Matryoshka-IVF / IMI) measure
+  * against the exact brute-force cosine top-k (`ann_cosine_topk`); the
+  * IVFADC rung measures against the exact quantized-L2 top-k (PQ
+  * approximates L2, not cosine — `PqRecallSpec`'s baseline, generalized
+  * to the scale's own probe stride). Prints one JSON line.
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.create(cpus, "graft-recallprobe")
+
+    def pairs(df: DataFrame): DataFrame =
+      df.select(col("probe_id"), col("neighbor_id"))
+
+    def recall(exact: DataFrame, approx: DataFrame): Double = {
+      val e = exact.transform(CacheScope.cached)
+      val n = e.count()
+      val hit = e.join(approx, Seq("probe_id", "neighbor_id"), "left_semi").count()
+      hit.toDouble / n
+    }
+
+    def exactL2TopK(stride: Long): DataFrame = {
+      val comp = Tables.load(spark, sfDir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+        .select(col("vec_id"), col("d"),
+          floor(col("v").cast("double") * 1e6 + 0.5).cast("long").as("qv"))
+        .transform(CacheScope.cached)
+      val a = comp.filter(col("vec_id") % stride === 0)
+        .select(col("vec_id").as("probe_id"), col("d"), col("qv").as("qa"))
+      val b = comp.select(col("vec_id").as("neighbor_id"), col("d"), col("qv").as("qb"))
+      val d2 = a.join(b, "d").filter(col("probe_id") =!= col("neighbor_id"))
+        .groupBy(col("probe_id"), col("neighbor_id"))
+        .agg(sum((col("qa") - col("qb")) * (col("qa") - col("qb"))).as("l2"))
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("l2"), col("neighbor_id"))
+      d2.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= SimilarityQueries.TopK)
+        .select(col("probe_id"), col("neighbor_id"))
+    }
+
+    val raw = Tables.load(spark, sfDir, "embeddings")
+    val n = raw.count()
+    val stride = SimilarityQueries.probeStride(n)
+
+    val exactCos = CacheScope.cached(
+      pairs(SimilarityQueries.queries("ann_cosine_topk")(spark, sfDir)))
+    val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+    out("ann_ivf_sampled") =
+      recall(exactCos, pairs(SimilarityQueries.ivfSampledTopk(raw, n)))
+    CacheScope.releaseAll() // between rungs: drop each rung's own pins
+    out("ann_matryoshka_ivf") =
+      recall(CacheScope.cached(pairs(
+          SimilarityQueries.queries("ann_cosine_topk")(spark, sfDir))),
+        pairs(SimilarityQueries.matryoshkaIvfTopk(raw, n)))
+    CacheScope.releaseAll()
+    out("ann_imi_topk") =
+      recall(CacheScope.cached(pairs(
+          SimilarityQueries.queries("ann_cosine_topk")(spark, sfDir))),
+        pairs(SimilarityQueries.imiTopk(raw, n)))
+    CacheScope.releaseAll()
+    out("ann_ivfadc_topk") =
+      recall(exactL2TopK(stride), pairs(SimilarityQueries.ivfAdcTopk(raw, n)))
+    CacheScope.releaseAll()
+    CacheScope.releaseSession()
+
+    val fields = out.map { case (k, v) =>
+      "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    }.mkString(",")
+    println(s"""{"recall_at_${SimilarityQueries.TopK}":{$fields},"n_vectors":$n,"sf_dir":"$sfDir"}""")
+    spark.stop()
+  }
+}

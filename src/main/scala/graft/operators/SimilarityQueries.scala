@@ -94,6 +94,15 @@ object SimilarityQueries {
   /** Coarse cells probed per query in the IMI two-level router. */
   val ImiCoarseProbe = 2
 
+  /** Coarse cells considered per VECTOR during two-level assignment: the
+    * argmax fine centroid can sit just across a coarse-cell boundary, and
+    * a top-1 cell assignment loses it (measured: recall@10 0.695 vs the
+    * flat router's 0.795 at the sf0.1 fixture). Scoring the fine lists of
+    * the top-[[ImiAssignProbe]] cells recovers the boundary cases at
+    * n × (C + [[ImiAssignProbe]]·K/C) cosines — still √K-shaped, vs the
+    * flat router's n × K. */
+  val ImiAssignProbe = 2
+
   /** Semantic-drift boundary for [[queries]]' `diff_semantic_drift`: an
     * UPDATED embedding whose before→after quantized cosine falls below
     * this is a SEMANTIC edit (re-embed / re-index it); at or above is
@@ -275,12 +284,14 @@ object SimilarityQueries {
         QuantizedVec.qcosine(col("embedding"), col("c_emb"),
           col("nsq"), col("c_nsq")).as("ccos"))
     val v2c = if (shareV2c) v2cRaw.transform(CacheScope.cached) else v2cRaw
-    val vCell = v2c.groupBy(col("vec_id"))
-      .agg(max(struct(col("ccos"), (-col("c")).as("negc"))).as("__m"))
-      .select(col("vec_id"), (-col("__m.negc")).as("c"))
-    // vector → fine list WITHIN its coarse cell: n × ~K/C cosines via the
-    // c equi-join against the broadcast fine-cell table
-    val assigned = emb.join(vCell, "vec_id")
+    // top ImiAssignProbe coarse cells per vector (WindowGroupLimit keeps
+    // the per-partition top-A before the vec_id shuffle)
+    val wV = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c"))
+    val vCells = v2c.withColumn("rn", row_number().over(wV))
+      .filter(col("rn") <= ImiAssignProbe).select(col("vec_id"), col("c"))
+    // vector → fine list WITHIN its top-A coarse cells: n × ~A·K/C cosines
+    // via the c equi-join against the broadcast fine-cell table
+    val assigned = emb.join(vCells, "vec_id")
       .join(broadcast(fineCells), "c")
       .select(col("vec_id"), col("f"),
         QuantizedVec.qcosine(col("embedding"), col("f_emb"),
@@ -1187,7 +1198,7 @@ object SimilarityQueries {
        |  SELECT vec_id, c FROM (
        |    SELECT vec_id, c,
        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c) AS rn
-       |    FROM v2cs) t WHERE rn = 1),
+       |    FROM v2cs) t WHERE rn <= $ImiAssignProbe),
        |v2fd AS (
        |  SELECT v.vec_id, fc.f, CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
        |  FROM vcell v JOIN f2c fc ON fc.c = v.c
@@ -1411,7 +1422,7 @@ object SimilarityQueries {
          |  SELECT vec_id, c FROM (
          |    SELECT vec_id, c,
          |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c) AS rn
-         |    FROM v2cs) t WHERE rn = 1),
+         |    FROM v2cs) t WHERE rn <= $ImiAssignProbe),
          |v2fd AS (
          |  SELECT v.vec_id, fc.f, CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
          |  FROM vcell v JOIN f2c fc ON fc.c = v.c

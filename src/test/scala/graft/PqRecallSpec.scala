@@ -64,7 +64,8 @@ class PqRecallSpec extends SparkTestBase {
     val recall = hit.toDouble / nExact
     info(f"IVFADC recall@${SimilarityQueries.TopK} = $recall%.3f ($hit/$nExact)")
     assert(nExact > 0)
-    // measured 0.620 (deterministic) — floor at measured-minus-headroom
+    // measured 0.640 under the round-10 two-level top-A assignment (was
+    // 0.620 flat) — floor at measured-minus-headroom
     assert(recall >= 0.55, f"IVFADC recall $recall%.3f below 0.55")
     // and it is the same function the registered oracle row exercises
     val viaRegistry = SparkEntry.queries("ann_ivfadc_topk")(spark, Sf)
