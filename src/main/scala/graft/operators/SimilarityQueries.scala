@@ -843,8 +843,9 @@ object SimilarityQueries {
     val cq = spark.read.parquet(s"$dir/centroids")
     val cnorms = spark.read.parquet(s"$dir/centroid_norms")
     val assigned = spark.read.parquet(s"$dir/assignment")
-    val pqn = quantizedComponents(
-      raw.filter(col("vec_id") % probeStride(raw.count()) === 0)).drop("label")
+    val pqn = quantizedComponents(raw.filter(
+      col("vec_id") % probeStride(Tables.countOf(spark, sfDir, "embeddings")) === 0))
+      .drop("label")
     val probeClusters = topClusters(centroidScores(pqn, vecNorms(pqn), cq, cnorms), NProbe)
       .select(col("vec_id").as("probe_id"), col("label"))
     topkRerank(ivfCandidates(probeClusters, assigned), normed(raw))
@@ -868,7 +869,8 @@ object SimilarityQueries {
     "ann_cosine_topk" -> ((spark, sfDir) => {
       val raw = Tables.load(spark, sfDir, "embeddings")
       val emb = normed(raw)
-      val probes = emb.filter(col("vec_id") % probeStride(raw.count()) === 0)
+      val probes = emb.filter(
+        col("vec_id") % probeStride(Tables.countOf(spark, sfDir, "embeddings")) === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
           col("nsq").as("p_nsq"))
       val scored = broadcast(probes).join(emb, col("vec_id") =!= col("probe_id"))
@@ -890,7 +892,8 @@ object SimilarityQueries {
       val corpusF = raw.filter(col("label") % 3 === 0)
         .select(col("vec_id"), col("label"), col("embedding"),
           QuantizedVec.qnormsq(col("embedding")).as("nsq"))
-      val probes = normed(raw).filter(col("vec_id") % probeStride(raw.count()) === 0)
+      val probes = normed(raw).filter(
+        col("vec_id") % probeStride(Tables.countOf(spark, sfDir, "embeddings")) === 0)
         .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
           col("nsq").as("p_nsq"))
       val scored = broadcast(probes)
@@ -925,7 +928,7 @@ object SimilarityQueries {
     // path bit-exact.
     "ann_ivf_topk" -> ((spark, sfDir) => {
       val raw = Tables.load(spark, sfDir, "embeddings")
-      val nVecs = raw.count()
+      val nVecs = Tables.countOf(spark, sfDir, "embeddings")
       if (nVecs > IvfLabelPathMax) ivfSampledTopk(raw, nVecs)
       else {
         // quantized components feed centroid build, assignment, and routing
@@ -955,7 +958,8 @@ object SimilarityQueries {
     // rerank with parameters computed in SQL from COUNT(*), so it stays
     // in lockstep at EVERY scale, not just where the constants coincide.
     "ann_ivf_sampled" -> ((spark, sfDir) =>
-      ivfSampledTopk(Tables.load(spark, sfDir, "embeddings"))),
+      ivfSampledTopk(Tables.load(spark, sfDir, "embeddings"),
+        Tables.countOf(spark, sfDir, "embeddings"))),
     // MATRYOSHKA two-stage retrieval (Kusupati et al., NeurIPS 2022 — the
     // adaptive-dimension serving pattern): the corpus-sized stage scores
     // only the first [[MatPrefDim]] of [[Dim]] dims (4× fewer multiplies
@@ -983,7 +987,7 @@ object SimilarityQueries {
     // (ann_matryoshka_ivf) and recall pin (IvfRecallSpec).
     "ann_matryoshka_topk" -> ((spark, sfDir) => {
       val raw = Tables.load(spark, sfDir, "embeddings")
-      val nVecs = raw.count()
+      val nVecs = Tables.countOf(spark, sfDir, "embeddings")
       if (nVecs > IvfLabelPathMax) matryoshkaIvfTopk(raw, nVecs)
       else matryoshkaPlainTopk(raw, nVecs)
     }),
@@ -993,7 +997,8 @@ object SimilarityQueries {
     // hash-checked CORRECTNESS row, with routing parameters computed in
     // SQL from COUNT(*).
     "ann_matryoshka_ivf" -> ((spark, sfDir) =>
-      matryoshkaIvfTopk(Tables.load(spark, sfDir, "embeddings"))),
+      matryoshkaIvfTopk(Tables.load(spark, sfDir, "embeddings"),
+        Tables.countOf(spark, sfDir, "embeddings"))),
     // The IMI two-level router exercised directly at oracle scales (same
     // pattern as ann_ivf_sampled): the rung the routing-cost ladder
     // documents ABOVE the flat sampled codebook — coarse-then-fine
@@ -1001,7 +1006,8 @@ object SimilarityQueries {
     // pre-building the 10⁷-vector decade. Geometry (K, √K cells, strides,
     // probe batch) all derive from COUNT(*) in the oracle too.
     "ann_imi_topk" -> ((spark, sfDir) =>
-      imiTopk(Tables.load(spark, sfDir, "embeddings"))),
+      imiTopk(Tables.load(spark, sfDir, "embeddings"),
+        Tables.countOf(spark, sfDir, "embeddings"))),
     // Product-quantization ANN — the MEMORY-COMPRESSED scan (FAISS
     // IndexPQ's ADC search): the corpus is encoded once to PqM=8 codes
     // per vector (64-dim float → 8 bytes, 32×; 4-bit packing → 64×), and a
@@ -1027,7 +1033,7 @@ object SimilarityQueries {
     // (ann_ivfadc_topk) and recall pin (PqRecallSpec).
     "ann_pq_topk" -> ((spark, sfDir) => {
       val raw = Tables.load(spark, sfDir, "embeddings")
-      val n = raw.count()
+      val n = Tables.countOf(spark, sfDir, "embeddings")
       if (n > IvfLabelPathMax) ivfAdcTopk(raw, n)
       else {
         val stride = probeStride(n)
@@ -1047,7 +1053,8 @@ object SimilarityQueries {
     // IvfLabelPathMax gets its own hash-checked CORRECTNESS row, with
     // routing/coding parameters computed in SQL from COUNT(*).
     "ann_ivfadc_topk" -> ((spark, sfDir) =>
-      ivfAdcTopk(Tables.load(spark, sfDir, "embeddings"))),
+      ivfAdcTopk(Tables.load(spark, sfDir, "embeddings"),
+        Tables.countOf(spark, sfDir, "embeddings"))),
     // K-MEANS proper — the offline clustering stage the IVF queries model
     // with the pre-labeled `label` column (see ann_ivf_topk's scaladoc):
     // deterministic hash-seeded Lloyd iterations in exact scaled-integer
@@ -1078,7 +1085,7 @@ object SimilarityQueries {
     "ann_hybrid_rrf" -> ((spark, sfDir) => {
       val hybrid = hybridCorpus(spark, sfDir)
         .transform(CacheScope.cached) // both retrieval legs scan it
-      val n = hybrid.count()
+      val n = Tables.memoCount(spark, s"hybrid:$sfDir")(hybrid.count())
       if (n > IvfLabelPathMax) hybridIndexedRrf(hybrid, n)
       else hybridPlainRrf(hybrid, n)
     }),
@@ -1086,7 +1093,7 @@ object SimilarityQueries {
     // pattern as ann_ivf_sampled / ann_ivfadc_topk).
     "ann_hybrid_indexed" -> ((spark, sfDir) => {
       val hybrid = hybridCorpus(spark, sfDir).transform(CacheScope.cached)
-      hybridIndexedRrf(hybrid)
+      hybridIndexedRrf(hybrid, Tables.memoCount(spark, s"hybrid:$sfDir")(hybrid.count()))
     }),
     "ann_lsh_near_dup" -> ((spark, sfDir) => {
       import spark.implicits._
@@ -1126,7 +1133,9 @@ object SimilarityQueries {
     // duplicates) — cluster-bounded semantic dedup, see [[semanticDupes]].
     "dedup_semantic" -> ((spark, sfDir) => {
       Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("embeddings")
-      semanticDupes(spark.sql(vecCorpusSql))
+      val corpus = spark.sql(vecCorpusSql)
+      semanticDupes(corpus,
+        Tables.memoCount(spark, s"veccorpus:$sfDir")(corpus.count()))
     })
   )
 

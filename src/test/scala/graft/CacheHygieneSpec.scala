@@ -120,6 +120,16 @@ class CacheHygieneSpec extends SparkTestBase {
     CacheScope.releaseAll()
   }
 
+  test("fixture counts are memoized per session (one count job per table)") {
+    var calls = 0
+    val a = Tables.memoCount(spark, "test:memo") { calls += 1; 42L }
+    val b = Tables.memoCount(spark, "test:memo") { calls += 1; 43L }
+    assert(a == 42L && b == 42L && calls == 1, "memoCount recomputed")
+    // and the table-count entry point agrees with a direct count
+    assert(Tables.countOf(spark, Sf, "embeddings") ==
+      Tables.load(spark, Sf, "embeddings").count())
+  }
+
   test("releaseAll is idempotent and safe with nothing registered") {
     CacheScope.releaseAll()
     CacheScope.releaseAll()
