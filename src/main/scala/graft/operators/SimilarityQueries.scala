@@ -363,12 +363,16 @@ object SimilarityQueries {
     * production the after side is the incoming snapshot — one scan each.
     * Classification thresholds compare identical doubles in both engines
     * ([[DriftTau]] sits far from both planted classes). */
-  def semanticDrift(before: DataFrame): DataFrame = {
+  /** The drift fixture's deterministic after-arm (the diff family's
+    * in-engine mutation convention): deletes, rotated SEMANTIC edits,
+    * rescaled COSMETIC edits, inserts. Shared by the batch diff and the
+    * streaming consumer twin so the two score the identical snapshot. */
+  def driftAfterArm(before: DataFrame): DataFrame = {
     val dbl = expr("transform(embedding, v -> CAST(v AS DOUBLE))")
     val rotated = expr(s"""transform(sequence(1, $Dim),
       i -> CAST(element_at(embedding, CAST((i + ${DriftRot - 1}) % $Dim + 1 AS INT)) AS DOUBLE))""")
     val scaled = expr("transform(embedding, v -> CAST(v AS DOUBLE) * CAST(1.01 AS DOUBLE))")
-    val after = before.filter(col("vec_id") % 17 =!= 2)
+    before.filter(col("vec_id") % 17 =!= 2)
       .select(col("vec_id"),
         when(col("vec_id") % 17 === 5, rotated)
           .when(col("vec_id") % 17 === 11, scaled)
@@ -376,6 +380,10 @@ object SimilarityQueries {
       .unionByName(before.filter(col("vec_id") % 17 === 8)
         .select((col("vec_id") + DriftInsertBand).as("vec_id"),
           dbl.as("embedding")))
+  }
+
+  def semanticDrift(before: DataFrame): DataFrame = {
+    val after = driftAfterArm(before)
     val bq = quantizedComponents(before.withColumn("label", lit(0))).drop("label")
     val aq = quantizedComponents(after.withColumn("label", lit(0))).drop("label")
     val j = bq.select(col("vec_id"), col("d"), col("qv").as("bqv"))
@@ -1129,6 +1137,11 @@ object SimilarityQueries {
     "diff_semantic_drift" -> ((spark, sfDir) =>
       semanticDrift(Tables.load(spark, sfDir, "embeddings")
         .select(col("vec_id"), col("embedding")))),
+    // Its streaming consumer twin: arriving rows scored statelessly
+    // against the static before index — see
+    // [[graft.streaming.StreamingSemanticDrift]].
+    "stream_semantic_drift" -> ((spark, sfDir) =>
+      graft.streaming.StreamingSemanticDrift.runDriftOnce(spark, sfDir)),
     // SemDeDup over the planted near-dup corpus (embeddings itself has no
     // duplicates) — cluster-bounded semantic dedup, see [[semanticDupes]].
     "dedup_semantic" -> ((spark, sfDir) => {
@@ -1306,7 +1319,7 @@ object SimilarityQueries {
        |                               ORDER BY l2, neighbor_id) AS rank
        |  FROM ex) t WHERE rank <= $TopK""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = oracleSqlTail ++ Map(
     "ann_label_centroids" ->
       """WITH q AS (
         |  SELECT label, unnest(list_transform(range(len(embedding)),
@@ -1832,7 +1845,17 @@ object SimilarityQueries {
     // both component frames quantized identically, one full-outer join on
     // (vec_id, d) whose keyed aggregation yields presence, equality, dot
     // and both norms at once — exactly [[semanticDrift]]'s fused pass.
-    "diff_semantic_drift" ->
+    "diff_semantic_drift" -> semanticDriftSql(
+      "WHERE nb = 0 OR na = 0 OR maxdiff > 0"),
+    // The streaming consumer twin scores ARRIVING rows only — DELETED
+    // keys never arrive on a tombstone-less feed, so its oracle is the
+    // batch chain minus the DELETED branch; every surviving row is
+    // bit-identical to the batch (same quantized integers, same doubles).
+    "stream_semantic_drift" -> semanticDriftSql(
+      "WHERE (nb = 0 OR maxdiff > 0) AND na > 0"),
+  )
+
+  private def semanticDriftSql(finalWhere: String): String =
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
          |aft AS (
          |  SELECT vec_id,
@@ -1878,7 +1901,11 @@ object SimilarityQueries {
          |                (sqrt(CAST(bn AS DOUBLE)) * sqrt(CAST(an AS DOUBLE)))
          |              < $DriftTau THEN 'semantic' ELSE 'cosmetic' END
          |       END AS drift
-         |FROM g WHERE nb = 0 OR na = 0 OR maxdiff > 0""".stripMargin,
+         |FROM g $finalWhere""".stripMargin
+
+  // lazy: declared after `oracleSql` textually; the forward reference
+  // during object init forces it safely
+  private lazy val oracleSqlTail: Map[String, String] = Map(
     // SemDeDup: the sampled-codebook routing CTEs give the clustering;
     // pairwise cosine is scored ONLY within a cluster, then each dropped
     // vector reports its min-id keeper and strongest similarity — exactly

@@ -23,6 +23,22 @@ class StreamingSpec extends SparkTestBase {
     assert(stream == batch && stream.nonEmpty)
   }
 
+  test("streaming semantic drift == batch drift diff minus unseen deletes") {
+    // the consumer scores ARRIVING rows statelessly (per-row quantized
+    // arrays + codegen cosine) where the batch fuses a component join —
+    // same integers, same doubles, so on the arrival-visible subset
+    // (everything but DELETED, which a tombstone-less feed cannot see)
+    // the two must be bit-identical
+    val batch = SparkEntry.queries("diff_semantic_drift")(spark, Sf)
+      .filter(col("status") =!= graft.operators.SnapshotDiff.Deleted)
+      .collect().map(_.toSeq).toSet
+    CacheScope.releaseAll()
+    val stream = SparkEntry.queries("stream_semantic_drift")(spark, Sf)
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch && stream.nonEmpty)
+    CacheScope.releaseAll()
+  }
+
   test("streaming tumbling counts == batch tumbling counts") {
     val batchEvents = Tables.load(spark, Sf, "events")
     val batch = EventsQueries.queries("events_tumbling")(spark, Sf)
