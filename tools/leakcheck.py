@@ -181,6 +181,13 @@ def main():
     if out["n_hits"] > 0:
         print("FAIL: tree hits present", file=sys.stderr)
         sys.exit(1)
+    if baseline is None:
+        # An absent baseline silently DISARMS the growth gate (prior
+        # LEAKCHECK.json missing/corrupt, or regenerated pre-freeze).
+        # Shout so an unarmed gate is visible; --freeze re-arms it.
+        print("WARN: gitlog_baseline is ABSENT — the gitlog-growth gate is "
+              "UNARMED (no enforcement this run). Re-arm with --freeze "
+              "from a verified-clean HEAD.", file=sys.stderr)
     if baseline is not None and gitlog["total"] > baseline:
         print(f"FAIL: gitlog hits grew past frozen baseline "
               f"({gitlog['total']} > {baseline}) — a commit after the "
