@@ -149,6 +149,7 @@ object CacheScope {
     * runs BETWEEN queries and leaves session pins alone). Idempotent. */
   def releaseSession(): Unit = {
     sessionMemo.clear()
+    graft.Tables.clearCountMemo()
     var f = sessionLive.poll()
     while (f != null) { f(); f = sessionLive.poll() }
   }

@@ -78,6 +78,12 @@ object Tables {
   private val countMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
+  /** Drop every memoized count. Called by [[CacheScope.releaseSession]]
+    * (the same end-of-session hook that drops the standing indexes) so a
+    * long-lived JVM hosting successive SparkContexts does not accumulate
+    * dead (appId, key) entries forever. */
+  private[graft] def clearCountMemo(): Unit = countMemo.clear()
+
   /** Session-memoized driver-side count under a caller-chosen key: the
     * auto-selection rungs (IVF geometry, blocking-key width, probe
     * stride) each need COUNT(*) of a FIXTURE table, and a multi-query

@@ -395,7 +395,12 @@ object SimilarityQueries {
         sum(col("bqv") * col("bqv")).as("bn"),
         sum(col("aqv") * col("aqv")).as("an"),
         max(abs(col("bqv") - col("aqv"))).as("maxdiff"))
-    g.filter(col("nb") === 0 || col("na") === 0 || col("maxdiff") > 0)
+    // nb =!= na catches a same-key row whose vectors differ ONLY in
+    // dimensionality (equal overlap ⇒ maxdiff = 0 but a component was
+    // added/removed) — unreachable at the fixed-Dim fixture, a real
+    // UPDATED for variable-length inputs. Mirrored in the oracle WHERE.
+    g.filter(col("nb") === 0 || col("na") === 0 || col("maxdiff") > 0 ||
+        col("nb") =!= col("na"))
       .select(col("vec_id"),
         when(col("nb") === 0, SnapshotDiff.Inserted)
           .when(col("na") === 0, SnapshotDiff.Deleted)
@@ -1846,13 +1851,13 @@ object SimilarityQueries {
     // (vec_id, d) whose keyed aggregation yields presence, equality, dot
     // and both norms at once — exactly [[semanticDrift]]'s fused pass.
     "diff_semantic_drift" -> semanticDriftSql(
-      "WHERE nb = 0 OR na = 0 OR maxdiff > 0"),
+      "WHERE nb = 0 OR na = 0 OR maxdiff > 0 OR nb <> na"),
     // The streaming consumer twin scores ARRIVING rows only — DELETED
     // keys never arrive on a tombstone-less feed, so its oracle is the
     // batch chain minus the DELETED branch; every surviving row is
     // bit-identical to the batch (same quantized integers, same doubles).
     "stream_semantic_drift" -> semanticDriftSql(
-      "WHERE (nb = 0 OR maxdiff > 0) AND na > 0"),
+      "WHERE (nb = 0 OR maxdiff > 0 OR nb <> na) AND na > 0"),
   )
 
   private def semanticDriftSql(finalWhere: String): String =

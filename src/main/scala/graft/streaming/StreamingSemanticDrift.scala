@@ -57,7 +57,11 @@ object StreamingSemanticDrift {
         .write.mode("overwrite").parquet(feedDir)
       val schema = spark.read.parquet(feedDir).schema
       val arrivals = spark.readStream.schema(schema).parquet(feedDir)
+      // b_present marks row EXISTENCE on the before side — branching on
+      // bq.isNull would conflate "no before row" with "before row whose
+      // embedding is NULL" (the latter is an UPDATE, not an INSERT)
       val bstat = before.select(col("vec_id"),
+        lit(true).as("b_present"),
         col("embedding").as("b_emb"),
         quantArrOf("embedding").as("bq"),
         QuantizedVec.qnormsq(col("embedding")).as("bnsq"))
@@ -67,10 +71,10 @@ object StreamingSemanticDrift {
           QuantizedVec.qnormsq(col("embedding")).as("ansq"))
         .join(bstat, Seq("vec_id"), "left_outer")
         .select(col("vec_id"),
-          when(col("bq").isNull, SnapshotDiff.Inserted)
+          when(col("b_present").isNull, SnapshotDiff.Inserted)
             .when(col("bq") === col("aq"), SnapshotDiff.NotModified)
             .otherwise(SnapshotDiff.Updated).as("status"),
-          when(col("bq").isNotNull && !(col("bq") === col("aq")),
+          when(col("b_present").isNotNull && !(col("bq") <=> col("aq")),
             QuantizedVec.qcosine(col("b_emb"), col("a_emb"),
               col("bnsq"), col("ansq"))).as("cos"))
         .filter(col("status") =!= SnapshotDiff.NotModified)

@@ -122,8 +122,11 @@ class CacheHygieneSpec extends SparkTestBase {
 
   test("fixture counts are memoized per session (one count job per table)") {
     var calls = 0
-    val a = Tables.memoCount(spark, "test:memo") { calls += 1; 42L }
-    val b = Tables.memoCount(spark, "test:memo") { calls += 1; 43L }
+    // unique key per invocation: the memo is process-global, so a fixed
+    // key would already be populated on a suite rerun in the same JVM
+    val key = s"test:memo:${System.nanoTime()}"
+    val a = Tables.memoCount(spark, key) { calls += 1; 42L }
+    val b = Tables.memoCount(spark, key) { calls += 1; 43L }
     assert(a == 42L && b == 42L && calls == 1, "memoCount recomputed")
     // and the table-count entry point agrees with a direct count
     assert(Tables.countOf(spark, Sf, "embeddings") ==
