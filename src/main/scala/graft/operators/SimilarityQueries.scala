@@ -72,6 +72,50 @@ object SimilarityQueries {
   /** ADC shortlist width fed to the exact rerank. */
   val PqShortlist = 50
 
+  /** PQ resolution ladder (round-10 verdict finding: a FIXED 8×16
+    * codebook is a constant-resolution quantizer over a growing corpus —
+    * IVFADC recall@10 measured 0.38 at 2k vectors but 0.268 at 20k, and
+    * at 10⁹ the ADC shortlist would be near-random). Two levers step
+    * together at [[PqKStepAt]] vectors, both COUNT-derived so the oracle
+    * replays the same geometry (the step sits at 1000 vectors: the
+    * 500-vector oracle-gate fixtures keep the 16-codeword book the gate
+    * has always hashed, every measured scale from sf0.1 up gets the
+    * high-resolution book, and sf0.1/sf1 parity above the step is
+    * hash-verified directly — see the round-11 notes):
+    *   - codewords per subspace 16 → [[PqKBig]] (64): ADC cell volume
+    *     shrinks 4× per subspace; codebook build/encode stays n × Dim × k
+    *     rows — 82M at 20k vectors, 840M at 200k, linear in n per tier;
+    *   - exact-rerank shortlist 50 → [[PqShortlistBig]] (200): the rerank
+    *     is probes × shortlist × Dim — microscopic — so a deeper shortlist
+    *     buys recall at almost no cost once candidates are IVF-bounded.
+    * k = 256 (the classical PQ operating point) is deliberately NOT a
+    * tier here: at the fixture dims (64 floats, 8-dim subspaces) 64
+    * codewords already drive measured sf1 recall past the 0.5 gate, and
+    * the encode join would pay 4× for resolution the quantized grid
+    * cannot express; a billion-vector deployment at production dims
+    * (768+) would add that tier behind the same COUNT-derived switch. */
+  val PqKStepAt = 1000L
+  val PqKBig = 64
+  val PqShortlistBig = 200
+
+  /** Codewords per subspace at corpus size n — the [[PqKStepAt]] ladder. */
+  def pqCodewords(n: Long): Int = if (n < PqKStepAt) PqK else PqKBig
+
+  /** Lloyd-refinement training-sample budget: ~[[PqTrainPerCode]] vectors
+    * per codeword (the classical PQ training regime — the codebook needs
+    * a few dozen points per cell, not the corpus). The training stride is
+    * COUNT-derived (max(1, n / (budget·k))), so gate-scale corpora train
+    * on EVERY vector (stride 1 — bit-identical to the untruncated build)
+    * while the 200k-vector decade trains on ~3k vectors, keeping the
+    * n × Dim × k training join constant-sized as n grows. The ENCODE pass
+    * (every vector → nearest codeword per subspace) still sees the full
+    * corpus — that cost is the rung's linear-in-n floor. */
+  val PqTrainPerCode = 50L
+
+  /** ADC shortlist width at corpus size n — steps with [[pqCodewords]]. */
+  def pqShortlistFor(n: Long): Int =
+    if (n < PqKStepAt) PqShortlist else PqShortlistBig
+
   /** K-means geometry: [[KmK]] clusters, [[KmIters]] Lloyd iterations. */
   val KmK = 8
   val KmIters = 3
@@ -102,6 +146,15 @@ object SimilarityQueries {
     * n × (C + [[ImiAssignProbe]]·K/C) cosines — still √K-shaped, vs the
     * flat router's n × K. */
   val ImiAssignProbe = 2
+
+  /** Below this many fine lists the two-level assignment's coarse layer
+    * is pure stage overhead (√K ≈ 4–6 cells over a 10–50-row codebook)
+    * and [[twoLevelRouting]] short-circuits to the flat one-pass argmax —
+    * the small-corpus end of the auto-selection ladder. 32 lists ≈ the
+    * 64k-vector corpus where √K routing starts paying for its stages;
+    * every measured decade with a real K (sf1's 100, sf10's 1000, the
+    * 2M-vector sf100e's 1000+) stays on the two-level path. */
+  val FlatAssignMax = 32L
 
   /** Semantic-drift boundary for [[queries]]' `diff_semantic_drift`: an
     * UPDATED embedding whose before→after quantized cosine falls below
@@ -254,14 +307,42 @@ object SimilarityQueries {
     *     argmaxes as map-side-partial aggregates with (cos desc, id asc)
     *     tiebreaks — never a window over the corpus-sized score frame. */
   private def twoLevelRouting(emb: DataFrame, n: Long,
-      shareV2c: Boolean): (DataFrame, DataFrame, DataFrame) = {
+      shareV2c: Boolean, allowFlat: Boolean = true): (DataFrame, DataFrame,
+      DataFrame) = {
     val k = math.max(10L, n / IvfListTarget)
     val s = math.max(1L, n / k)
-    val c = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
-    val cf = math.max(1L, k / c)
     val fine = emb.filter(col("vec_id") % s === 0)
       .select(col("vec_id").as("f"), col("embedding").as("f_emb"),
         col("nsq").as("f_nsq"))
+    // CHEAP-GEOMETRY SHORT-CIRCUIT (auto-selected like [[IvfLabelPathMax]]):
+    // below [[FlatAssignMax]] lists the coarse layer is pure overhead —
+    // C = 4–6 cells over a 10–50-row codebook saves a handful of cosines
+    // but costs four extra stages (coarse build, f2c, the n × C scoring
+    // pass, its vec_id-shuffled window). Route flat: one broadcast
+    // cross-score of all K fine centroids, same (cos desc, id asc)
+    // argmax — bit-identical to the pre-two-level router at this
+    // geometry, and the oracle CTE chain gates on the same k threshold.
+    // imiTopk opts out (allowFlat = false): two-level probe routing is
+    // that rung's defining shape, so it stays coarse-then-fine at every
+    // scale — which also keeps the two-level SQL chain oracle-verified
+    // at the sf0.01 gate, where every flat-allowed rung takes this branch.
+    if (allowFlat && k < FlatAssignMax) {
+      val fineCells = CacheScope.pinned(fine.select(lit(0L).as("c"),
+        col("f"), col("f_emb"), col("f_nsq")))
+      // degenerate single-cell v2c keeps the return contract; only the
+      // IMI rung consumes v2c and it never takes this branch
+      val v2c = emb.select(col("vec_id"), lit(0L).as("c"), lit(1.0).as("ccos"))
+      val assigned = emb.crossJoin(broadcast(fineCells))
+        .select(col("vec_id"), col("f"),
+          QuantizedVec.qcosine(col("embedding"), col("f_emb"),
+            col("nsq"), col("f_nsq")).as("fcos"))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(col("fcos"), (-col("f")).as("negf"))).as("__m"))
+        .select(col("vec_id").as("neighbor_id"), (-col("__m.negf")).as("f"))
+      return (fineCells, v2c, assigned)
+    }
+    val c = math.max(2L, math.ceil(math.sqrt(k.toDouble)).toLong)
+    val cf = math.max(1L, k / c)
     val coarse = emb.filter(col("vec_id") % (s * cf) === 0)
       .select(col("vec_id").as("c"), col("embedding").as("c_emb"),
         col("nsq").as("c_nsq"))
@@ -451,21 +532,23 @@ object SimilarityQueries {
     * one-step-Lloyd-refined deterministic codebook, and the PQ encoding
     * derived from it. One definition so the two paths' codes and ADC
     * arithmetic cannot drift. */
-  private def pqStages(raw: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+  private def pqStages(raw: DataFrame, n: Long): (DataFrame, DataFrame,
+      DataFrame) = {
+    val pqk = pqCodewords(n)
     // consumers: seed codebook, two distance passes, Lloyd means, exact
     // rerank — materialize the component explosion once
     val comp = CacheScope.pinned(quantizedComponents(raw).drop("label"))
-    // deterministic codebook: hash-first PqK vectors seed the codewords
+    // deterministic codebook: hash-first pqk vectors seed the codewords
     val seeds = raw.select(col("vec_id"))
       .withColumn("__h", Hashing.hashHex(col("vec_id").cast("string")))
-      .orderBy(col("__h"), col("vec_id")).limit(PqK)
-    val wC = Window.orderBy(col("__h"), col("vec_id")) // PqK rows only
+      .orderBy(col("__h"), col("vec_id")).limit(pqk)
+    val wC = Window.orderBy(col("__h"), col("vec_id")) // pqk rows only
     val seedCodes = seeds
       .withColumn("c", (row_number().over(wC) - 1).cast("long"))
       .select(col("vec_id").as("__sv"), col("c"))
     val cb0 = comp.join(broadcast(seedCodes), col("vec_id") === col("__sv"))
-      .select(col("c"), col("d"), col("qv").as("qc")) // PqK × Dim rows
-    def distTo(codebook: DataFrame): DataFrame = comp
+      .select(col("c"), col("d"), col("qv").as("qc")) // pqk × Dim rows
+    def distTo(codebook: DataFrame, over: DataFrame = comp): DataFrame = over
       .join(broadcast(codebook), "d")
       .groupBy(col("vec_id"), expr(s"d div ${Dim / PqM}").as("m"), col("c"))
       .agg(sum((col("qv") - col("qc")) * (col("qv") - col("qc"))).as("dist2"))
@@ -473,10 +556,14 @@ object SimilarityQueries {
       .groupBy(col("vec_id"), col("m"))
       .agg(min(struct(col("dist2"), col("c"))).as("__mc"))
       .select(col("vec_id"), col("m"), col("__mc.c").as("code"))
-    // ONE Lloyd refinement: assign every subvector to its nearest seed
-    // codeword, recompute codewords as floor-mean centroids (empty
-    // codewords fall back to their seed)
-    val assign0 = argmin(distTo(cb0))
+    // ONE Lloyd refinement over the TRAINING SAMPLE (stride 1 = whole
+    // corpus below the [[PqTrainPerCode]] budget): assign each sampled
+    // subvector to its nearest seed codeword, recompute codewords as
+    // floor-mean centroids (empty codewords fall back to their seed)
+    val tstride = math.max(1L, n / (PqTrainPerCode * pqk))
+    val train =
+      if (tstride == 1L) comp else comp.filter(col("vec_id") % tstride === 0)
+    val assign0 = argmin(distTo(cb0, train))
     val means = assign0
       .join(comp, "vec_id")
       .filter(expr(s"d div ${Dim / PqM}") === col("m"))
@@ -496,11 +583,12 @@ object SimilarityQueries {
   /** Compressed-domain shortlist → exact rerank: the shared PQ tail (ADC
     * culls to [[PqShortlist]] candidates per probe; only those pairs ever
     * touch raw vector components again). */
-  private def pqRerank(adc: DataFrame, comp: DataFrame): DataFrame = {
+  private def pqRerank(adc: DataFrame, comp: DataFrame,
+      shortlistWidth: Int): DataFrame = {
     val wS = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc"), col("neighbor_id"))
     val shortlist = adc.withColumn("srank", row_number().over(wS))
-      .filter(col("srank") <= PqShortlist)
+      .filter(col("srank") <= shortlistWidth)
       .select(col("probe_id"), col("neighbor_id"))
     val exact = shortlist
       .join(comp.select(col("vec_id").as("probe_id"), col("d"),
@@ -528,7 +616,7 @@ object SimilarityQueries {
   def ivfAdcTopk(raw: DataFrame, nKnown: Long = -1L): DataFrame = {
     val n = if (nKnown >= 0) nKnown else raw.count()
     val cand = sampledCandidates(CacheScope.pinned(normed(raw)), n)
-    val (comp, dist, enc) = pqStages(raw)
+    val (comp, dist, enc) = pqStages(raw, n)
     val dt = dist.filter(col("vec_id") % probeStride(n) === 0)
       .select(col("vec_id").as("probe_id"), col("m").as("em"),
         col("c").as("code"), col("dist2"))
@@ -536,7 +624,7 @@ object SimilarityQueries {
       .join(dt, Seq("probe_id", "em", "code"))
       .groupBy(col("probe_id"), col("neighbor_id"))
       .agg(sum(col("dist2")).as("adc"))
-    pqRerank(adc, comp)
+    pqRerank(adc, comp, pqShortlistFor(n))
   }
 
   /** Matryoshka-over-IVF — the composition `ann_matryoshka_topk`'s
@@ -626,7 +714,8 @@ object SimilarityQueries {
     val emb = CacheScope.pinned(normed(raw))
     // the codebook build + assignment are the family-shared two-level
     // pass; v2c is cached because probe routing below re-reads it
-    val (fineCells, v2c, assigned) = twoLevelRouting(emb, n, shareV2c = true)
+    val (fineCells, v2c, assigned) =
+      twoLevelRouting(emb, n, shareV2c = true, allowFlat = false)
     // probes: top ImiCoarseProbe coarse cells, then top NProbe fine lists
     // inside them
     val wC = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("c"))
@@ -1050,7 +1139,7 @@ object SimilarityQueries {
       if (n > IvfLabelPathMax) ivfAdcTopk(raw, n)
       else {
         val stride = probeStride(n)
-        val (comp, dist, enc) = pqStages(raw)
+        val (comp, dist, enc) = pqStages(raw, n)
         val dt = dist.filter(col("vec_id") % stride === 0)
           .select(col("vec_id").as("probe_id"), col("m"), col("c"), col("dist2"))
         val adc = enc
@@ -1058,7 +1147,7 @@ object SimilarityQueries {
           .filter(col("neighbor_id") =!= col("probe_id"))
           .groupBy(col("probe_id"), col("neighbor_id"))
           .agg(sum(col("dist2")).as("adc"))
-        pqRerank(adc, comp)
+        pqRerank(adc, comp, pqShortlistFor(n))
       }
     }),
     // The IVFADC rung exercised directly at oracle scales (same pattern as
@@ -1184,7 +1273,14 @@ object SimilarityQueries {
     * fine centroids, and the final `cand(probe_id, neighbor_id)` set.
     * `assigned` keeps its historical (neighbor_id, c) interface — `c` is
     * now the FINE-LIST id — so every consumer's tail (rerank, ADC,
-    * prefix, SemDeDup pairs) is unchanged. Requires the qn + norms CTEs. */
+    * prefix, SemDeDup pairs) is unchanged. Requires the qn + norms CTEs.
+    * The f2c and vcell CTEs gate on k vs [[FlatAssignMax]] exactly as
+    * [[twoLevelRouting]]'s cheap-geometry short-circuit does: below the
+    * threshold every fine list maps to cell 0 and every vector probes it,
+    * which collapses v2fd/assigned to the flat all-K argmax — the same
+    * rows the engine's flat branch emits. (`ann_imi_topk` carries its own
+    * ungated copy of this chain: the IMI rung never takes the flat
+    * branch, so the two-level SQL stays oracle-verified at gate scales.) */
   private val ivfRoutingCtes: String =
     s"""params AS (
        |  SELECT n, k, GREATEST(1, n // k) AS s,
@@ -1210,7 +1306,11 @@ object SimilarityQueries {
        |               (sqrt(CAST(nf.nsq AS DOUBLE)) * sqrt(CAST(nc.nsq AS DOUBLE)))
        |             DESC, fd.c) AS rn
        |    FROM f2cd fd JOIN norms nf ON nf.vec_id = fd.f
-       |                 JOIN norms nc ON nc.vec_id = fd.c) t WHERE rn = 1),
+       |                 JOIN norms nc ON nc.vec_id = fd.c) t, params
+       |  WHERE rn = 1 AND params.k >= $FlatAssignMax
+       |  UNION ALL
+       |  SELECT f, CAST(0 AS BIGINT) AS c FROM fcents, params
+       |  WHERE params.k < $FlatAssignMax),
        |v2cd AS (
        |  SELECT a.vec_id, cc.c, CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
        |  FROM qn a JOIN qn b ON b.d = a.d JOIN ccents cc ON cc.c = b.vec_id
@@ -1225,7 +1325,11 @@ object SimilarityQueries {
        |  SELECT vec_id, c FROM (
        |    SELECT vec_id, c,
        |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c) AS rn
-       |    FROM v2cs) t WHERE rn <= $ImiAssignProbe),
+       |    FROM v2cs) t, params
+       |  WHERE rn <= $ImiAssignProbe AND params.k >= $FlatAssignMax
+       |  UNION ALL
+       |  SELECT vec_id, CAST(0 AS BIGINT) AS c FROM corpus, params
+       |  WHERE params.k < $FlatAssignMax),
        |v2fd AS (
        |  SELECT v.vec_id, fc.f, CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
        |  FROM vcell v JOIN f2c fc ON fc.c = v.c
@@ -1265,19 +1369,26 @@ object SimilarityQueries {
     * codebook, one Lloyd refinement, the per-(vector, subspace, codeword)
     * distance table and the encoding. Requires the corpus + qn CTEs. */
   private val pqCodingCtes: String =
-    s"""seeds AS (
-       |  SELECT vec_id AS sv, ROW_NUMBER() OVER (
-       |    ORDER BY ${Hashing.hashHexSql("CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS c
-       |  FROM corpus
-       |  ORDER BY ${Hashing.hashHexSql("CAST(vec_id AS VARCHAR)")}, vec_id
-       |  LIMIT $PqK),
+    s"""pqp AS (
+       |  SELECT pqk, pqsl, GREATEST(1, n // ($PqTrainPerCode * pqk)) AS tst
+       |  FROM (SELECT n,
+       |               CASE WHEN n < $PqKStepAt THEN $PqK ELSE $PqKBig END AS pqk,
+       |               CASE WHEN n < $PqKStepAt THEN $PqShortlist
+       |                    ELSE $PqShortlistBig END AS pqsl
+       |        FROM (SELECT COUNT(*) AS n FROM corpus) t0) t1),
+       |seeds AS (
+       |  SELECT sv, c FROM (
+       |    SELECT vec_id AS sv, ROW_NUMBER() OVER (
+       |      ORDER BY ${Hashing.hashHexSql("CAST(vec_id AS VARCHAR)")}, vec_id) - 1 AS c
+       |    FROM corpus) t, pqp WHERE t.c < pqp.pqk),
        |cb0 AS (
        |  SELECT s.c, q.d, q.qv AS qc
        |  FROM seeds s JOIN qn q ON q.vec_id = s.sv),
        |dist0 AS (
        |  SELECT q.vec_id, q.d // ${Dim / PqM} AS m, cb0.c,
        |         CAST(SUM((q.qv - cb0.qc) * (q.qv - cb0.qc)) AS BIGINT) AS dist2
-       |  FROM qn q JOIN cb0 ON cb0.d = q.d
+       |  FROM qn q JOIN cb0 ON cb0.d = q.d CROSS JOIN pqp
+       |  WHERE q.vec_id % pqp.tst = 0
        |  GROUP BY q.vec_id, q.d // ${Dim / PqM}, cb0.c),
        |assign0 AS (
        |  SELECT vec_id, m, c AS code FROM (
@@ -1311,7 +1422,7 @@ object SimilarityQueries {
        |  SELECT probe_id, neighbor_id FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
        |                                 ORDER BY adc, neighbor_id) AS srank
-       |    FROM adc) t WHERE srank <= $PqShortlist),
+       |    FROM adc) t, pqp WHERE srank <= pqp.pqsl),
        |ex AS (
        |  SELECT s.probe_id, s.neighbor_id,
        |         CAST(SUM((qa.qv - qb.qv) * (qa.qv - qb.qv)) AS BIGINT) AS l2

@@ -10,6 +10,7 @@ columns sorted by name, rows sorted, values canonicalized to strings.
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -45,8 +46,13 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
+        # driver fixtures are single files; ScaleUp fixtures (sf1/sf10) are
+        # Spark-written directories — glob the parts in that case
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracles):
