@@ -78,6 +78,58 @@ object RecallProbe {
     out("ann_ivfadc_topk") =
       recall(exactL2TopK(stride), pairs(SimilarityQueries.ivfAdcTopk(raw, n)))
     CacheScope.releaseAll()
+    // ann_filtered_topk is EXACT on its label-filtered subset (broadcast
+    // probes × filtered scan, no routing stage), so this measures 1.0 by
+    // construction — recorded so every retrieval rung carries per-scale
+    // datapoints, and as a cross-check against an independently-built
+    // exact baseline (a parity bug here would read < 1).
+    locally {
+      val corpusF = raw.filter(col("label") % 3 === 0)
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.QuantizedVec.qnormsq(col("embedding")).as("nsq"))
+      val probes = raw.filter(col("vec_id") % stride === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+          graft.functions.QuantizedVec.qnormsq(col("embedding")).as("p_nsq"))
+      val exactF = broadcast(probes)
+        .join(corpusF, col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+          graft.functions.QuantizedVec.qcosine(col("p_emb"), col("embedding"),
+            col("p_nsq"), col("nsq")).as("cos"))
+        .withColumn("rank", row_number().over(Window.partitionBy(col("probe_id"))
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+        .filter(col("rank") <= SimilarityQueries.TopK)
+        .select(col("probe_id"), col("neighbor_id"))
+      out("ann_filtered_topk") = recall(exactF,
+        pairs(SimilarityQueries.queries("ann_filtered_topk")(spark, sfDir)))
+      CacheScope.releaseAll()
+    }
+    // ann_lsh_near_dup emits verified PAIRS (16-bit signature bucket →
+    // cosine ≥ 0.95 check), so its recall is pair recall: the fraction of
+    // ALL true near-dup pairs the single-band signature bucketing
+    // surfaces. The exact baseline is the brute-force all-pairs scan over
+    // the same planted corpus — quadratic, affordable as an offline probe
+    // at these scales, never a production path.
+    locally {
+      Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("embeddings")
+      val corpus = spark.sql(SimilarityQueries.vecCorpusSql)
+      val nc = corpus.select(col("vec_id"), col("embedding"),
+        graft.functions.QuantizedVec.qnormsq(col("embedding")).as("nsq"))
+        .transform(CacheScope.cached)
+      val truePairs = nc.select(col("vec_id").as("vec_a"),
+          col("embedding").as("emb_a"), col("nsq").as("nsq_a"))
+        .join(nc.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+          col("nsq").as("nsq_b")), col("vec_a") < col("vec_b"))
+        .filter(graft.functions.QuantizedVec.qcosine(col("emb_a"), col("emb_b"),
+          col("nsq_a"), col("nsq_b")) >= 0.95)
+        .select(col("vec_a"), col("vec_b"))
+      val found = SimilarityQueries.queries("ann_lsh_near_dup")(spark, sfDir)
+        .select(col("vec_a"), col("vec_b"))
+      val t = truePairs.transform(CacheScope.cached)
+      val nt = t.count()
+      val hit = t.join(found, Seq("vec_a", "vec_b"), "left_semi").count()
+      out("ann_lsh_near_dup") = if (nt == 0) 1.0 else hit.toDouble / nt
+      CacheScope.releaseAll()
+    }
     CacheScope.releaseSession()
 
     val fields = out.map { case (k, v) =>
