@@ -296,6 +296,29 @@ object SimilarityQueries {
     * inverted-multi-index shape (Babenko & Lempitsky, "The Inverted
     * Multi-Index", CVPR 2012).
     *
+    * ASSIGNMENT-COST LADDER (decision record, round 11). With
+    * K = n/[[IvfListTarget]] the total assignment bill is
+    * n × (√K + [[ImiAssignProbe]]·K/√K) ≈ 3·n·√K ∝ n^1.5:
+    *
+    *   - 2×10⁶ vectors (K = 1000, the sf100e fixture): MEASURED 18.9 s
+    *     on local[32] vs the removed flat router's 638.1 s (34×);
+    *   - 10⁸ vectors (K = 50 000): ~6.7×10¹³ cosine-component mults —
+    *     minutes on a ~1000-core cluster, comfortably inside a nightly
+    *     index build next to the corpus scan that feeds it;
+    *   - 10⁹ vectors (K = 500 000): ~2×10¹² cosines ≈ 10¹⁴ mults — the
+    *     n^1.5 term starts to dominate the linear scan.
+    *
+    * ACCEPTED through ~10⁸ as-is. Past that the standard fix is K ∝ √n
+    * list geometry (constant total assignment work per decade, √n-sized
+    * lists), which CHANGES the recall/latency trade — candidates per
+    * probe become NProbe·√n instead of NProbe·[[IvfListTarget]] — so it
+    * belongs behind a corpus-size rung with its own recall pins, and no
+    * in-container fixture can exercise it (sf100e's 2×10⁶ is two decades
+    * short of where it pays). Adding a THIRD coarse level (n^1.33) is the
+    * alternative if list-size invariance matters more. Deliberately not
+    * speculatively implemented: an untestable rung is worse than a
+    * recorded decision.
+    *
     * Returns (fineCells, v2c, assigned):
     *   - `fineCells` (c, f, f_emb, f_nsq): the K-row fine-codebook table
     *     keyed by coarse cell, eagerly pinned — consumers equi-join it
