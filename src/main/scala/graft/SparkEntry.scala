@@ -59,7 +59,8 @@ object SparkEntry {
     "diff_dist_drift", "dedup_substring_spans", "ann_matryoshka_topk",
     "ann_matryoshka_ivf", "ann_imi_topk", "pipeline_quality_classifier",
     "stream_quality_classifier", "pipeline_curation_e2e", "stream_dist_drift",
-    "text_bpe_decode", "diff_semantic_drift", "stream_semantic_drift")
+    "text_bpe_decode", "diff_semantic_drift", "stream_semantic_drift",
+    "pipeline_decontaminate_fuzzy", "pipeline_classifier_calibration")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -633,14 +633,14 @@ object DedupQueries {
 
   private val toksE = Hashing.tokensSql("text")
 
-  private def shingCte(name: String, src: String): (String, String) =
+  private[operators] def shingCte(name: String, src: String): (String, String) =
     name ->
       s"""SELECT DISTINCT doc_id, unnest(list_transform(
          |    range(0, greatest(len(toks) - 2, 0)),
          |    i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingle
          |FROM (SELECT doc_id, $toksE AS toks FROM $src) t""".stripMargin
 
-  private def sigsCteFrom(name: String, shingSrc: String): (String, String) = {
+  private[operators] def sigsCteFrom(name: String, shingSrc: String): (String, String) = {
     val mins = (0 until NumHashes)
       .map(j => s"MIN((${minhashA(j)} * hm + ${minhashB(j)}) % $MinhashP) AS m$j")
       .mkString(",\n  ")

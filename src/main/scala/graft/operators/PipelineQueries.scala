@@ -23,6 +23,29 @@ object PipelineQueries {
 
   val MinTokens = 5
 
+  /** Fuzzy-decontamination knobs: the planted paraphrase replaces every
+    * [[FuzzyParaEvery]]-th token (runs of 7 unmutated tokens — no 8-gram
+    * survives, so the exact pass is blind to it) and the verify keeps
+    * pairs at shingle-Jaccard ≥ [[FuzzyTau]] (the paraphrase lands at
+    * ≈ 0.45: each replaced token kills ≤ 3 of its 3-shingles). */
+  val FuzzyParaEvery = 8
+  val FuzzyTau = 0.3
+
+  /** Recall-oriented LSH banding for decontamination: 8 bands × 2 rows
+    * over [[DedupQueries.minhashSigs]]' 16 lanes (dedup's 4 × 4 trades
+    * recall for fewer candidates — the right trade for dedup, the wrong
+    * one when a miss poisons an eval set). Same (doc_id, band, bkey)
+    * interface as [[DedupQueries.bands]]. */
+  private def recallBands(sigs: DataFrame): DataFrame = {
+    val bandStructs = (0 until DedupQueries.NumHashes / 2).map { b =>
+      val key = concat_ws("|",
+        col(s"m${2 * b}").cast("string"), col(s"m${2 * b + 1}").cast("string"))
+      struct(lit(b).as("band"), key.as("bkey"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("__b"))
+      .select(col("doc_id"), col("__b.band").as("band"), col("__b.bkey").as("bkey"))
+  }
+
   val queries: Map[String, Q] = Map(
     "pipeline_clean_corpus" -> ((spark, sfDir) => {
       val w = Window.partitionBy(col("__fp"))
@@ -129,6 +152,73 @@ object PipelineQueries {
         .select(col("doc_id"), col("bench_id")).distinct()
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_benchmark_hits"))
+    }),
+    // FUZZY benchmark decontamination — the contamination the exact
+    // 8-gram pass above cannot see: a paraphrased benchmark doc shares
+    // ZERO 8-grams with its source (the planted arm replaces every
+    // [[FuzzyParaEvery]]-th token, capping unmutated runs at 7) yet is
+    // still the same document for eval-leakage purposes. Composition of
+    // the existing banded-MinHash machinery with the benchmark set as the
+    // probe side: 3-shingle MinHash signatures for the whole extended
+    // corpus, candidates from an equi-join of train-side band keys
+    // against the BROADCAST benchmark band table (the eval set is ~1% of
+    // the corpus at any SF — never all-pairs, never a cartesian), then
+    // the exact shingle-Jaccard verify at [[FuzzyTau]].
+    //
+    // Banding geometry is deliberately RECALL-oriented: 8 bands × 2 rows
+    // from the same 16 minhash lanes (vs dedup's 4 × 4) — at the planted
+    // paraphrase's Jaccard ≈ 0.45 a 2-row band hits with p ≈ J², so
+    // 8 bands recover ~4/5 of paraphrased twins where 4 × 4 banding
+    // would recover ~1/7. Missing contamination poisons an eval set;
+    // extra candidates only cost the (bounded, broadcast-keyed) verify.
+    //
+    // Output is the planted-truth quality readout (exact integer counts,
+    // the er_match_quality pattern): how many benchmark docs exist, how
+    // many verified (train, bench) pairs were found, and how many of the
+    // three planted contamination arms (+Δ exact copy, +2Δ appended-tail
+    // near-copy, +3Δ paraphrase) were recovered; `n_unplanted` counts
+    // verified pairs outside the planted bands — genuine textual overlap
+    // in the fixture, not false positives of the method.
+    "pipeline_decontaminate_fuzzy" -> ((spark, sfDir) => {
+      val d = DedupQueries.DeltaBase
+      val base = DedupQueries.corpus(spark, sfDir)
+      val isBenchId = col("doc_id") % 100 === 0 && col("doc_id") < d
+      val para = base.filter(isBenchId)
+        .select(col("doc_id").as("orig_id"), Hashing.tokens(col("text")).as("__toks"))
+        .select((col("orig_id") + lit(3 * d)).as("doc_id"),
+          expr(s"""concat_ws(' ', transform(sequence(1, size(__toks)),
+            i -> CASE WHEN i % $FuzzyParaEvery = 0
+                      THEN concat('qq', CAST(orig_id % 97 AS STRING), '_',
+                                  CAST(i AS STRING))
+                      ELSE element_at(__toks, i) END))""").as("text"))
+      val corpus = base.unionByName(para)
+      // shingle hashes feed signature build AND the Jaccard verify; the
+      // band frame feeds both sides of the candidate join — pin both
+      // (the dedup-family shared-frame discipline)
+      val sh = DedupQueries.shingleHashes(corpus).transform(CacheScope.pinned)
+      val wb = recallBands(DedupQueries.minhashSigs(sh)).transform(CacheScope.pinned)
+      val bench = wb.filter(isBenchId)
+        .select(col("doc_id").as("doc_b"), col("band"), col("bkey"))
+      val cand = wb.filter(!isBenchId)
+        .select(col("doc_id").as("doc_a"), col("band"), col("bkey"))
+        .join(broadcast(bench), Seq("band", "bkey"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      val ver = DedupQueries.jaccard(cand, sh, FuzzyTau)
+      val nb = sh.filter(isBenchId)
+        .agg(countDistinct(col("doc_id")).as("n_bench"))
+      val agg = ver.agg(
+        count(lit(1)).as("n_detected_pairs"),
+        sum(when(col("doc_a") === col("doc_b") + d, 1L).otherwise(0L))
+          .as("n_exact_found"),
+        sum(when(col("doc_a") === col("doc_b") + 2 * d, 1L).otherwise(0L))
+          .as("n_near_found"),
+        sum(when(col("doc_a") === col("doc_b") + 3 * d, 1L).otherwise(0L))
+          .as("n_para_found"),
+        sum(when(col("doc_a") =!= col("doc_b") + d &&
+                 col("doc_a") =!= col("doc_b") + 2 * d &&
+                 col("doc_a") =!= col("doc_b") + 3 * d, 1L).otherwise(0L))
+          .as("n_unplanted"))
+      broadcast(nb).crossJoin(agg) // 1 × 1 summary row
     }),
     // Quality-weighted importance sampling: each document's keep-probability
     // is proportional to its own quality signal (here a length-derived
@@ -343,6 +433,45 @@ object PipelineQueries {
           .select(col("doc_id"), col("source")), "doc_id")
         .select(col("source"),
           when(col("s") > 0L, 1L).otherwise(-1L).as("pred"), col("y")))
+    }),
+    // CALIBRATION readout for the trained classifier: a curation pipeline
+    // doesn't consume the raw perceptron score directly — it picks a
+    // THRESHOLD, and the threshold is only pickable if score order tracks
+    // teacher agreement. This emits the score-decile calibration table:
+    // docs ranked by (score, doc_id), cut into 10 exact-rank deciles, one
+    // row per decile with exact integer counts (teacher-keep, pred-keep,
+    // agreement) — oracle-replayable like the trainer itself, monotone on
+    // the planted fixture (spec-pinned). Scale shape: decile assignment
+    // avoids a corpus-wide single-partition window — per-score counts
+    // (shuffle by s), a cumulative window over the DISTINCT-score frame
+    // (bounded by the score range, far below n), and an intra-score
+    // row_number partitioned by s; rank = c_lt(s) + rn.
+    "pipeline_classifier_calibration" -> ((spark, sfDir) => {
+      val (feat, w) = qcFit(spark, sfDir)
+      // consumed by the total count, the score histogram and the ranked
+      // join — pin (the shared-frame discipline)
+      val scored = qcScores(feat, w).transform(CacheScope.pinned)
+      val nFrame = scored.agg(count(lit(1)).as("__n"))
+      val scnt = scored.groupBy(col("s")).agg(count(lit(1)).as("cnt"))
+      val wCum = Window.orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val clt = scnt
+        .withColumn("c_lt", coalesce(sum(col("cnt")).over(wCum), lit(0L)))
+        .select(col("s"), col("c_lt"))
+      val wIn = Window.partitionBy(col("s")).orderBy(col("doc_id"))
+      val ranked = scored.join(clt, "s")
+        .withColumn("r", col("c_lt") + row_number().over(wIn))
+      ranked.crossJoin(broadcast(nFrame))
+        .withColumn("decile", expr("(r - 1) * 10 div __n + 1").cast("long"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("s")).as("min_score"), max(col("s")).as("max_score"),
+          sum(when(col("y") === 1L, 1L).otherwise(0L)).as("n_teacher_keep"),
+          sum(when(col("s") > 0L, 1L).otherwise(0L)).as("n_pred_keep"),
+          sum(when((col("s") > 0L) === (col("y") === 1L), 1L).otherwise(0L))
+            .as("n_agree"))
+        .withColumn("teacher_keep_ppm",
+          expr("n_teacher_keep * 1000000 div n_docs"))
     }),
     // Gopher/RedPajama-style quality-rule CASCADE (Rae et al. 2021,
     // appendix A1; Together 2023): the ordered keep/drop decision list a
@@ -711,6 +840,77 @@ object PipelineQueries {
          |  FROM g tr JOIN bench b USING (gfp)
          |  WHERE NOT (tr.doc_id < ${DedupQueries.DeltaBase} AND tr.doc_id % 100 = 0)) p
          |GROUP BY doc_id""".stripMargin,
+    "pipeline_decontaminate_fuzzy" -> {
+      val d = DedupQueries.DeltaBase
+      val wbandSelects = (0 until DedupQueries.NumHashes / 2).map { b =>
+        s"SELECT doc_id, $b AS band, concat_ws('|', m${2 * b}, m${2 * b + 1}) AS bkey FROM fsigs"
+      }.mkString("\nUNION ALL\n")
+      val (shingName, shingSql) = DedupQueries.shingCte("fshing", "fcorpus")
+      val (sigsName, sigsSql) = DedupQueries.sigsCteFrom("fsigs", "fshing")
+      s"""WITH corpus0 AS (
+         |${DedupQueries.corpusSql}
+         |),
+         |para AS (
+         |  SELECT orig_id + ${3 * d} AS doc_id,
+         |         array_to_string(list_transform(range(1, len(toks) + 1),
+         |           i -> CASE WHEN i % $FuzzyParaEvery = 0
+         |                     THEN 'qq' || CAST(orig_id % 97 AS VARCHAR) || '_' ||
+         |                          CAST(i AS VARCHAR)
+         |                     ELSE toks[i] END), ' ') AS text
+         |  FROM (SELECT doc_id AS orig_id, ${Hashing.tokensSql("text")} AS toks
+         |        FROM corpus0 WHERE doc_id % 100 = 0 AND doc_id < $d) t),
+         |fcorpus AS (
+         |  SELECT doc_id, text FROM corpus0
+         |  UNION ALL
+         |  SELECT doc_id, text FROM para),
+         |$shingName AS (
+         |$shingSql
+         |),
+         |$sigsName AS (
+         |$sigsSql
+         |),
+         |wbands AS (
+         |$wbandSelects
+         |),
+         |fcand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM wbands a JOIN wbands b ON b.band = a.band AND b.bkey = a.bkey
+         |  WHERE (b.doc_id % 100 = 0 AND b.doc_id < $d)
+         |    AND NOT (a.doc_id % 100 = 0 AND a.doc_id < $d)),
+         |fcounts AS (SELECT doc_id, COUNT(*) AS n_sh FROM fshing GROUP BY doc_id),
+         |finter AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+         |  FROM fcand c
+         |  JOIN fshing sa ON sa.doc_id = c.doc_a
+         |  JOIN fshing sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY c.doc_a, c.doc_b),
+         |fver AS (
+         |  SELECT * FROM (
+         |    SELECT i.doc_a, i.doc_b,
+         |           CAST(i.n_common AS DOUBLE) / (ca.n_sh + cb.n_sh - i.n_common) AS jaccard
+         |    FROM finter i
+         |    JOIN fcounts ca ON ca.doc_id = i.doc_a
+         |    JOIN fcounts cb ON cb.doc_id = i.doc_b) j
+         |  WHERE jaccard >= $FuzzyTau),
+         |nb AS (
+         |  SELECT COUNT(DISTINCT doc_id) AS n_bench FROM fshing
+         |  WHERE doc_id % 100 = 0 AND doc_id < $d),
+         |agg AS (
+         |  SELECT COUNT(*) AS n_detected_pairs,
+         |    CAST(SUM(CASE WHEN doc_a = doc_b + $d THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_exact_found,
+         |    CAST(SUM(CASE WHEN doc_a = doc_b + ${2 * d} THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_near_found,
+         |    CAST(SUM(CASE WHEN doc_a = doc_b + ${3 * d} THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_para_found,
+         |    CAST(SUM(CASE WHEN doc_a <> doc_b + $d AND doc_a <> doc_b + ${2 * d}
+         |                   AND doc_a <> doc_b + ${3 * d} THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_unplanted
+         |  FROM fver)
+         |SELECT nb.n_bench, agg.n_detected_pairs, agg.n_exact_found,
+         |       agg.n_near_found, agg.n_para_found, agg.n_unplanted
+         |FROM nb, agg""".stripMargin
+    },
     "pipeline_weighted_sample" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang,
@@ -868,6 +1068,9 @@ object PipelineQueries {
     // the streaming twin is gated by the SAME oracle: the deployed
     // literal-array scorer computes the identical integer score
     "stream_quality_classifier" -> qualityClassifierSqlStr,
+    // the calibration table replayed: same trainer chain, same exact-rank
+    // decile arithmetic
+    "pipeline_classifier_calibration" -> classifierCalibrationSqlStr,
     // The manifest diff replayed via the shared [[DiffOracle]] generator:
     // v1 manifest as the "before" CTE, v2 as the after arm, same
     // normalize → full-outer → classify → emit contract as every diff_*.
@@ -1007,7 +1210,11 @@ object PipelineQueries {
   }
 
   /** Unrolled-trainer oracle for the quality classifier. */
-  private def qualityClassifierSqlStr: String = {
+  /** The unrolled batch-perceptron trainer as a CTE chain ending at
+    * `fs(doc_id, y, s)` — the per-doc teacher label + fitted raw score.
+    * Shared by the confusion oracle and the calibration oracle so both
+    * replay the identical trainer. */
+  private def qcTrainerCtesStr: String = {
     val rounds = (1 to QcRounds).map { t =>
       s"""s$t AS (
          |  SELECT f.doc_id, MIN(f.y) AS y, CAST(SUM(f.x * w.w) AS BIGINT) AS s
@@ -1020,7 +1227,7 @@ object PipelineQueries {
          |  SELECT w.j, CAST(w.w + COALESCE(u.dw, 0) AS BIGINT) AS w
          |  FROM w${t - 1} w LEFT JOIN u$t u ON u.j = w.j)""".stripMargin
     }.mkString(",\n")
-    s"""WITH casc AS (
+    s"""casc AS (
        |  SELECT doc_id, CASE WHEN keep THEN 1 ELSE -1 END AS y
        |  FROM (${cascadeSelectSql(CascadeRepX10, CascadeStopDen)}) c),
        |toks AS (SELECT doc_id, source, ${Hashing.tokensSql("text")} AS tk
@@ -1043,7 +1250,11 @@ object PipelineQueries {
        |$rounds,
        |fs AS (
        |  SELECT f.doc_id, MIN(f.y) AS y, CAST(SUM(f.x * w.w) AS BIGINT) AS s
-       |  FROM featy f JOIN w$QcRounds w ON w.j = f.j GROUP BY f.doc_id),
+       |  FROM featy f JOIN w$QcRounds w ON w.j = f.j GROUP BY f.doc_id)""".stripMargin
+  }
+
+  private def qualityClassifierSqlStr: String =
+    s"""WITH $qcTrainerCtesStr,
        |pred AS (
        |  SELECT t.source, CASE WHEN fs.s > 0 THEN 1 ELSE -1 END AS pred, fs.y
        |  FROM fs JOIN toks t ON t.doc_id = fs.doc_id)
@@ -1055,7 +1266,35 @@ object PipelineQueries {
        |  CAST(SUM(CASE WHEN pred = y THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
        |    AS BIGINT) AS accuracy_ppm
        |FROM pred GROUP BY source""".stripMargin
-  }
+
+  /** Calibration oracle: the same trainer chain, then the exact-rank
+    * decile assignment replayed — per-score cumulative counts + an
+    * intra-score row_number, decile = ((rank−1)·10) div n + 1. */
+  private def classifierCalibrationSqlStr: String =
+    s"""WITH $qcTrainerCtesStr,
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM fs),
+       |scnt AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS cnt FROM fs GROUP BY s),
+       |clt AS (
+       |  SELECT s, CAST(COALESCE(SUM(cnt) OVER (ORDER BY s
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS c_lt
+       |  FROM scnt),
+       |ranked AS (
+       |  SELECT f.doc_id, f.s, f.y,
+       |         c.c_lt + ROW_NUMBER() OVER (PARTITION BY f.s ORDER BY f.doc_id) AS r
+       |  FROM fs f JOIN clt c ON c.s = f.s),
+       |dec AS (
+       |  SELECT CAST((r - 1) * 10 // nn.n + 1 AS BIGINT) AS decile, s, y
+       |  FROM ranked CROSS JOIN nn)
+       |SELECT decile,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(MIN(s) AS BIGINT) AS min_score,
+       |  CAST(MAX(s) AS BIGINT) AS max_score,
+       |  CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_teacher_keep,
+       |  CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_keep,
+       |  CAST(SUM(CASE WHEN (s > 0) = (y = 1) THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+       |  CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+       |    AS BIGINT) AS teacher_keep_ppm
+       |FROM dec GROUP BY decile""".stripMargin
 
   /** Composed oracle for the end-to-end curation capstone. */
   private def curationE2eSqlStr: String = {

@@ -32,6 +32,73 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(uncapped.map(_.getAs[Long]("alloc_tokens")).distinct.length <= 1)
   }
 
+  test("fuzzy decontamination: planted contamination recovered, banded plan") {
+    val df = SparkEntry.queries("pipeline_decontaminate_fuzzy")(spark, Sf)
+    // candidate generation must stay banded: benchmark side broadcast,
+    // equi-join on (band, bkey) — never a corpus × benchmark cartesian.
+    // Exactly ONE nested-loop join is allowed: the final 1 × 1 summary
+    // crossJoin of the two scalar aggregate frames (the house pattern for
+    // control-plane joins) — anything more means a data-sized side leaked
+    // into a nested loop.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    val r = df.collect().head
+    val nBench = r.getAs[Long]("n_bench")
+    assert(nBench > 0)
+    // the exact-copy arm is a banding fixed point (identical signatures →
+    // every band collides): all of it must be recovered
+    assert(r.getAs[Long]("n_exact_found") == nBench,
+      s"exact-copy arm ${r.getAs[Long]("n_exact_found")} of $nBench")
+    // the appended-tail near-copies sit at high Jaccard — all recovered
+    // at the fixture scales (measured 5/5 at sf0.001 and sf0.01)
+    assert(r.getAs[Long]("n_near_found") == nBench,
+      s"near-copy arm ${r.getAs[Long]("n_near_found")} of $nBench")
+    // the PARAPHRASE arm is the query's reason to exist: zero shared
+    // 8-grams (exact decontamination is blind to it), Jaccard ≈ 0.45,
+    // recovered through the recall-oriented 8×2 banding with p ≈ 0.83
+    // per twin — measured 4/5 (sf0.001) and 5/5 (sf0.01); floor at 3/5
+    assert(r.getAs[Long]("n_para_found") * 5 >= nBench * 3,
+      s"paraphrase arm ${r.getAs[Long]("n_para_found")} of $nBench below 3/5")
+    CacheScope.releaseAll()
+  }
+
+  test("fuzzy decontamination: the paraphrase arm shares no 8-gram with its source") {
+    // the planted paraphrase must actually defeat the exact pass — every
+    // 8th token replaced caps unmutated runs at 7 tokens
+    val every = graft.operators.PipelineQueries.FuzzyParaEvery
+    val toks = (1 to 40).map(i => s"w$i")
+    val mutated = toks.zipWithIndex.map { case (t, i0) =>
+      if ((i0 + 1) % every == 0) s"qq${i0 + 1}" else t }
+    val grams = (orig: Seq[String]) => orig.sliding(8).map(_.mkString(" ")).toSet
+    assert(grams(toks).intersect(grams(mutated)).isEmpty)
+  }
+
+  test("classifier calibration: exact-rank deciles, monotone teacher agreement") {
+    val rows = SparkEntry.queries("pipeline_classifier_calibration")(spark, Sf)
+      .collect().sortBy(_.getAs[Long]("decile"))
+    assert(rows.map(_.getAs[Long]("decile")).toSeq == (1L to 10L).toSeq)
+    // deciles partition the corpus: sizes differ by at most one and sum
+    // to the scored-doc count; score ranges are non-overlapping ascending
+    val sizes = rows.map(_.getAs[Long]("n_docs"))
+    assert(sizes.max - sizes.min <= 1)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("max_score") <= b.getAs[Long]("min_score"),
+        s"decile ranges overlap: ${a.getAs[Long]("max_score")} > ${b.getAs[Long]("min_score")}")
+    }
+    // calibration: the top of the score order must agree with the teacher
+    // far more than the bottom (the thresholdability contract), and the
+    // top/bottom thirds must separate — small local dips are expected on
+    // a 50-doc decile, strict per-step monotonicity is not asserted
+    val ppm = rows.map(_.getAs[Long]("teacher_keep_ppm"))
+    assert(ppm.last >= ppm.head + 100000L,
+      s"decile 10 (${ppm.last}) not above decile 1 (${ppm.head}) by 100k ppm")
+    assert(ppm.takeRight(3).sum > ppm.take(3).sum,
+      s"top-third agreement ${ppm.takeRight(3).sum} <= bottom-third ${ppm.take(3).sum}")
+    CacheScope.releaseAll()
+  }
+
   test("dsir: fixture run is a dense rank with non-increasing scores") {
     val K = graft.operators.PipelineQueries.DsirK
     val rows = SparkEntry.queries("pipeline_dsir_select")(spark, Sf).collect()
