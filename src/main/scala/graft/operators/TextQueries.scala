@@ -49,6 +49,22 @@ object TextQueries {
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
+  /** BM25 (Okapi) parameters for `text_bm25_topk` — the standard k1/b
+    * operating point (Robertson & Walker, SIGIR '94). `Bm25K1Plus1` is a
+    * SEPARATE literal rather than `Bm25K1 + 1.0` because 1.2+1.0 rounds to
+    * the double exactly halfway between the two representable neighbors of
+    * 2.2 — both engines must parse the same decimal literal, not fold it.
+    * `Bm25DfCap` bounds posting lists like `text_inverted_index`'s [2, 20]
+    * df band: a term seen once retrieves nothing, a stop-phrase's postings
+    * would dominate the candidate join at corpus scale while its idf
+    * contribution vanishes. */
+  val Bm25K1 = 1.2
+  val Bm25K1Plus1 = 2.2
+  val Bm25B = 0.75
+  val Bm25OneMinusB = 0.25
+  val Bm25DfCap = 20
+  val Bm25TopK = 10
+
   /** Shared context-window chunker (ChunkLen-token chunks at stride
     * ChunkStride): ONE definition feeds both `text_chunks` (the training
     * contexts) and `dedup_chunk_overlap` (chunk-level dedup), so the
@@ -139,6 +155,67 @@ object TextQueries {
         .groupBy(col("shingle"), col("df"))
         .agg(expr("array_join(transform(sort_array(collect_set(doc_id))," +
           " x -> cast(x AS string)), ',')").as("postings"))
+    }),
+    // BM25 phrase retrieval over the shingle inverted index: a ~200-doc
+    // probe batch (the probeStride serving shape) retrieves df-capped
+    // posting lists of 3-gram shingle terms — unigrams are useless on this
+    // corpus (31-word vocabulary ⇒ every token is in every doc) and on any
+    // web corpus their posting lists are the stop-word problem; 3-gram
+    // terms give ~n distinct phrases with df-bounded lists, so the
+    // candidate join is Σ_{t∈probe} df(t) ≤ 54·Bm25DfCap rows per probe
+    // regardless of corpus size. Scoring is Okapi BM25's defining parts —
+    // tf saturation (k1) and document-length normalization (b) — with the
+    // house exact-rational idf N/df in place of Robertson's log form
+    // (same parity rule as text_tfidf_top3: one IEEE division of exact
+    // integers is bit-stable across engines, ln() drifts in the last ulp).
+    // Per-term contributions quantize to micro-unit BIGINTs BEFORE the
+    // per-candidate sum, so the aggregate is order-free integer addition —
+    // immune to Spark's nondeterministic partition-sum order.
+    "text_bm25_topk" -> ((spark, sfDir) => {
+      val docs = Tables.load(spark, sfDir, "documents")
+      val stride = SimilarityQueries.probeStride(Tables.countOf(spark, sfDir, "documents"))
+      // one corpus pass: per-doc shingle tf, the doc's term count carried
+      val post = docs
+        .withColumn("__toks", Hashing.tokens(col("text")))
+        .filter(size(col("__toks")) >= 3)
+        .withColumn("dl", (size(col("__toks")) - 2).cast("long"))
+        .select(col("doc_id"), col("dl"), explode(expr(
+          "transform(sequence(0, size(__toks) - 3), " +
+            "i -> concat_ws(' ', __toks[i], __toks[i+1], __toks[i+2]))")).as("shingle"))
+        .groupBy(col("doc_id"), col("dl"), col("shingle"))
+        .agg(count(lit(1)).as("tf"))
+        .transform(CacheScope.cached) // feeds the df table AND the index
+      val kept = post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, Bm25DfCap))
+      val idx = post.join(kept, "shingle").transform(CacheScope.cached)
+      // N over ALL docs, total-term sum over shingled docs (dl=0 adds 0)
+      val stats = docs.agg(
+        count(lit(1)).as("__n"),
+        sum(greatest(size(Hashing.tokens(col("text"))) - 2, lit(0)).cast("long")).as("__ts"))
+      val probes = idx.filter(col("doc_id") % stride === 0)
+        .select(col("doc_id").as("probe_id"), col("shingle"))
+      val contrib = idx
+        .select(col("doc_id").as("neighbor_id"), col("shingle"),
+          col("tf"), col("dl"), col("df"))
+        .join(broadcast(probes), Seq("shingle"))
+        .filter(col("neighbor_id") =!= col("probe_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("c_micro", floor(
+          ((col("__n").cast("double") / col("df")) *
+            ((col("tf").cast("double") * lit(Bm25K1Plus1)) /
+              (col("tf").cast("double") + lit(Bm25K1) *
+                (lit(Bm25OneMinusB) + lit(Bm25B) *
+                  ((col("dl").cast("double") * col("__n").cast("double"))
+                    / col("__ts").cast("double")))))) * lit(1000000.0) + lit(0.5))
+          .cast("long"))
+      val scored = contrib.groupBy(col("probe_id"), col("neighbor_id"))
+        .agg(count(lit(1)).as("n_shared"), sum(col("c_micro")).as("bm25_micro"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(col("bm25_micro").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= Bm25TopK)
+        .select(col("probe_id"), col("neighbor_id"), col("n_shared"),
+          col("bm25_micro"), col("rank"))
     }),
     "text_stats" -> ((spark, sfDir) => {
       val toks = Hashing.tokens(col("text"))
@@ -701,6 +778,41 @@ object TextQueries {
          |  string_agg(CAST(d.doc_id AS VARCHAR), ',' ORDER BY d.doc_id) AS postings
          |FROM dt d JOIN kept k ON k.shingle = d.shingle
          |GROUP BY d.shingle, k.df""".stripMargin,
+    // replays the Spark chain with identically-parenthesized IEEE
+    // arithmetic; the only doubles live between exact-integer inputs and
+    // the micro-unit floor, so the sums compare as exact BIGINTs
+    "text_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, $toksE AS toks FROM documents),
+         |d AS (SELECT doc_id, greatest(len(toks) - 2, 0) AS dl, toks FROM t),
+         |g AS (SELECT COUNT(*) AS n, SUM(dl) AS ts FROM d),
+         |p AS (SELECT doc_id, dl, unnest(list_transform(range(0, dl),
+         |        i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingle
+         |      FROM d),
+         |tf AS (SELECT doc_id, dl, shingle, COUNT(*) AS tf
+         |       FROM p GROUP BY doc_id, dl, shingle),
+         |kept AS (SELECT shingle, COUNT(*) AS df FROM tf GROUP BY shingle
+         |         HAVING COUNT(*) BETWEEN 2 AND $Bm25DfCap),
+         |idx AS (SELECT tf.doc_id, tf.dl, tf.shingle, tf.tf, kept.df
+         |        FROM tf JOIN kept USING (shingle)),
+         |c AS (
+         |  SELECT pr.doc_id AS probe_id, ix.doc_id AS neighbor_id,
+         |    CAST(floor(((CAST(g.n AS DOUBLE) / ix.df) *
+         |      ((CAST(ix.tf AS DOUBLE) * $Bm25K1Plus1) /
+         |       (CAST(ix.tf AS DOUBLE) + $Bm25K1 *
+         |        ($Bm25OneMinusB + $Bm25B *
+         |         ((CAST(ix.dl AS DOUBLE) * CAST(g.n AS DOUBLE))
+         |           / CAST(g.ts AS DOUBLE)))))) * 1000000.0 + 0.5) AS BIGINT)
+         |      AS c_micro
+         |  FROM idx pr JOIN idx ix USING (shingle), g
+         |  WHERE pr.doc_id % greatest(100, g.n // 200) = 0
+         |    AND ix.doc_id <> pr.doc_id),
+         |s AS (SELECT probe_id, neighbor_id, COUNT(*) AS n_shared,
+         |        CAST(SUM(c_micro) AS BIGINT) AS bm25_micro
+         |      FROM c GROUP BY probe_id, neighbor_id)
+         |SELECT probe_id, neighbor_id, n_shared, bm25_micro, rank FROM (
+         |  SELECT s.*, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY bm25_micro DESC, neighbor_id) AS rank FROM s) z
+         |WHERE rank <= $Bm25TopK""".stripMargin,
     "text_normalize" ->
       """WITH n AS (
         |  SELECT doc_id,
