@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.CacheScope
 import graft.Tables
-import graft.functions.{Hashing, QuantizedVec}
+import graft.functions.{Hashing, PqCodec, QuantizedVec}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -549,19 +549,47 @@ object SimilarityQueries {
       .select(col("probe_id"), col("neighbor_id"))
   }
 
+  /** Collects a (c, d, qc) codebook frame — pqk × Dim rows, control-plane
+    * sized (≤16k longs even at the k=256 ladder rung) — into the nested
+    * array the codegen'd [[PqCodec]] expressions hold as a reference
+    * object: `arr(m)(c)(j)` = codeword c's j-th component in subspace m.
+    * Assumes a dense codebook (every (c, d) present), which hash-first
+    * seeding over the fixed-[[Dim]] corpus guarantees. */
+  private def collectCodebook(cb: DataFrame, pqk: Int): Array[Array[Array[Long]]] = {
+    val sub = Dim / PqM
+    val arr = Array.ofDim[Long](PqM, pqk, sub)
+    cb.select(col("c"), col("d"), col("qc")).collect().foreach { r =>
+      val d = r.getInt(1)
+      arr(d / sub)(r.getLong(0).toInt)(d % sub) = r.getLong(2)
+    }
+    arr
+  }
+
   /** PQ coding stages shared by the plain full-code ADC scan and the
-    * IVFADC rung ([[ivfAdcTopk]]): the pinned quantized-component frame,
-    * the per-(vector, subspace, codeword) distance table against the
-    * one-step-Lloyd-refined deterministic codebook, and the PQ encoding
-    * derived from it. One definition so the two paths' codes and ADC
-    * arithmetic cannot drift. */
-  private def pqStages(raw: DataFrame, n: Long): (DataFrame, DataFrame,
-      DataFrame) = {
+    * IVFADC rung ([[ivfAdcTopk]]): the PROBE-batch ADC lookup tables and
+    * the corpus encoding. One definition so the two paths' codes and ADC
+    * arithmetic cannot drift.
+    *
+    * The encode pass — the one unavoidable linear-in-n stage — runs as the
+    * codegen'd per-row argmin [[PqCodec.PqEncode]] against the collected
+    * codebook instead of the relational components ⋈ codebook ⇒ groupBy
+    * argmin chain: that formulation shuffles n × Dim × pqk rows (8.2e9 at
+    * the 2M-vector fixture with the 64-codeword rung — measured as the
+    * whole family's dominant stage), where the same arithmetic is
+    * PqM × pqk × (Dim/PqM) primitive long ops per row inside whole-stage
+    * codegen. Bit-equivalence with the relational chain the DuckDB oracle
+    * replays: identical floor(x·scale+0.5) quantization, exact long
+    * distances, argmin ties to the LOWEST codeword id exactly like
+    * `min(struct(dist2, c))`. The full per-(vector, m, c) distance frame
+    * no longer exists — both consumers only ever used it filtered to the
+    * probe batch ([[PqCodec.PqDistTable]] now computes those ~200 rows'
+    * tables directly). */
+  private def pqStages(raw: DataFrame, n: Long): (DataFrame, DataFrame) = {
     val pqk = pqCodewords(n)
-    // consumers: seed codebook, two distance passes, Lloyd means, exact
-    // rerank — materialize the component explosion once
-    val comp = CacheScope.pinned(quantizedComponents(raw).drop("label"))
-    // deterministic codebook: hash-first pqk vectors seed the codewords
+    // deterministic codebook: hash-first pqk vectors seed the codewords.
+    // Components are exploded ONLY for bounded subsets (the pqk seed
+    // vectors; the Lloyd training sample) — the corpus-wide n × Dim
+    // component frame the round-10 formulation pinned no longer exists.
     val seeds = raw.select(col("vec_id"))
       .withColumn("__h", Hashing.hashHex(col("vec_id").cast("string")))
       .orderBy(col("__h"), col("vec_id")).limit(pqk)
@@ -569,57 +597,72 @@ object SimilarityQueries {
     val seedCodes = seeds
       .withColumn("c", (row_number().over(wC) - 1).cast("long"))
       .select(col("vec_id").as("__sv"), col("c"))
-    val cb0 = comp.join(broadcast(seedCodes), col("vec_id") === col("__sv"))
-      .select(col("c"), col("d"), col("qv").as("qc")) // pqk × Dim rows
-    def distTo(codebook: DataFrame, over: DataFrame = comp): DataFrame = over
-      .join(broadcast(codebook), "d")
-      .groupBy(col("vec_id"), expr(s"d div ${Dim / PqM}").as("m"), col("c"))
-      .agg(sum((col("qv") - col("qc")) * (col("qv") - col("qc"))).as("dist2"))
-    def argmin(dist: DataFrame): DataFrame = dist
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("dist2"), col("c"))).as("__mc"))
-      .select(col("vec_id"), col("m"), col("__mc.c").as("code"))
+    val cb0 = raw.join(broadcast(seedCodes), col("vec_id") === col("__sv"))
+      .select(col("c"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("c"), col("d"), // same quantization as quantizedComponents
+        floor(col("v").cast("double") * QuantizedVec.DefaultScale + 0.5)
+          .cast("long").as("qc")) // pqk × Dim rows
+    val cb0Arr = collectCodebook(cb0, pqk)
     // ONE Lloyd refinement over the TRAINING SAMPLE (stride 1 = whole
     // corpus below the [[PqTrainPerCode]] budget): assign each sampled
     // subvector to its nearest seed codeword, recompute codewords as
     // floor-mean centroids (empty codewords fall back to their seed)
     val tstride = math.max(1L, n / (PqTrainPerCode * pqk))
     val train =
-      if (tstride == 1L) comp else comp.filter(col("vec_id") % tstride === 0)
-    val assign0 = argmin(distTo(cb0, train))
+      if (tstride == 1L) raw else raw.filter(col("vec_id") % tstride === 0)
+    val assign0 = train
+      .select(col("vec_id"),
+        posexplode(PqCodec.pqEncode(col("embedding"), cb0Arr)).as(Seq("m", "code")))
+      .select(col("vec_id"), col("m").cast("long").as("m"), col("code"))
     val means = assign0
-      .join(comp, "vec_id")
+      .join(quantizedComponents(train).drop("label"), "vec_id")
       .filter(expr(s"d div ${Dim / PqM}") === col("m"))
       .groupBy(col("code"), col("d"))
       .agg(floor(sum(col("qv")).cast("double") / count(lit(1))).cast("long").as("qm"))
     val cb = cb0
       .join(means.select(col("code").as("c"), col("d"), col("qm")), Seq("c", "d"), "left_outer")
       .select(col("c"), col("d"), coalesce(col("qm"), col("qc")).as("qc"))
-    // per (vector, subspace, codeword) quantized L2 against the refined
-    // codebook — probes reuse this frame as their ADC lookup tables
-    val dist = distTo(cb).transform(CacheScope.cached)
-    val enc = argmin(dist)
-      .select(col("vec_id").as("neighbor_id"), col("m").as("em"), col("code"))
-    (comp, dist, enc)
+    val cbArr = collectCodebook(cb, pqk)
+    // the linear-in-n pass: narrow per-row argmin encode, no row explosion
+    val enc = raw
+      .select(col("vec_id").as("neighbor_id"),
+        posexplode(PqCodec.pqEncode(col("embedding"), cbArr)).as(Seq("em", "code")))
+      .select(col("neighbor_id"), col("em").cast("long").as("em"), col("code"))
+    // probe-batch ADC lookup tables: ~200 rows in, PqM × pqk entries each
+    val dt = raw.filter(col("vec_id") % probeStride(n) === 0)
+      .select(col("vec_id").as("probe_id"),
+        posexplode(PqCodec.pqDistTable(col("embedding"), cbArr)).as(Seq("pos", "dist2")))
+      .select(col("probe_id"), expr(s"CAST(pos div $pqk AS BIGINT)").as("em"),
+        (col("pos") % pqk).cast("long").as("code"), col("dist2"))
+      .transform(CacheScope.cached)
+    (dt, enc)
   }
 
   /** Compressed-domain shortlist → exact rerank: the shared PQ tail (ADC
     * culls to [[PqShortlist]] candidates per probe; only those pairs ever
-    * touch raw vector components again). */
-  private def pqRerank(adc: DataFrame, comp: DataFrame,
+    * touch raw vectors again). The exact quantized L2 comes from the
+    * codegen'd dot/norm primitives via Σ(qa−qb)² = |qa|² − 2·qa·qb + |qb|²
+    * — exact long arithmetic, bit-identical to the per-dimension component
+    * sum for the fixed-[[Dim]] corpus, with NO n × Dim component explosion:
+    * the bounded shortlist (probes × width) broadcasts into two narrow
+    * passes over the raw embedding arrays. */
+  private def pqRerank(adc: DataFrame, raw: DataFrame,
       shortlistWidth: Int): DataFrame = {
     val wS = Window.partitionBy(col("probe_id"))
       .orderBy(col("adc"), col("neighbor_id"))
     val shortlist = adc.withColumn("srank", row_number().over(wS))
       .filter(col("srank") <= shortlistWidth)
       .select(col("probe_id"), col("neighbor_id"))
-    val exact = shortlist
-      .join(comp.select(col("vec_id").as("probe_id"), col("d"),
-        col("qv").as("qa")), "probe_id")
-      .join(comp.select(col("vec_id").as("neighbor_id"), col("d"),
-        col("qv").as("qb")), Seq("neighbor_id", "d"))
-      .groupBy(col("probe_id"), col("neighbor_id"))
-      .agg(sum((col("qa") - col("qb")) * (col("qa") - col("qb"))).as("l2"))
+    val withProbeVec = raw
+      .select(col("vec_id").as("probe_id"), col("embedding").as("__ea"))
+      .join(broadcast(shortlist), "probe_id")
+    val exact = raw
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("__eb"))
+      .join(broadcast(withProbeVec), "neighbor_id")
+      .select(col("probe_id"), col("neighbor_id"),
+        (QuantizedVec.qnormsq(col("__ea"))
+          - lit(2L) * QuantizedVec.qdot(col("__ea"), col("__eb"))
+          + QuantizedVec.qnormsq(col("__eb"))).as("l2"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("l2"), col("neighbor_id"))
     exact.withColumn("rank", row_number().over(w).cast("long"))
@@ -639,15 +682,12 @@ object SimilarityQueries {
   def ivfAdcTopk(raw: DataFrame, nKnown: Long = -1L): DataFrame = {
     val n = if (nKnown >= 0) nKnown else raw.count()
     val cand = sampledCandidates(CacheScope.pinned(normed(raw)), n)
-    val (comp, dist, enc) = pqStages(raw, n)
-    val dt = dist.filter(col("vec_id") % probeStride(n) === 0)
-      .select(col("vec_id").as("probe_id"), col("m").as("em"),
-        col("c").as("code"), col("dist2"))
+    val (dt, enc) = pqStages(raw, n)
     val adc = cand.join(enc, "neighbor_id")
-      .join(dt, Seq("probe_id", "em", "code"))
+      .join(broadcast(dt), Seq("probe_id", "em", "code"))
       .groupBy(col("probe_id"), col("neighbor_id"))
       .agg(sum(col("dist2")).as("adc"))
-    pqRerank(adc, comp, pqShortlistFor(n))
+    pqRerank(adc, raw, pqShortlistFor(n))
   }
 
   /** Matryoshka-over-IVF — the composition `ann_matryoshka_topk`'s
@@ -1161,16 +1201,15 @@ object SimilarityQueries {
       val n = Tables.countOf(spark, sfDir, "embeddings")
       if (n > IvfLabelPathMax) ivfAdcTopk(raw, n)
       else {
-        val stride = probeStride(n)
-        val (comp, dist, enc) = pqStages(raw, n)
-        val dt = dist.filter(col("vec_id") % stride === 0)
-          .select(col("vec_id").as("probe_id"), col("m"), col("c"), col("dist2"))
+        val (dt, enc) = pqStages(raw, n)
+        // full-code scan: every (neighbor, m) row meets each probe's
+        // broadcast lookup table — the n-sized side never shuffles
         val adc = enc
-          .join(dt, col("em") === col("m") && col("code") === col("c"))
+          .join(broadcast(dt), Seq("em", "code"))
           .filter(col("neighbor_id") =!= col("probe_id"))
           .groupBy(col("probe_id"), col("neighbor_id"))
           .agg(sum(col("dist2")).as("adc"))
-        pqRerank(adc, comp, pqShortlistFor(n))
+        pqRerank(adc, raw, pqShortlistFor(n))
       }
     }),
     // The IVFADC rung exercised directly at oracle scales (same pattern as
