@@ -37,18 +37,21 @@ object RecallProbe {
       hit.toDouble / n
     }
 
+    // exact quantized L2 via the codegen'd dot/norm identity
+    // Σ(qa−qb)² = |qa|² − 2·qa·qb + |qb|² (fixed-Dim corpus ⇒ identical
+    // values to the per-dimension sum) — the broadcast-probe shape runs
+    // at sf10 where the former components-⋈-on-d formulation exploded
     def exactL2TopK(stride: Long): DataFrame = {
-      val comp = Tables.load(spark, sfDir, "embeddings")
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
-        .select(col("vec_id"), col("d"),
-          floor(col("v").cast("double") * 1e6 + 0.5).cast("long").as("qv"))
-        .transform(CacheScope.cached)
-      val a = comp.filter(col("vec_id") % stride === 0)
-        .select(col("vec_id").as("probe_id"), col("d"), col("qv").as("qa"))
-      val b = comp.select(col("vec_id").as("neighbor_id"), col("d"), col("qv").as("qb"))
-      val d2 = a.join(b, "d").filter(col("probe_id") =!= col("neighbor_id"))
-        .groupBy(col("probe_id"), col("neighbor_id"))
-        .agg(sum((col("qa") - col("qb")) * (col("qa") - col("qb"))).as("l2"))
+      val base = Tables.load(spark, sfDir, "embeddings")
+      val probes = base.filter(col("vec_id") % stride === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("__ea"))
+      val d2 = base
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("__eb"))
+        .join(broadcast(probes), col("probe_id") =!= col("neighbor_id"))
+        .select(col("probe_id"), col("neighbor_id"),
+          (graft.functions.QuantizedVec.qnormsq(col("__ea"))
+            - lit(2L) * graft.functions.QuantizedVec.qdot(col("__ea"), col("__eb"))
+            + graft.functions.QuantizedVec.qnormsq(col("__eb"))).as("l2"))
       val w = Window.partitionBy(col("probe_id")).orderBy(col("l2"), col("neighbor_id"))
       d2.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= SimilarityQueries.TopK)
@@ -108,8 +111,10 @@ object RecallProbe {
     // ALL true near-dup pairs the single-band signature bucketing
     // surfaces. The exact baseline is the brute-force all-pairs scan over
     // the same planted corpus — quadratic, affordable as an offline probe
-    // at these scales, never a production path.
-    locally {
+    // at these scales, never a production path. Guarded: above ~200k
+    // vectors the all-pairs baseline itself is the blow-up (2×10¹² pairs
+    // at sf10), so the rung is skipped rather than mis-measured.
+    if (n <= 200000) {
       Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("embeddings")
       val corpus = spark.sql(SimilarityQueries.vecCorpusSql)
       val nc = corpus.select(col("vec_id"), col("embedding"),
