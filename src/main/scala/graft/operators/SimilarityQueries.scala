@@ -29,13 +29,38 @@ object SimilarityQueries {
   val Dim = 64
   val TopK = 10
 
-  /** IVF probe width: clusters scanned per query (of 10 label clusters). */
+  /** IVF probe width: clusters scanned per query (of 10 label clusters).
+    * For the SAMPLED family, whose list count K ∝ n, this is only the
+    * FLOOR — see [[nprobeFor]]. */
   val NProbe = 4
 
   /** Vectors-per-list target for the sampled-codebook IVF rung: the list
     * count K = n / target grows with the data so candidates per probe stay
-    * NProbe × target — constant at every decade. */
+    * nprobe × target. */
   val IvfListTarget = 2000L
+
+  /** K = n / [[IvfListTarget]] fine lists, floored at 10 — ONE definition
+    * shared by the routing build, the probe fan-out ladder and (mirrored
+    * in SQL) the oracle params CTEs. */
+  private[graft] def fineListCount(n: Long): Long =
+    math.max(10L, n / IvfListTarget)
+
+  /** PROBE-SIDE FAN-OUT LADDER (round 11). A fixed [[NProbe]] over a
+    * K ∝ n codebook means the probed fraction NProbe/K shrinks a decade
+    * per decade; the first decade where routing is truly selective
+    * measured the decay: recall@10 0.87 at sf1 (K = 10, 40% probed) →
+    * 0.38 at sf10 (K = 100, 4% probed) UNIFORMLY across the sampled
+    * rungs (`RecallProbe`, bench/SCALING.json `recall10_sf10`). The
+    * standard fix is the √K rule — probe ⌈√K⌉ lists, so probed work per
+    * query grows as √n · [[IvfListTarget]] while the probed FRACTION
+    * decays only as 1/√K instead of 1/K. Floored at [[NProbe]], which
+    * keeps every geometry with K ≤ 16 — all DuckDB-gated scales
+    * (sf0.001–sf1 have K = 10) — bit-identical to the fixed fan-out, so
+    * the ladder engages exactly where the decay does. sqrt/ceil are
+    * IEEE-correctly-rounded in both engines, so the oracle's
+    * `GREATEST(NProbe, CEIL(SQRT(k)))` replays the same integer. */
+  def nprobeFor(k: Long): Long =
+    math.max(NProbe.toLong, math.ceil(math.sqrt(k.toDouble)).toLong)
 
   /** Probe-batch stride: 1-in-100 at every corpus size the oracle checks
     * (bit-identical through sf1, where n/200 ≤ 100), then grows with n so
@@ -332,7 +357,7 @@ object SimilarityQueries {
   private def twoLevelRouting(emb: DataFrame, n: Long,
       shareV2c: Boolean, allowFlat: Boolean = true): (DataFrame, DataFrame,
       DataFrame) = {
-    val k = math.max(10L, n / IvfListTarget)
+    val k = fineListCount(n)
     val s = math.max(1L, n / k)
     val fine = emb.filter(col("vec_id") % s === 0)
       .select(col("vec_id").as("f"), col("embedding").as("f_emb"),
@@ -543,7 +568,8 @@ object SimilarityQueries {
     val wP = Window.partitionBy(col("probe_id"))
       .orderBy(col("fcos").desc, col("f"))
     val pLists = pscored.withColumn("rn", row_number().over(wP))
-      .filter(col("rn") <= NProbe).select(col("probe_id"), col("f"))
+      .filter(col("rn") <= nprobeFor(fineListCount(n)))
+      .select(col("probe_id"), col("f"))
     pLists.join(assigned, "f")
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"))
@@ -793,7 +819,8 @@ object SimilarityQueries {
           col("p_nsq"), col("f_nsq")).as("fcos"))
     val wF = Window.partitionBy(col("probe_id")).orderBy(col("fcos").desc, col("f"))
     val pLists = pFineScored.withColumn("rn", row_number().over(wF))
-      .filter(col("rn") <= NProbe).select(col("probe_id"), col("f"))
+      .filter(col("rn") <= nprobeFor(fineListCount(n)))
+      .select(col("probe_id"), col("f"))
     val cand = pLists.join(assigned, "f")
       .filter(col("neighbor_id") =!= col("probe_id"))
       .select(col("probe_id"), col("neighbor_id"))
@@ -1421,7 +1448,9 @@ object SimilarityQueries {
        |               (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
        |             DESC, pd.f) AS rn
        |    FROM pfd pd JOIN norms na ON na.vec_id = pd.probe_id
-       |                JOIN norms nb ON nb.vec_id = pd.f) t WHERE rn <= $NProbe),
+       |                JOIN norms nb ON nb.vec_id = pd.f) t, params
+       |  WHERE rn <= GREATEST($NProbe,
+       |    CAST(ceil(sqrt(CAST(params.k AS DOUBLE))) AS BIGINT))),
        |cand AS (
        |  SELECT p.probe_id, a.neighbor_id
        |  FROM probeclusters p JOIN assigned a ON a.c = p.c
@@ -1658,7 +1687,9 @@ object SimilarityQueries {
          |               (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
          |             DESC, pd.f) AS rn
          |    FROM pfined pd JOIN norms na ON na.vec_id = pd.probe_id
-         |                   JOIN norms nb ON nb.vec_id = pd.f) t WHERE rn <= $NProbe),
+         |                   JOIN norms nb ON nb.vec_id = pd.f) t, prm
+         |  WHERE rn <= GREATEST($NProbe,
+         |    CAST(ceil(sqrt(CAST(prm.k AS DOUBLE))) AS BIGINT))),
          |cand AS (
          |  SELECT p.probe_id, a.neighbor_id
          |  FROM plists p JOIN assigned a ON a.f = p.f
