@@ -47,6 +47,19 @@ object PqCodec {
       scale: Double) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+    // The synthesized case-class equals compares the array field by
+    // REFERENCE, so two structurally identical encodes never compare
+    // equal — defeating Catalyst common-subexpression elimination /
+    // canonicalization. Compare the codebook by value.
+    override def equals(other: Any): Boolean = other match {
+      case PqEncode(c, cb, s) => c == child && s == scale &&
+        java.util.Arrays.deepEquals(
+          cb.asInstanceOf[Array[AnyRef]], codebook.asInstanceOf[Array[AnyRef]])
+      case _ => false
+    }
+    override def hashCode(): Int = 31 * (31 * child.hashCode +
+      java.util.Arrays.deepHashCode(codebook.asInstanceOf[Array[AnyRef]])) + scale.##
+
     override def nullSafeEval(v: Any): Any = {
       val a = v.asInstanceOf[ArrayData]
       val et = elemType(child)
@@ -127,6 +140,16 @@ object PqCodec {
   case class PqDistTable(child: Expression, codebook: Array[Array[Array[Long]]],
       scale: Double) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    // Value equality over the array field — see [[PqEncode.equals]].
+    override def equals(other: Any): Boolean = other match {
+      case PqDistTable(c, cb, s) => c == child && s == scale &&
+        java.util.Arrays.deepEquals(
+          cb.asInstanceOf[Array[AnyRef]], codebook.asInstanceOf[Array[AnyRef]])
+      case _ => false
+    }
+    override def hashCode(): Int = 31 * (31 * child.hashCode +
+      java.util.Arrays.deepHashCode(codebook.asInstanceOf[Array[AnyRef]])) + scale.##
 
     override def nullSafeEval(v: Any): Any = {
       val a = v.asInstanceOf[ArrayData]

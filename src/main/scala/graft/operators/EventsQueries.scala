@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.CacheScope
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -19,6 +19,33 @@ object EventsQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val SessionGapMicros: Long = 30L * 60 * 1000000 // 30 min
+
+  /** Exact global `row_number` over an arbitrary total order WITHOUT a
+    * single-partition sort: range-repartition on the sort keys (partition
+    * i holds a contiguous, ordered key range), rank within each partition
+    * with a pid-PARTITIONED window (parallel), then add each partition's
+    * global offset. The offset frame is the per-partition count — at most
+    * `spark.sql.shuffle.partitions` rows, bounded by construction, so its
+    * cumulative-sum window is control-plane work, not a data-scaling
+    * sort. RangePartitioner samples with partition-index-derived seeds,
+    * so boundaries (and therefore ranks) are deterministic for a fixed
+    * input lineage. `order` must be a total order (carry a unique
+    * tiebreaker) for the rank to be well-defined.
+    */
+  def globalRowNumber(df: DataFrame, order: Seq[Column], out: String): DataFrame = {
+    val parted = df.repartitionByRange(order: _*)
+      .withColumn("__gpid", spark_partition_id())
+    val offsets = parted.groupBy(col("__gpid"))
+      .agg(count(lit(1)).as("__gcnt"))
+      .withColumn("__goff",
+        sum(col("__gcnt")).over(Window.orderBy(col("__gpid"))) - col("__gcnt"))
+      .select(col("__gpid"), col("__goff"))
+    val lw = Window.partitionBy(col("__gpid")).orderBy(order: _*)
+    parted.withColumn("__glrn", row_number().over(lw).cast("long"))
+      .join(broadcast(offsets), "__gpid")
+      .withColumn(out, col("__goff") + col("__glrn"))
+      .drop("__gpid", "__glrn", "__goff")
+  }
 
   /** Gap-based sessionization: session starts where the per-user gap
     * exceeds 30 min; session_id = running count of session starts. */
@@ -560,28 +587,48 @@ object EventsQueries {
     }),
     // RFM (recency/frequency/monetary) user segmentation: one keyed
     // aggregate collapses events to a per-user frame, then ntile(5) scores
-    // over that frame. The global-ordered windows sort only the AGGREGATED
-    // user table (orders of magnitude smaller than the event log — the
-    // scale cost lives in the first aggregate, which is one shuffle);
-    // every ordering carries user_id as the unique tiebreaker so both
-    // engines assign identical ntile buckets.
+    // over that frame. The scores are EXACT ntile buckets but computed
+    // WITHOUT an unpartitioned window (which would sort the whole per-user
+    // frame — 10⁹ users at scale — in one task, three times): each metric
+    // gets a distributed global rank via [[globalRowNumber]] (range
+    // repartition → per-partition window → broadcast partition-offset
+    // join), and the bucket is closed-form ntile arithmetic over
+    // (rank, N). Every ordering carries user_id as the unique tiebreaker
+    // so both engines assign identical buckets; PlanQualitySpec gates
+    // that no single-partition window survives in the plan.
     "events_rfm" -> ((spark, sfDir) => {
       val e = Tables.load(spark, sfDir, "events")
       val per = e.groupBy(col("user_id")).agg(
         max(unix_micros(col("ts"))).as("last_us"),
         count(lit(1)).as("frequency"),
         sum(col("value").cast("decimal(38,4)")).cast("double").as("monetary"))
-      val tot = e.agg(max(unix_micros(col("ts"))).as("__gmax"))
-      def score(c: String) =
-        ntile(5).over(Window.orderBy(col(c).desc, col("user_id"))).cast("long")
-      per.crossJoin(broadcast(tot))
+      val tot = e.agg(max(unix_micros(col("ts"))).as("__gmax"),
+        count_distinct(col("user_id")).as("__nu"))
+      val base = per.crossJoin(broadcast(tot))
         .withColumn("recency_days",
           expr("CAST((__gmax - last_us) div 86400000000 AS BIGINT)"))
-        .withColumn("r_score", score("last_us"))
-        .withColumn("f_score", score("frequency"))
-        .withColumn("m_score", score("monetary"))
-        .select(col("user_id"), col("recency_days"), col("frequency"),
-          col("monetary"), col("r_score"), col("f_score"), col("m_score"))
+        .transform(CacheScope.cached) // three ranking passes scan it
+      // ntile(k) over a total order assigns bucket sizes ⌈N/k⌉ to the
+      // first N mod k buckets and ⌊N/k⌋ to the rest; with the exact
+      // global rank in hand the bucket is pure integer arithmetic.
+      // Double division is exact here: rank/N ≤ 2⁵³ and the quotient's
+      // distance to the nearest wrong integer ≥ 1/(q+1) ≫ the ~1e-15
+      // absolute division error.
+      def ntileOf(rn: Column, n: Column, k: Int): Column = {
+        val q = floor(n / k).cast("long")
+        val r = (n % k).cast("long")
+        val headRows = (q + lit(1L)) * r // rows covered by the ⌈N/k⌉ buckets
+        when(rn <= headRows, floor((rn - 1) / (q + lit(1L))).cast("long") + 1)
+          .otherwise(r + floor((rn - headRows - 1) / q).cast("long") + 1)
+      }
+      def score(df: DataFrame, c: String, out: String): DataFrame =
+        globalRowNumber(df, Seq(col(c).desc, col("user_id").asc), "__rn")
+          .withColumn(out, ntileOf(col("__rn"), col("__nu"), 5))
+          .drop("__rn")
+      val scored = score(score(score(base,
+        "last_us", "r_score"), "frequency", "f_score"), "monetary", "m_score")
+      scored.select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"))
     }),
     // First-order Markov transition matrix over each user's event-type
     // sequence: lag(1) per user (one user-keyed sort window), then a count

@@ -584,7 +584,14 @@ object SimilarityQueries {
   private def collectCodebook(cb: DataFrame, pqk: Int): Array[Array[Array[Long]]] = {
     val sub = Dim / PqM
     val arr = Array.ofDim[Long](PqM, pqk, sub)
-    cb.select(col("c"), col("d"), col("qc")).collect().foreach { r =>
+    val rows = cb.select(col("c"), col("d"), col("qc")).collect()
+    // Ofdim zero-fills: a short codebook (corpus smaller than pqk seeds)
+    // would silently leave phantom all-zero codewords that the relational
+    // chain and the DuckDB oracle never materialize — fail loudly instead.
+    require(rows.length == pqk * Dim,
+      s"codebook expected $pqk x $Dim dense entries, got ${rows.length} — " +
+        "corpus has fewer vectors than the pqk seed count")
+    rows.foreach { r =>
       val d = r.getInt(1)
       arr(d / sub)(r.getLong(0).toInt)(d % sub) = r.getLong(2)
     }

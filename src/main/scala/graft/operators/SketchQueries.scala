@@ -152,11 +152,14 @@ object SketchQueries {
       val tok = Tables.load(spark, sfDir, "documents")
         .select(explode(Hashing.tokens(col("text"))).as("term"))
         .transform(CacheScope.cached) // sketch build + exact-count probes both scan it
+      // Probe selection plans as TakeOrderedAndProject (per-partition
+      // top-k heaps merged on the driver, no single-partition Exchange) —
+      // at web-corpus vocabulary (10⁸+ distinct terms) a global
+      // row_number() window here would sort the whole term frame in one
+      // task. PlanQualitySpec gates the shape.
       val probes = tok.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
-        .withColumn("__rn", row_number().over(
-          Window.orderBy(col("exact_cnt").desc, col("term"))))
-        .filter(col("__rn") <= CmsProbes)
-        .select(col("term"), col("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("term"))
+        .limit(CmsProbes)
       probes.select(col("term"), col("exact_cnt"), cmsCoords(col("term")).as("e"))
         .select(col("term"), col("exact_cnt"), col("e.row_j"), col("e.bucket"))
         .join(broadcast(cmsSketch(tok)), Seq("row_j", "bucket"))

@@ -188,10 +188,13 @@ object TextQueries {
       val kept = post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, Bm25DfCap))
       val idx = post.join(kept, "shingle").transform(CacheScope.cached)
-      // N over ALL docs, total-term sum over shingled docs (dl=0 adds 0)
-      val stats = docs.agg(
-        count(lit(1)).as("__n"),
-        sum(greatest(size(Hashing.tokens(col("text"))) - 2, lit(0)).cast("long")).as("__ts"))
+      // N over ALL docs (memoized countOf — no rescan), total-term sum
+      // over shingled docs derived from the CACHED per-doc frame (docs
+      // with <3 tokens are absent from `post` and contribute dl=0), so
+      // the corpus is tokenized exactly once.
+      val stats = post.select(col("doc_id"), col("dl")).dropDuplicates("doc_id")
+        .agg(coalesce(sum(col("dl")), lit(0L)).as("__ts"))
+        .withColumn("__n", lit(Tables.countOf(spark, sfDir, "documents")))
       val probes = idx.filter(col("doc_id") % stride === 0)
         .select(col("doc_id").as("probe_id"), col("shingle"))
       val contrib = idx

@@ -231,6 +231,38 @@ class PlanQualitySpec extends SparkTestBase {
     assert(p.contains("Exchange hashpartitioning"), p.take(2000))
   }
 
+  test("rfm: exact ntile buckets without a single-partition sort") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val df = SparkEntry.queries("events_rfm")(spark, Sf)
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "expected the pid-partitioned rank windows")
+    // every window is either partitioned (parallel) or sits on the
+    // pid-count aggregate (<= shuffle.partitions rows by construction) —
+    // no window may sort a data-scaling frame in one task
+    wins.foreach { w =>
+      val bounded = w.child.collectFirst {
+        case a: Aggregate
+          if a.groupingExpressions.exists(_.references.exists(_.name == "__gpid")) => a
+      }.isDefined
+      assert(w.partitionSpec.nonEmpty || bounded,
+        s"unpartitioned window over a data-scaling frame:\n$w")
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Exchange rangepartitioning"), p.take(2000))
+    assert(!p.contains("ntile"), p.take(2000))
+    CacheScope.releaseAll()
+  }
+
+  test("cms probes: top-k plans as TakeOrderedAndProject, no global window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = SparkEntry.queries("sketch_cms_terms")(spark, Sf)
+    assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "probe selection must not plan a window")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    CacheScope.releaseAll()
+  }
+
   test("video shared frames: capped-bucket candidate join stays equi-join") {
     val p = plan("mm_video_shared_frames")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
