@@ -144,6 +144,11 @@ object CacheScope {
     }
   }
 
+  /** Register an arbitrary cleanup to run at [[releaseSession]] — used by
+    * session-scoped standing DISK indexes (the BM25 serving index) to
+    * drop their temp directories when the session's memo is dropped. */
+  def onSessionRelease(f: () => Unit): Unit = { sessionLive.add(f); () }
+
   /** Release every session-scoped pin and forget the memo. Harness
     * contract: run at the END of a multi-query session ([[releaseAll]]
     * runs BETWEEN queries and leaves session pins alone). Idempotent. */

@@ -374,6 +374,7 @@ object DedupQueries {
         Hashing.hash64(col("shingle")).as("__sh"))
       val cand = a.join(b, "__sh").filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b")).distinct()
+        .transform(CacheScope.pinned) // feeds candDocs AND the verify join
       // Set-array verification instead of the 3-leg intersection join:
       // each doc's shingle-hash set ships ONCE per pair side and the
       // intersection is a codegen array op — no third join and no
@@ -385,8 +386,14 @@ object DedupQueries {
       // (raw-string intersection) would catch one as a hash mismatch.
       // The length filter is implied by the threshold (J >= 0.5 forces
       // max(n) <= 2*min(n)), so it prunes candidates without changing
-      // the result.
-      val sets = sh.groupBy(col("doc_id"))
+      // the result. Packed sets build ONLY for candidate docs (the same
+      // semi-join discipline as dedup_containment): without it the
+      // collect_set shuffles every doc's full shingle set — the verify
+      // side grows with the corpus even when candidates don't.
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val sets = sh.join(candDocs, Seq("doc_id"), "left_semi")
+        .groupBy(col("doc_id"))
         .agg(collect_set(Hashing.hash64(col("shingle"))).as("hs"))
         .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("n_sh"))
       cand

@@ -125,6 +125,160 @@ object TextQueries {
        |  md5(array_to_string(chunk, ' ')) AS chunk_fp
        |FROM ${p}_c""".stripMargin)
 
+  /** One corpus tokenization pass → the per-(doc, 3-gram-shingle) frame
+    * `(doc_id, dl, shingle, tf)` every BM25 surface builds on (dl = the
+    * doc's shingle count — its BM25 length norm). */
+  private[operators] def bm25Postings(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__toks", Hashing.tokens(col("text")))
+      .filter(size(col("__toks")) >= 3)
+      .withColumn("dl", (size(col("__toks")) - 2).cast("long"))
+      .select(col("doc_id"), col("dl"), explode(expr(
+        "transform(sequence(0, size(__toks) - 3), " +
+          "i -> concat_ws(' ', __toks[i], __toks[i+1], __toks[i+2]))")).as("shingle"))
+      .groupBy(col("doc_id"), col("dl"), col("shingle"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** The Okapi retrieval/scoring stages shared by the inline
+    * `text_bm25_topk` and the persisted-index `text_bm25_indexed` path —
+    * ONE definition so the serving index cannot drift from the
+    * oracle-checked build. `idx` = df-banded postings
+    * `(doc_id, dl, shingle, tf, df)`; `stats` = one row `(__ts, __n)`.
+    * Probe batch and per-term contributions stay broadcast/df-capped —
+    * Σ_{t∈probe} df(t) candidate rows per probe regardless of corpus
+    * size — and contributions quantize to micro-unit BIGINTs before the
+    * order-free integer sum. */
+  private[operators] def bm25TopkFrom(idx: DataFrame, stats: DataFrame,
+      stride: Long): DataFrame = {
+    val probes = idx.filter(col("doc_id") % stride === 0)
+      .select(col("doc_id").as("probe_id"), col("shingle"))
+    val contrib = idx
+      .select(col("doc_id").as("neighbor_id"), col("shingle"),
+        col("tf"), col("dl"), col("df"))
+      .join(broadcast(probes), Seq("shingle"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("c_micro", floor(
+        ((col("__n").cast("double") / col("df")) *
+          ((col("tf").cast("double") * lit(Bm25K1Plus1)) /
+            (col("tf").cast("double") + lit(Bm25K1) *
+              (lit(Bm25OneMinusB) + lit(Bm25B) *
+                ((col("dl").cast("double") * col("__n").cast("double"))
+                  / col("__ts").cast("double")))))) * lit(1000000.0) + lit(0.5))
+        .cast("long"))
+    val scored = contrib.groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(count(lit(1)).as("n_shared"), sum(col("c_micro")).as("bm25_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("probe_id")).orderBy(col("bm25_micro").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("probe_id"), col("neighbor_id"), col("n_shared"),
+        col("bm25_micro"), col("rank"))
+  }
+
+  /** PERSISTED BM25 SERVING INDEX — the retrieval twin of the IVF index
+    * lifecycle ([[SimilarityQueries.buildIvfIndex]]) and of
+    * `dedup_incremental`'s standing LSH index. Layout under `dir`:
+    *   - `postings/` — `(doc_id, dl, shingle, tf)`, one row per
+    *     (doc, shingle); appended per delta batch.
+    *   - `df/` — per-segment partial `(shingle, df)` counts.
+    *   - `stats/` — per-segment partial `(ts, n_docs)` totals.
+    * `df` and `stats` are APPEND-ONLY partial segments merged by
+    * aggregation at read time (the HLL relational-merge pattern): an
+    * append writes only the delta's own counts — O(batch) work, standing
+    * segments untouched — and the merged df/avgdl therefore always
+    * reflect the whole corpus; [[compactBm25Index]] periodically folds
+    * segments back to one so read-side merge stays bounded by segment
+    * count, not append count. */
+  def buildBm25Index(spark: SparkSession, sfDir: String, dir: String): Unit =
+    buildBm25IndexFrom(Tables.load(spark, sfDir, "documents"), dir)
+
+  /** Build the index from an arbitrary base-corpus frame (the spec's
+    * split-build path; the production shape where the base corpus is a
+    * curated view rather than a whole fixture table). */
+  def buildBm25IndexFrom(docs: DataFrame, dir: String): Unit =
+    writeBm25Segment(docs, dir, first = true)
+
+  /** Absorb a delta batch: tokenize ONLY the new docs, append their
+    * postings and partial df/stats segments. Nothing rescans the
+    * standing corpus. */
+  def appendToBm25Index(spark: SparkSession, dir: String, newDocs: DataFrame): Unit =
+    writeBm25Segment(newDocs, dir, first = false)
+
+  private def writeBm25Segment(docs: DataFrame, dir: String, first: Boolean): Unit = {
+    val mode = if (first) "overwrite" else "append"
+    val post = bm25Postings(docs).persist()
+    post.write.mode(mode).parquet(s"$dir/postings")
+    post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .write.mode(mode).parquet(s"$dir/df")
+    post.select(col("doc_id"), col("dl")).dropDuplicates("doc_id")
+      .agg(coalesce(sum(col("dl")), lit(0L)).as("ts"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .write.mode(mode).parquet(s"$dir/stats")
+    post.unpersist()
+    ()
+  }
+
+  /** Fold the append-only df/stats segments back to one segment each
+    * (postings are already per-doc rows — nothing to fold). Read-side
+    * results are unchanged: the fold is the same aggregation the reader
+    * runs. */
+  def compactBm25Index(spark: SparkSession, dir: String): Unit = {
+    def fold(sub: String, agg: DataFrame => DataFrame): Unit = {
+      val tmp = s"$dir/__compact_$sub"
+      agg(spark.read.parquet(s"$dir/$sub")).write.mode("overwrite").parquet(tmp)
+      val dst = new java.io.File(s"$dir/$sub")
+      org.apache.commons.io.FileUtils.deleteDirectory(dst)
+      require(new java.io.File(tmp).renameTo(dst), s"compaction rename failed: $sub")
+    }
+    fold("df", d => d.groupBy(col("shingle")).agg(sum(col("df")).as("df")))
+    fold("stats", d => d.agg(sum(col("ts")).as("ts"), sum(col("n_docs")).as("n_docs")))
+  }
+
+  /** Serve top-k retrieval from the standing index: merge the df/stats
+    * segments (vocabulary-keyed aggregation; never corpus-sized rework),
+    * band df to [2, [[Bm25DfCap]]], score with [[bm25TopkFrom]]. The one
+    * driver-side read is the merged 1-row stats (bounded control plane —
+    * the probe stride needs N). */
+  def queryBm25Index(spark: SparkSession, dir: String): DataFrame = {
+    val post = spark.read.parquet(s"$dir/postings")
+    val dfTab = spark.read.parquet(s"$dir/df")
+      .groupBy(col("shingle")).agg(sum(col("df")).as("df"))
+      .filter(col("df").between(2, Bm25DfCap))
+    val stats = spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("ts")).as("__ts"), sum(col("n_docs")).as("__n"))
+    val nDocs = stats.select(col("__n")).first().getLong(0)
+    val idx = post.join(dfTab, "shingle").transform(CacheScope.cached)
+    bm25TopkFrom(idx, stats, SimilarityQueries.probeStride(nDocs))
+  }
+
+  /** Session-memoized standing-index directory for `text_bm25_indexed`:
+    * built at most once per (session, fixture) into a temp dir, deleted
+    * when the session's standing tier drops ([[CacheScope.releaseSession]]).
+    * Keyed by applicationId so a fresh SparkContext never reuses another
+    * context's directory. */
+  private val bm25IndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bm25IndexFor(spark: SparkSession, sfDir: String): String = {
+    val k = spark.sparkContext.applicationId + ":" + sfDir
+    val existing = bm25IndexMemo.get(k)
+    if (existing != null) existing
+    else bm25IndexMemo.synchronized {
+      val again = bm25IndexMemo.get(k)
+      if (again != null) again
+      else {
+        val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+        buildBm25Index(spark, sfDir, dir)
+        graft.CacheScope.onSessionRelease(() => {
+          bm25IndexMemo.remove(k)
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir)); ()
+        })
+        bm25IndexMemo.put(k, dir)
+        dir
+      }
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     // Canonical text normalization — the first stage of every training
     // pipeline: lowercase, non-alphanumerics to spaces, whitespace
@@ -172,19 +326,10 @@ object TextQueries {
     // per-candidate sum, so the aggregate is order-free integer addition —
     // immune to Spark's nondeterministic partition-sum order.
     "text_bm25_topk" -> ((spark, sfDir) => {
-      val docs = Tables.load(spark, sfDir, "documents")
       val stride = SimilarityQueries.probeStride(Tables.countOf(spark, sfDir, "documents"))
       // one corpus pass: per-doc shingle tf, the doc's term count carried
-      val post = docs
-        .withColumn("__toks", Hashing.tokens(col("text")))
-        .filter(size(col("__toks")) >= 3)
-        .withColumn("dl", (size(col("__toks")) - 2).cast("long"))
-        .select(col("doc_id"), col("dl"), explode(expr(
-          "transform(sequence(0, size(__toks) - 3), " +
-            "i -> concat_ws(' ', __toks[i], __toks[i+1], __toks[i+2]))")).as("shingle"))
-        .groupBy(col("doc_id"), col("dl"), col("shingle"))
-        .agg(count(lit(1)).as("tf"))
-        .transform(CacheScope.cached) // feeds the df table AND the index
+      val post = bm25Postings(Tables.load(spark, sfDir, "documents"))
+        .transform(CacheScope.cached) // feeds the df table, stats AND the index
       val kept = post.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, Bm25DfCap))
       val idx = post.join(kept, "shingle").transform(CacheScope.cached)
@@ -195,31 +340,18 @@ object TextQueries {
       val stats = post.select(col("doc_id"), col("dl")).dropDuplicates("doc_id")
         .agg(coalesce(sum(col("dl")), lit(0L)).as("__ts"))
         .withColumn("__n", lit(Tables.countOf(spark, sfDir, "documents")))
-      val probes = idx.filter(col("doc_id") % stride === 0)
-        .select(col("doc_id").as("probe_id"), col("shingle"))
-      val contrib = idx
-        .select(col("doc_id").as("neighbor_id"), col("shingle"),
-          col("tf"), col("dl"), col("df"))
-        .join(broadcast(probes), Seq("shingle"))
-        .filter(col("neighbor_id") =!= col("probe_id"))
-        .crossJoin(broadcast(stats))
-        .withColumn("c_micro", floor(
-          ((col("__n").cast("double") / col("df")) *
-            ((col("tf").cast("double") * lit(Bm25K1Plus1)) /
-              (col("tf").cast("double") + lit(Bm25K1) *
-                (lit(Bm25OneMinusB) + lit(Bm25B) *
-                  ((col("dl").cast("double") * col("__n").cast("double"))
-                    / col("__ts").cast("double")))))) * lit(1000000.0) + lit(0.5))
-          .cast("long"))
-      val scored = contrib.groupBy(col("probe_id"), col("neighbor_id"))
-        .agg(count(lit(1)).as("n_shared"), sum(col("c_micro")).as("bm25_micro"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("probe_id")).orderBy(col("bm25_micro").desc, col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= Bm25TopK)
-        .select(col("probe_id"), col("neighbor_id"), col("n_shared"),
-          col("bm25_micro"), col("rank"))
+      bm25TopkFrom(idx, stats, stride)
     }),
+    // PERSISTED BM25 SERVING: identical scores to the inline build on the
+    // same corpus (the `ann_ivf_topk` index-parity rule — the oracle row
+    // is the same SQL), but the query path reads a STANDING parquet index
+    // (postings + append-only df/stats segments, built once per session
+    // into a temp dir dropped at releaseSession) and never re-tokenizes
+    // the corpus: the plan's only FileScans are index files. Deltas
+    // absorb in O(batch) via [[appendToBm25Index]]; `Bm25Spec` pins
+    // build+append == full-rebuild equality and the no-rescan plan shape.
+    "text_bm25_indexed" -> ((spark, sfDir) =>
+      queryBm25Index(spark, bm25IndexFor(spark, sfDir))),
     "text_stats" -> ((spark, sfDir) => {
       val toks = Hashing.tokens(col("text"))
       Tables.load(spark, sfDir, "documents")
@@ -763,29 +895,8 @@ object TextQueries {
        |  FROM syms$BpeMerges GROUP BY word)
        |SELECT word, n_syms, decoded, (decoded = word) AS roundtrip FROM dec""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
-    "text_bpe_merges" -> bpeMergesSqlStr,
-    "text_bpe_encode" -> bpeEncodeSqlStr,
-    "text_bpe_fertility" -> bpeFertilitySqlStr,
-    "text_bpe_decode" -> bpeDecodeSqlStr,
-    "text_inverted_index" ->
-      s"""WITH dt AS (
-         |  SELECT DISTINCT doc_id, unnest(list_transform(
-         |      range(0, greatest(len(toks) - 2, 0)),
-         |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingle
-         |  FROM (SELECT doc_id, $toksE AS toks FROM documents) t),
-         |kept AS (
-         |  SELECT shingle, COUNT(*) AS df FROM dt GROUP BY shingle
-         |  HAVING COUNT(*) BETWEEN 2 AND 20)
-         |SELECT d.shingle, k.df,
-         |  string_agg(CAST(d.doc_id AS VARCHAR), ',' ORDER BY d.doc_id) AS postings
-         |FROM dt d JOIN kept k ON k.shingle = d.shingle
-         |GROUP BY d.shingle, k.df""".stripMargin,
-    // replays the Spark chain with identically-parenthesized IEEE
-    // arithmetic; the only doubles live between exact-integer inputs and
-    // the micro-unit floor, so the sums compare as exact BIGINTs
-    "text_bm25_topk" ->
-      s"""WITH t AS (SELECT doc_id, $toksE AS toks FROM documents),
+  private val bm25TopkSqlStr: String =
+    s"""WITH t AS (SELECT doc_id, $toksE AS toks FROM documents),
          |d AS (SELECT doc_id, greatest(len(toks) - 2, 0) AS dl, toks FROM t),
          |g AS (SELECT COUNT(*) AS n, SUM(dl) AS ts FROM d),
          |p AS (SELECT doc_id, dl, unnest(list_transform(range(0, dl),
@@ -815,7 +926,33 @@ object TextQueries {
          |SELECT probe_id, neighbor_id, n_shared, bm25_micro, rank FROM (
          |  SELECT s.*, ROW_NUMBER() OVER (PARTITION BY probe_id
          |      ORDER BY bm25_micro DESC, neighbor_id) AS rank FROM s) z
-         |WHERE rank <= $Bm25TopK""".stripMargin,
+         |WHERE rank <= $Bm25TopK""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "text_bpe_merges" -> bpeMergesSqlStr,
+    "text_bpe_encode" -> bpeEncodeSqlStr,
+    "text_bpe_fertility" -> bpeFertilitySqlStr,
+    "text_bpe_decode" -> bpeDecodeSqlStr,
+    "text_inverted_index" ->
+      s"""WITH dt AS (
+         |  SELECT DISTINCT doc_id, unnest(list_transform(
+         |      range(0, greatest(len(toks) - 2, 0)),
+         |      i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS shingle
+         |  FROM (SELECT doc_id, $toksE AS toks FROM documents) t),
+         |kept AS (
+         |  SELECT shingle, COUNT(*) AS df FROM dt GROUP BY shingle
+         |  HAVING COUNT(*) BETWEEN 2 AND 20)
+         |SELECT d.shingle, k.df,
+         |  string_agg(CAST(d.doc_id AS VARCHAR), ',' ORDER BY d.doc_id) AS postings
+         |FROM dt d JOIN kept k ON k.shingle = d.shingle
+         |GROUP BY d.shingle, k.df""".stripMargin,
+    // replays the Spark chain with identically-parenthesized IEEE
+    // arithmetic; the only doubles live between exact-integer inputs and
+    // the micro-unit floor, so the sums compare as exact BIGINTs.
+    // text_bm25_indexed shares the SAME oracle: the index-parity rule —
+    // the persisted-index path must reproduce the inline build exactly.
+    "text_bm25_topk" -> bm25TopkSqlStr,
+    "text_bm25_indexed" -> bm25TopkSqlStr,
     "text_normalize" ->
       """WITH n AS (
         |  SELECT doc_id,

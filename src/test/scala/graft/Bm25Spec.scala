@@ -96,4 +96,45 @@ class Bm25Spec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), p.take(2000))
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("persisted index: build + append == full rebuild, query parity with inline") {
+    val docs = Tables.load(spark, Sf, "documents")
+    val dirFull = java.nio.file.Files.createTempDirectory("graft_bm25_full").toString
+    val dirInc = java.nio.file.Files.createTempDirectory("graft_bm25_inc").toString
+    try {
+      // full build vs base-build + two delta appends over a 3-way split
+      TextQueries.buildBm25Index(spark, Sf, dirFull)
+      TextQueries.buildBm25IndexFrom(docs.filter(col("doc_id") % 3 === 0), dirInc)
+      TextQueries.appendToBm25Index(spark, dirInc, docs.filter(col("doc_id") % 3 === 1))
+      TextQueries.appendToBm25Index(spark, dirInc, docs.filter(col("doc_id") % 3 === 2))
+      val full = TextQueries.queryBm25Index(spark, dirFull).collect().map(_.toSeq).toSet
+      val inc = TextQueries.queryBm25Index(spark, dirInc).collect().map(_.toSeq).toSet
+      assert(full.nonEmpty && inc == full)
+      // compaction folds the three df/stats segments without changing results
+      TextQueries.compactBm25Index(spark, dirInc)
+      val compacted = TextQueries.queryBm25Index(spark, dirInc).collect().map(_.toSeq).toSet
+      assert(compacted == full)
+      // inline parity: the serving path reproduces text_bm25_topk exactly
+      val inline = out.collect().map(_.toSeq).toSet
+      assert(full == inline)
+    } finally {
+      Seq(dirFull, dirInc).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+      CacheScope.releaseAll()
+    }
+  }
+
+  test("indexed query plan: no corpus rescan, probe side broadcast") {
+    val df = SparkEntry.queries("text_bm25_indexed")(spark, Sf)
+    val p = df.queryExecution.executedPlan.toString
+    // every FileScan must read index files, never documents.parquet —
+    // the serving path may not re-tokenize the corpus
+    val scans = p.linesIterator.filter(_.contains("FileScan")).toSeq
+    assert(scans.nonEmpty)
+    scans.foreach(s => assert(!s.contains("documents"), s))
+    assert(!p.contains("regexp_extract_all"), "tokenizer in the serving plan")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    CacheScope.releaseAll()
+  }
 }
