@@ -45,20 +45,24 @@ object SimilarityQueries {
   private[graft] def fineListCount(n: Long): Long =
     math.max(10L, n / IvfListTarget)
 
-  /** PROBE-SIDE FAN-OUT LADDER (round 11). A fixed [[NProbe]] over a
-    * K ∝ n codebook means the probed fraction NProbe/K shrinks a decade
-    * per decade; the first decade where routing is truly selective
-    * measured the decay: recall@10 0.87 at sf1 (K = 10, 40% probed) →
-    * 0.38 at sf10 (K = 100, 4% probed) UNIFORMLY across the sampled
-    * rungs (`RecallProbe`, bench/SCALING.json `recall10_sf10`). The
-    * standard fix is the √K rule — probe ⌈√K⌉ lists, so probed work per
-    * query grows as √n · [[IvfListTarget]] while the probed FRACTION
-    * decays only as 1/√K instead of 1/K. Floored at [[NProbe]], which
-    * keeps every geometry with K ≤ 16 — all DuckDB-gated scales
-    * (sf0.001–sf1 have K = 10) — bit-identical to the fixed fan-out, so
-    * the ladder engages exactly where the decay does. sqrt/ceil are
-    * IEEE-correctly-rounded in both engines, so the oracle's
-    * `GREATEST(NProbe, CEIL(SQRT(k)))` replays the same integer. */
+  /** PROBE-SIDE FAN-OUT LADDER (round 11; measured round 12). A fixed
+    * [[NProbe]] over a K ∝ n codebook means the probed fraction NProbe/K
+    * shrinks a decade per decade; the first decade where routing is truly
+    * selective measured the decay: recall@10 0.87 at sf1 (K = 10, 40%
+    * probed) → 0.38 at sf10 (K = 100, 4% probed) UNIFORMLY across the
+    * sampled rungs. The standard fix is the √K rule — probe ⌈√K⌉ lists,
+    * so probed work per query grows as √n · [[IvfListTarget]] while the
+    * probed FRACTION decays only as 1/√K instead of 1/K. Measured at the
+    * decade the decay was found (`RecallProbe` at sf10, bench/SCALING.json
+    * `recall10_sf10`): ivf_sampled 0.898, matryoshka 0.897, imi 0.880,
+    * ivfadc 0.8545 — decay reversed; `LadderRecallSpec` pins a 0.6 floor
+    * at the smallest geometry where the ladder engages (K = 20). Floored
+    * at [[NProbe]], which keeps every geometry with K ≤ 16 — all
+    * DuckDB-gated scales (sf0.001–sf1 have K = 10) — bit-identical to the
+    * fixed fan-out, so the ladder engages exactly where the decay does.
+    * sqrt/ceil are IEEE-correctly-rounded in both engines, so the
+    * oracle's `GREATEST(NProbe, CEIL(SQRT(k)))` replays the same
+    * integer. */
   def nprobeFor(k: Long): Long =
     math.max(NProbe.toLong, math.ceil(math.sqrt(k.toDouble)).toLong)
 

@@ -111,7 +111,10 @@ def gitlog_scan():
 def main():
     args = [a for a in sys.argv[1:] if a != "--freeze"]
     freeze = "--freeze" in sys.argv[1:]
-    rnd = int(args[0]) if args else 0
+    if not args:
+        sys.exit("usage: leakcheck.py <round> [--freeze] — round number is required "
+                 "(a silent default mislabels the artifact's coverage)")
+    rnd = int(args[0])
     # Carry the frozen git-log baseline forward from the committed artifact
     # (set once with --freeze after the round-10 redaction): the gitlog
     # count is immutable-history residue and must be FLAT — growth means a
