@@ -61,7 +61,8 @@ object SparkEntry {
     "stream_quality_classifier", "pipeline_curation_e2e", "stream_dist_drift",
     "text_bpe_decode", "diff_semantic_drift", "stream_semantic_drift",
     "pipeline_decontaminate_fuzzy", "pipeline_classifier_calibration",
-    "text_bm25_topk", "text_bm25_indexed")
+    "text_bm25_topk", "text_bm25_indexed",
+    "text_gopher_rules", "pipeline_domain_caps", "ann_recall_report")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -31,6 +31,13 @@ object PipelineQueries {
   val FuzzyParaEvery = 8
   val FuzzyTau = 0.3
 
+  /** Per-domain quota knobs for `pipeline_domain_caps`: every source is
+    * capped at max(floor, corpus_total/div) documents — div = 32 puts the
+    * cap at ~3% of the corpus, below the uniform per-source share of the
+    * fixture's 20 sources, so trimming engages at every SF. */
+  val DomainCapFloor = 10L
+  val DomainCapDiv = 32L
+
   /** Recall-oriented LSH banding for decontamination: 8 bands × 2 rows
     * over [[DedupQueries.minhashSigs]]' 16 lanes (dedup's 4 × 4 trades
     * recall for fewer candidates — the right trade for dedup, the wrong
@@ -126,6 +133,37 @@ object PipelineQueries {
         .agg(max(col("n_docs")).as("n_docs"),
           max(col("keep_permille")).as("keep_permille"),
           sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"))
+    }),
+    // RefinedWeb/C4-style per-domain quota (Penedo et al. 2023 §4: cap any
+    // single domain's contribution so one crawl bucket cannot dominate the
+    // mixture): cap = max(CapFloor, corpus_total div CapDiv) docs per
+    // source. The 100 TB-honest enforcement is hash-threshold routing,
+    // NOT a per-domain rank: an exact top-cap needs a per-key sort whose
+    // hottest key (a 10⁹-doc domain) lands in one task, while the
+    // content-free per-mille threshold — keep iff md5(doc_id) per-mille <
+    // 1000·cap/n_domain — is a stateless narrow pass fed by one tiny
+    // broadcast counts frame, keeps E[n_kept] = cap with O(√cap)
+    // concentration, and composes with the split/mixture stages that
+    // share the same router. All threshold arithmetic is exact BIGINT
+    // division; kept_id_sum pins the selected SET, not just its size.
+    "pipeline_domain_caps" -> ((spark, sfDir) => {
+      val d = graft.Tables.load(spark, sfDir, "documents")
+      val sizes = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val tot = sizes.agg(sum(col("n_docs")).as("__tot"))
+      val caps = sizes.crossJoin(broadcast(tot))
+        .withColumn("cap",
+          greatest(lit(DomainCapFloor), expr(s"__tot div $DomainCapDiv")))
+        .withColumn("keep_permille",
+          least(lit(1000L), expr("(cap * 1000) div n_docs")))
+        .select(col("source"), col("n_docs"), col("cap"), col("keep_permille"))
+      val hd = pmod(Hashing.hash64(col("doc_id").cast("string")), lit(1000L))
+      d.join(broadcast(caps), Seq("source"))
+        .withColumn("__keep", hd < col("keep_permille"))
+        .groupBy(col("source"))
+        .agg(max(col("n_docs")).as("n_docs"), max(col("cap")).as("cap"),
+          max(col("keep_permille")).as("keep_permille"),
+          sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("__keep"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
     }),
     // Benchmark decontamination: flag training documents that share any
     // 8-gram with the held-out benchmark set (every original doc with
@@ -813,6 +851,24 @@ object PipelineQueries {
          |       CAST(SUM(CASE WHEN ${Hashing.hash64Sql("CAST(d.doc_id AS VARCHAR)")} % 1000
          |                     < r.keep_permille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM documents d JOIN rates r ON r.source = d.source
+         |GROUP BY d.source""".stripMargin,
+    "pipeline_domain_caps" ->
+      s"""WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+         |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tot FROM s),
+         |c AS (
+         |  SELECT source, n_docs,
+         |         greatest($DomainCapFloor, tot // $DomainCapDiv) AS cap,
+         |         least(1000, (greatest($DomainCapFloor, tot // $DomainCapDiv) * 1000)
+         |               // n_docs) AS keep_permille
+         |  FROM s CROSS JOIN t)
+         |SELECT d.source, MAX(c.n_docs) AS n_docs, MAX(c.cap) AS cap,
+         |  MAX(c.keep_permille) AS keep_permille,
+         |  CAST(SUM(CASE WHEN ${Hashing.hash64Sql("CAST(d.doc_id AS VARCHAR)")} % 1000
+         |                < c.keep_permille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN ${Hashing.hash64Sql("CAST(d.doc_id AS VARCHAR)")} % 1000
+         |                < c.keep_permille THEN d.doc_id ELSE 0 END) AS BIGINT)
+         |    AS kept_id_sum
+         |FROM documents d JOIN c ON c.source = d.source
          |GROUP BY d.source""".stripMargin,
     "pipeline_source_mixture" ->
       s"""SELECT source, COUNT(*) AS n_docs,

@@ -303,6 +303,26 @@ object SimilarityQueries {
     * IvfListTarget, CONSTANT in n: the query total is linear where the
     * fixed-K path was quadratic — and the assignment pass now survives the
     * 10⁷-vector decade the flat n × K router could not. */
+  /** Exact brute-force cosine top-k over the stride probe batch — the
+    * deliberately-exact baseline `ann_cosine_topk` serves, factored out so
+    * `ann_recall_report` can score the routed sampled-IVF path against it
+    * in one plan. */
+  def exactCosineTopk(raw: DataFrame, nKnown: Long = -1L): DataFrame = {
+    val n = if (nKnown >= 0) nKnown else raw.count()
+    val emb = normed(raw)
+    val probes = emb.filter(col("vec_id") % probeStride(n) === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+        col("nsq").as("p_nsq"))
+    val scored = broadcast(probes).join(emb, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        QuantizedVec.qcosine(col("p_emb"), col("embedding"),
+          col("p_nsq"), col("nsq")).as("cos"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+  }
+
   def ivfSampledTopk(raw: DataFrame, nKnown: Long = -1L): DataFrame = {
     val n = if (nKnown >= 0) nKnown else raw.count()
     // routing (fine/coarse samples, v2c, assignment), probe scoring and
@@ -1069,21 +1089,30 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("n"), sum(col("q")).as("sum_q"))
         .withColumn("centroid_q",
           expr("(sum_q + 1000000000L * n) div n - 1000000000L"))),
-    "ann_cosine_topk" -> ((spark, sfDir) => {
+    "ann_cosine_topk" -> ((spark, sfDir) =>
+      exactCosineTopk(Tables.load(spark, sfDir, "embeddings"),
+        Tables.countOf(spark, sfDir, "embeddings"))),
+    // Recall@k as a first-class, continuously-gated query: the exact
+    // baseline and the routed sampled-IVF path run in ONE plan, joined on
+    // (probe, neighbor), and every probe reports its hit count. This turns
+    // the round-11 lesson — recall decay that no oracle row could see —
+    // into a standing gate: the oracle replays BOTH paths, so a routing
+    // regression that drops recall changes n_hit and fails the hash
+    // compare at every driver run, not just when someone remembers to run
+    // RecallProbe. Cost = exact + IVF; the exact side is probe-batch ×
+    // corpus (the same bill ann_cosine_topk already pays), so the report
+    // stays feasible wherever the baseline itself is.
+    "ann_recall_report" -> ((spark, sfDir) => {
       val raw = Tables.load(spark, sfDir, "embeddings")
-      val emb = normed(raw)
-      val probes = emb.filter(
-        col("vec_id") % probeStride(Tables.countOf(spark, sfDir, "embeddings")) === 0)
-        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
-          col("nsq").as("p_nsq"))
-      val scored = broadcast(probes).join(emb, col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id"), col("vec_id").as("neighbor_id"),
-          QuantizedVec.qcosine(col("p_emb"), col("embedding"),
-            col("p_nsq"), col("nsq")).as("cos"))
-      val w = Window.partitionBy(col("probe_id"))
-        .orderBy(col("cos").desc, col("neighbor_id"))
-      scored.withColumn("rank", row_number().over(w).cast("long"))
-        .filter(col("rank") <= TopK)
+      val n = Tables.countOf(spark, sfDir, "embeddings")
+      val exact = exactCosineTopk(raw, n).select(col("probe_id"), col("neighbor_id"))
+      val approx = ivfSampledTopk(raw, n)
+        .select(col("probe_id"), col("neighbor_id"), lit(1L).as("__hit"))
+      exact.join(approx, Seq("probe_id", "neighbor_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall", col("n_hit").cast("double") / col("n_exact"))
     }),
     // Filtered vector search (the vector-database "metadata predicate +
     // ANN" shape): the label predicate restricts the corpus BEFORE any
@@ -1832,6 +1861,56 @@ object SimilarityQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
          |                               ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored) t WHERE rank <= $TopK""".stripMargin,
+    // both paths replayed side by side: the exact chain (pp probe stride)
+    // and the full sampled-IVF routing chain (params/cand), then the
+    // per-probe overlap — a routing recall regression shifts n_hit and
+    // fails the hash gate
+    "ann_recall_report" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+         |${qnCte._1} AS (${qnCte._2}),
+         |${normsCte._1} AS (${normsCte._2}),
+         |$pstrideCte,
+         |$ivfRoutingCtes,
+         |edots AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         |         CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot
+         |  FROM qn a JOIN qn b ON a.d = b.d AND a.vec_id <> b.vec_id
+         |  CROSS JOIN pp
+         |  WHERE a.vec_id % pp.pstride = 0
+         |  GROUP BY a.vec_id, b.vec_id),
+         |escored AS (
+         |  SELECT probe_id, neighbor_id,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
+         |  FROM edots JOIN norms na ON na.vec_id = probe_id
+         |             JOIN norms nb ON nb.vec_id = neighbor_id),
+         |etopk AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                                 ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM escored) t WHERE rank <= $TopK),
+         |apdots AS (
+         |  SELECT c.probe_id, c.neighbor_id, CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
+         |  FROM cand c JOIN qn qa ON qa.vec_id = c.probe_id
+         |              JOIN qn qb ON qb.vec_id = c.neighbor_id AND qb.d = qa.d
+         |  GROUP BY c.probe_id, c.neighbor_id),
+         |ascored AS (
+         |  SELECT p.probe_id, p.neighbor_id,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
+         |  FROM apdots p JOIN norms na ON na.vec_id = p.probe_id
+         |                JOIN norms nb ON nb.vec_id = p.neighbor_id),
+         |atopk AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                                 ORDER BY cos DESC, neighbor_id) AS rank
+         |    FROM ascored) t WHERE rank <= $TopK)
+         |SELECT e.probe_id, COUNT(*) AS n_exact,
+         |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hit,
+         |  CAST(CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |       AS DOUBLE) / COUNT(*) AS recall
+         |FROM etopk e LEFT JOIN atopk a
+         |  ON a.probe_id = e.probe_id AND a.neighbor_id = e.neighbor_id
+         |GROUP BY e.probe_id""".stripMargin,
     "ann_ivf_sampled" ->
       s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
          |${qnCte._1} AS (${qnCte._2}),

@@ -49,6 +49,15 @@ object TextQueries {
 
   val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on")
 
+  /** Gopher rule thresholds (Rae et al. 2021, table A1) for
+    * `text_gopher_rules`. The fractional thresholds (mean word length
+    * ∈ [3,10], alpha-word fraction ≥ 0.8, top-2-gram char fraction ≤ 0.20,
+    * top-3-gram ≤ 0.18) are enforced as integer cross-multiplications in
+    * the query body, so only the integer bounds live here. */
+  val GopherMinWords = 50L
+  val GopherMaxWords = 100000L
+  val GopherMinStop = 2L
+
   /** BM25 (Okapi) parameters for `text_bm25_topk` — the standard k1/b
     * operating point (Robertson & Walker, SIGIR '94). `Bm25K1Plus1` is a
     * SEPARATE literal rather than `Bm25K1 + 1.0` because 1.2+1.0 rounds to
@@ -531,6 +540,67 @@ object TextQueries {
             (size(col("__grams")) - size(array_distinct(col("__grams")))).cast("double")
               / size(col("__grams")))
             .otherwise(lit(0.0)).as("dup_frac"))),
+    // Gopher quality ruleset (Rae et al. 2021, "Scaling Language Models:
+    // Methods, Analysis & Insights from Training Gopher", table A1) — the
+    // word-level subset that is non-degenerate on this single-line corpus:
+    // word-count band, mean-word-length band, alphabetic-word fraction,
+    // stop-word floor, and the repeated-top-n-gram character fractions
+    // (the boilerplate signal text_repetition's dup-5-gram frac cannot
+    // see: one dominant bigram pasted everywhere). Base stats are a
+    // narrow per-row pass; the top-n-gram passes shuffle keyed by doc_id
+    // only (per-group state = one doc's distinct n-grams), so the query
+    // stays partition-parallel at any corpus size — no global window, no
+    // corpus-wide state. Every gopher_ok gate compares exact integers via
+    // cross-multiplication (0.8 → 5·alpha ≥ 4·words, 0.20 → 5·mass ≤
+    // chars, 0.18 → 50·mass ≤ 9·chars); the reported fractions are
+    // display-only one-division doubles.
+    "text_gopher_rules" -> ((spark, sfDir) => {
+      val d = Tables.load(spark, sfDir, "documents")
+        .withColumn("__toks", Hashing.tokens(col("text")))
+        .transform(CacheScope.cached) // feeds the base pass + both gram passes
+      def topMass(n: Int, out: String): DataFrame = {
+        val grams = expr(
+          s"transform(sequence(0, size(__toks) - $n), " +
+            s"i -> concat_ws(' ', slice(__toks, i+1, $n)))")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("c").desc, col("g"))
+        d.filter(size(col("__toks")) >= n)
+          .select(col("doc_id"), explode(grams).as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), (col("c") * length(col("g"))).cast("long").as(out))
+      }
+      val base = d.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(col("__toks")).cast("long").as("n_words"),
+        aggregate(col("__toks"), lit(0L), (a, t) => a + length(t)).as("__sum_len"),
+        size(filter(col("__toks"), t => t.rlike("^[a-z]+$"))).cast("long").as("__n_alpha"),
+        markerHits(col("__toks"), Stopwords).cast("long").as("n_stop"))
+      base
+        .join(topMass(2, "__m2"), Seq("doc_id"), "left")
+        .join(topMass(3, "__m3"), Seq("doc_id"), "left")
+        .na.fill(0L, Seq("__m2", "__m3"))
+        .select(
+          col("doc_id"), col("n_words"), col("n_chars"),
+          (col("__sum_len").cast("double") / greatest(col("n_words"), lit(1L)))
+            .as("mean_word_len"),
+          (col("__n_alpha").cast("double") / greatest(col("n_words"), lit(1L)))
+            .as("alpha_frac"),
+          col("n_stop"),
+          (col("__m2").cast("double") / greatest(col("n_chars"), lit(1L)))
+            .as("top2_char_frac"),
+          (col("__m3").cast("double") / greatest(col("n_chars"), lit(1L)))
+            .as("top3_char_frac"),
+          (col("n_words") >= GopherMinWords && col("n_words") <= GopherMaxWords &&
+            col("__sum_len") >= lit(3L) * col("n_words") &&
+            col("__sum_len") <= lit(10L) * col("n_words") &&
+            lit(5L) * col("__n_alpha") >= lit(4L) * col("n_words") &&
+            col("n_stop") >= GopherMinStop &&
+            lit(5L) * col("__m2") <= col("n_chars") &&
+            lit(50L) * col("__m3") <= lit(9L) * col("n_chars")).as("gopher_ok"))
+    }),
     // PII scrubbing: the fixture corpus carries no PII, so the query
     // INJECTS synthetic contact strings derived from doc_id (the same
     // construction runs in the oracle — the Mutations pattern), then
@@ -1117,6 +1187,47 @@ object TextQueries {
          |       THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE) / len(grams)
          |       ELSE 0.0 END AS dup_frac
          |FROM g""".stripMargin,
+    // same integer-cross-multiplied gates as the engine; the top-n-gram
+    // mass replays the (count desc, gram asc) row_number tie-break
+    "text_gopher_rules" ->
+      s"""WITH t AS (SELECT doc_id, length(text) AS n_chars, $toksE AS toks FROM documents),
+         |b AS (
+         |  SELECT doc_id, n_chars, len(toks) AS n_words,
+         |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len,
+         |    len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$$'))) AS n_alpha,
+         |    ${markerHitsSql("toks", Stopwords)} AS n_stop
+         |  FROM t),
+         |g2 AS (
+         |  SELECT doc_id, unnest(list_transform(range(len(toks) - 1),
+         |           i -> concat_ws(' ', toks[i+1], toks[i+2]))) AS g
+         |  FROM t WHERE len(toks) >= 2),
+         |c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+         |m2 AS (SELECT doc_id, c * length(g) AS m FROM (
+         |  SELECT doc_id, g, c,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+         |  FROM c2) r2 WHERE rn = 1),
+         |g3 AS (
+         |  SELECT doc_id, unnest(list_transform(range(len(toks) - 2),
+         |           i -> concat_ws(' ', toks[i+1], toks[i+2], toks[i+3]))) AS g
+         |  FROM t WHERE len(toks) >= 3),
+         |c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, g),
+         |m3 AS (SELECT doc_id, c * length(g) AS m FROM (
+         |  SELECT doc_id, g, c,
+         |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+         |  FROM c3) r3 WHERE rn = 1)
+         |SELECT b.doc_id, b.n_words, b.n_chars,
+         |  CAST(b.sum_len AS DOUBLE) / greatest(b.n_words, 1) AS mean_word_len,
+         |  CAST(b.n_alpha AS DOUBLE) / greatest(b.n_words, 1) AS alpha_frac,
+         |  b.n_stop,
+         |  CAST(COALESCE(m2.m, 0) AS DOUBLE) / greatest(b.n_chars, 1) AS top2_char_frac,
+         |  CAST(COALESCE(m3.m, 0) AS DOUBLE) / greatest(b.n_chars, 1) AS top3_char_frac,
+         |  (b.n_words >= $GopherMinWords AND b.n_words <= $GopherMaxWords
+         |   AND b.sum_len >= 3 * b.n_words AND b.sum_len <= 10 * b.n_words
+         |   AND 5 * b.n_alpha >= 4 * b.n_words
+         |   AND b.n_stop >= $GopherMinStop
+         |   AND 5 * COALESCE(m2.m, 0) <= b.n_chars
+         |   AND 50 * COALESCE(m3.m, 0) <= 9 * b.n_chars) AS gopher_ok
+         |FROM b LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)""".stripMargin,
     "text_pii_scrub" ->
       """WITH t AS (
         |  SELECT doc_id, text || ' contact user' || doc_id ||
