@@ -62,16 +62,31 @@ object DedupAudit {
         .withColumn("__rn", row_number().over(wOrd).cast("long"))
         .withColumn("__n", count(lit(1)).over(wN))
         .filter(expr("__rn <= __n div 2 + 1"))
-        .select(col("doc_id"), col("shingle"))
+        .select(col("doc_id"), col("shingle"), col("__rn"), col("__n"))
         .transform(CacheScope.pinned)
       out("pj_prefix_rows") = prefix.count()
       val ja = prefix.select(col("doc_id").as("doc_a"),
-        Hashing.hash64(col("shingle")).as("__sh"))
+        Hashing.hash64(col("shingle")).as("__sh"),
+        col("__rn").as("__rn_a"), col("__n").as("__n_a"))
       val jb = prefix.select(col("doc_id").as("doc_b"),
-        Hashing.hash64(col("shingle")).as("__sh"))
+        Hashing.hash64(col("shingle")).as("__sh"),
+        col("__rn").as("__rn_b"), col("__n").as("__n_b"))
       val pairJoin = ja.join(jb, "__sh").filter(col("doc_a") < col("doc_b"))
       out("pj_pair_join_rows") = pairJoin.count()
-      val cand = pairJoin.select(col("doc_a"), col("doc_b")).distinct()
+      val agg = pairJoin.groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("__s"),
+          max(col("__rn_a")).as("__ia"), max(col("__rn_b")).as("__jb"),
+          max(col("__n_a")).as("__na"), max(col("__n_b")).as("__nb"))
+        .transform(CacheScope.pinned)
+      out("pj_cand_pairs_raw") = agg.count()
+      val lenOk = agg.filter(greatest(col("__na"), col("__nb")) <=
+        lit(2L) * least(col("__na"), col("__nb")))
+      out("pj_cand_pairs_len") = lenOk.count()
+      val cand = lenOk
+        .filter(lit(3L) * (col("__s") +
+          least(col("__na") - col("__ia"), col("__nb") - col("__jb"))) >=
+          col("__na") + col("__nb"))
+        .select(col("doc_a"), col("doc_b"))
         .transform(CacheScope.pinned)
       out("pj_cand_pairs") = cand.count()
       val candDocs = cand.select(col("doc_a").as("doc_id"))
