@@ -62,7 +62,8 @@ object SparkEntry {
     "text_bpe_decode", "diff_semantic_drift", "stream_semantic_drift",
     "pipeline_decontaminate_fuzzy", "pipeline_classifier_calibration",
     "text_bm25_topk", "text_bm25_indexed",
-    "text_gopher_rules", "pipeline_domain_caps", "ann_recall_report")
+    "text_gopher_rules", "pipeline_domain_caps", "ann_recall_report",
+    "pipeline_corpus_report")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

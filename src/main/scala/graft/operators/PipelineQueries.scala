@@ -602,6 +602,46 @@ object PipelineQueries {
     // control-plane loop, sampling is a hash predicate — nothing here
     // adds a stage the pieces didn't already pay for, and every join off
     // the corpus is against a ≤#sources-row broadcast frame.
+    // Per-source corpus datasheet (the "data card" table every curation
+    // run publishes): document/token counts, quality-gate pass count
+    // (text_quality's three gates as exact integer cross-multiplications:
+    // 0.02 = 1/50, 0.1 = 1/10, 0.2·400 = 80 chars), exact-dup count
+    // (non-canonical docs under the md5 fingerprint, pipeline_clean_corpus
+    // semantics), English-detection count (text_langid's precedence
+    // argmax), and mean tokens. One narrow per-row pass + one md5-keyed
+    // window + one groupBy(source) — the whole datasheet is two shuffles
+    // at any corpus size, and every signal is the SAME expression the
+    // standalone operator uses, so the report cannot drift from the ops
+    // it summarizes.
+    "pipeline_corpus_report" -> ((spark, sfDir) => {
+      val w = Window.partitionBy(col("__fp"))
+      val d = graft.Tables.load(spark, sfDir, "documents")
+        .withColumn("__toks", Hashing.tokens(col("text")))
+      val scored = TextQueries.LangMarkers.foldLeft(d) { case (df, (lang, words)) =>
+        df.withColumn(s"__s_$lang", TextQueries.markerHits(col("__toks"), words))
+      }
+      val langs = TextQueries.LangMarkers.map(_._1)
+      val enBest = col("__s_en") > 0 &&
+        langs.filter(_ != "en").map(o => col("__s_en") >= col(s"__s_$o")).reduce(_ && _)
+      scored
+        .withColumn("__n", size(col("__toks")).cast("long"))
+        .withColumn("__stop",
+          TextQueries.markerHits(col("__toks"), TextQueries.Stopwords).cast("long"))
+        .withColumn("__uniq", size(array_distinct(col("__toks"))).cast("long"))
+        .withColumn("__fp", md5(col("text")))
+        .withColumn("__canon", min(col("doc_id")).over(w))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("__n")).as("n_tokens"),
+          sum(when(lit(50L) * col("__stop") >= col("__n") &&
+            lit(10L) * col("__uniq") >= col("__n") &&
+            length(col("text")) >= 80, 1L).otherwise(0L)).as("n_quality_ok"),
+          sum(when(col("doc_id") =!= col("__canon"), 1L).otherwise(0L)).as("n_dup"),
+          sum(when(enBest, 1L).otherwise(0L)).as("n_en"))
+        .withColumn("mean_tokens",
+          col("n_tokens").cast("double") / col("n_docs"))
+    }),
     "pipeline_curation_e2e" -> ((spark, sfDir) => {
       val kept = CacheScope.pinned(
         cascadeDecisions(spark, sfDir, CascadeRepX10, CascadeStopDen)
@@ -870,6 +910,37 @@ object PipelineQueries {
          |    AS kept_id_sum
          |FROM documents d JOIN c ON c.source = d.source
          |GROUP BY d.source""".stripMargin,
+    "pipeline_corpus_report" -> {
+      val toksE = Hashing.tokensSql("text")
+      val langScores = TextQueries.LangMarkers
+        .map { case (l, ws) => s"${TextQueries.markerHitsSql("toks", ws)} AS s_$l" }
+        .mkString(",\n    ")
+      val enBest = TextQueries.LangMarkers.map(_._1).filter(_ != "en")
+        .map(o => s"sc.s_en >= sc.s_$o").mkString(" AND ")
+      s"""WITH t AS (
+         |  SELECT doc_id, source, length(text) AS n_chars, md5(text) AS fp,
+         |         $toksE AS toks
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, source, n_chars, fp, len(toks) AS n,
+         |    ${TextQueries.markerHitsSql("toks", TextQueries.Stopwords)} AS nstop,
+         |    len(list_distinct(toks)) AS uniq,
+         |    $langScores
+         |  FROM t),
+         |canon AS (SELECT fp, MIN(doc_id) AS canon FROM t GROUP BY fp)
+         |SELECT sc.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(sc.n) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN 50 * sc.nstop >= sc.n AND 10 * sc.uniq >= sc.n
+         |                 AND sc.n_chars >= 80 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_quality_ok,
+         |  CAST(SUM(CASE WHEN sc.doc_id <> c.canon THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_dup,
+         |  CAST(SUM(CASE WHEN sc.s_en > 0 AND $enBest THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_en,
+         |  CAST(CAST(SUM(sc.n) AS BIGINT) AS DOUBLE) / COUNT(*) AS mean_tokens
+         |FROM sc JOIN canon c ON c.fp = sc.fp
+         |GROUP BY sc.source""".stripMargin
+    },
     "pipeline_source_mixture" ->
       s"""SELECT source, COUNT(*) AS n_docs,
          |  CAST(SUM(CASE WHEN ${Hashing.hash64Sql("CAST(doc_id AS VARCHAR)")} % 1000

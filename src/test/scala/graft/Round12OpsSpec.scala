@@ -96,6 +96,46 @@ class Round12OpsSpec extends SparkTestBase {
     CacheScope.releaseAll()
   }
 
+  test("corpus report: every column matches the standalone operators aggregated per source") {
+    val rep = SparkEntry.queries("pipeline_corpus_report")(spark, Sf).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val docs = Tables.load(spark, Sf, "documents").select("doc_id", "source", "text")
+      .collect()
+    val srcOf = docs.map(d => d.getAs[Long]("doc_id") -> d.getAs[String]("source")).toMap
+    def bySrc[T](rows: Array[(Long, T)]): Map[String, Seq[T]] =
+      rows.toSeq.groupBy { case (id, _) => srcOf(id) }
+        .map { case (s, g) => s -> g.map(_._2) }
+    val quality = bySrc(SparkEntry.queries("text_quality")(spark, Sf)
+      .select("doc_id", "quality_ok").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)))
+    val lang = bySrc(SparkEntry.queries("text_langid")(spark, Sf)
+      .select("doc_id", "detected_lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)))
+    val toks = bySrc(SparkEntry.queries("text_stats")(spark, Sf)
+      .select("doc_id", "n_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)))
+    // n_dup recomputed driver-side: non-canonical under min-doc_id-per-text
+    // (dedup_exact itself runs on the dup-EXTENDED corpus, so it cannot be
+    // the twin here — the report reads the raw table)
+    val canonOf = docs.toSeq.groupBy(_.getAs[String]("text"))
+      .toSeq.flatMap { case (_, g) =>
+        val ids = g.map(_.getAs[Long]("doc_id"))
+        ids.map(_ -> ids.min)
+      }
+    val dupBySrc = canonOf.toSeq.filter { case (id, c) => id != c }
+      .groupBy { case (id, _) => srcOf(id) }.map { case (s, g) => s -> g.size.toLong }
+    assert(rep.nonEmpty)
+    rep.foreach { case (s, r) =>
+      assert(r.getAs[Long]("n_docs") === toks(s).length.toLong, s"$s n_docs")
+      assert(r.getAs[Long]("n_tokens") === toks(s).sum, s"$s n_tokens")
+      assert(r.getAs[Long]("n_quality_ok") === quality(s).count(identity).toLong,
+        s"$s n_quality_ok")
+      assert(r.getAs[Long]("n_en") === lang(s).count(_ == "en").toLong, s"$s n_en")
+      assert(r.getAs[Long]("n_dup") === dupBySrc.getOrElse(s, 0L), s"$s n_dup")
+    }
+    CacheScope.releaseAll()
+  }
+
   test("recall report: overlap matches the two registry paths joined independently") {
     val report = SparkEntry.queries("ann_recall_report")(spark, Sf).collect()
     assert(report.nonEmpty)
