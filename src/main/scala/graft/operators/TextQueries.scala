@@ -42,6 +42,19 @@ object TextQueries {
     s"len(list_filter($toksE, t -> $pred))"
   }
 
+  /** Distinct marker words present (not occurrences): the Gopher stop-word
+    * rule (Rae et al. 2021 table A1) requires >= 2 DISTINCT stop words, so
+    * a doc containing only "the the" must not pass. */
+  private[operators] def distinctMarkerHits(toks: Column, words: Seq[String]): Column = {
+    val pred = (t: Column) => words.map(w => t === w).reduce(_ || _)
+    size(array_distinct(filter(toks, pred)))
+  }
+
+  private[operators] def distinctMarkerHitsSql(toksE: String, words: Seq[String]): String = {
+    val pred = words.map(w => s"t = '$w'").mkString(" OR ")
+    s"len(list_distinct(list_filter($toksE, t -> $pred)))"
+  }
+
   /** BPE-ish subword tokenization regex: letter runs, digit runs, or single
     * non-alphanumeric glyphs. Simple enough to behave identically in Java
     * and RE2 regex engines. */
@@ -544,7 +557,9 @@ object TextQueries {
     // Methods, Analysis & Insights from Training Gopher", table A1) — the
     // word-level subset that is non-degenerate on this single-line corpus:
     // word-count band, mean-word-length band, alphabetic-word fraction,
-    // stop-word floor, and the repeated-top-n-gram character fractions
+    // the DISTINCT-stop-word floor (table A1 requires >= 2 distinct stop
+    // words — occurrence counts would let "the the" pass), and the
+    // repeated-top-n-gram character fractions
     // (the boilerplate signal text_repetition's dup-5-gram frac cannot
     // see: one dominant bigram pasted everywhere). The whole query is ONE
     // narrow per-row pass — the top-n-gram mass comes from a sorted-scan
@@ -586,8 +601,11 @@ object TextQueries {
           length(col("text")).cast("long").as("n_chars"),
           size(col("__toks")).cast("long").as("n_words"),
           aggregate(col("__toks"), lit(0L), (a, t) => a + length(t)).as("__sum_len"),
-          size(filter(col("__toks"), t => t.rlike("^[a-z]+$"))).cast("long").as("__n_alpha"),
-          markerHits(col("__toks"), Stopwords).cast("long").as("n_stop"),
+          // \A..\z, not ^..$: Java's '$' also matches before a trailing
+          // newline, DuckDB's RE2 '$' anchors to end-of-text — the \A/\z
+          // pair full-matches identically in both engines
+          size(filter(col("__toks"), t => t.rlike("\\A[a-z]+\\z"))).cast("long").as("__n_alpha"),
+          distinctMarkerHits(col("__toks"), Stopwords).cast("long").as("n_stop"),
           topMassCol(2).as("__m2"), topMassCol(3).as("__m3"))
         .select(
           col("doc_id"), col("n_words"), col("n_chars"),
@@ -661,10 +679,10 @@ object TextQueries {
     // Tokenizer-pipeline vocabulary construction: the corpus's token
     // frequency table cut at a minimum count, each surviving token given a
     // dense id by (count desc, token) rank. The count aggregation is the
-    // distributed pass; the rank window runs over the post-cut VOCABULARY
-    // (bounded by construction — the min-count cut is what keeps real
-    // vocabs at 30-100k rows no matter the corpus size), which is the
-    // standard shape of every tokenizer trainer's final step.
+    // distributed pass; the rank is a globalRowNumber (range-repartition
+    // + partitioned rank + offsets) because a min-count cut does NOT
+    // bound a web-corpus vocabulary — 10^7-10^8 distinct tokens survive
+    // at 100 TB, so the id assignment itself must stay distributed.
     "text_vocab" -> ((spark, sfDir) => vocab(spark, sfDir)),
     // The ENCODE step over that vocabulary: each document's first 16
     // token positions mapped to vocab ids (OOV -> 0) through one
@@ -851,15 +869,20 @@ object TextQueries {
   }
 
   /** Shared by text_vocab and text_encode_ids: min-count-2 vocabulary
-    * with dense rank ids (count desc, token asc). */
+    * with dense rank ids (count desc, token asc). A min-count cut does
+    * NOT bound web-corpus vocabulary (10^7-10^8 distinct tokens at
+    * 100 TB), so the rank must never run as one global window task:
+    * [[EventsQueries.globalRowNumber]] range-repartitions on the
+    * (cnt desc, token) total order, ranks within partitions in
+    * parallel, and adds per-partition offsets — identical ids, no
+    * single-partition sort. */
   private def vocab(spark: org.apache.spark.sql.SparkSession, sfDir: String) = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("cnt").desc, col("token"))
-    Tables.load(spark, sfDir, "documents")
+    val counts = Tables.load(spark, sfDir, "documents")
       .select(explode(Hashing.tokens(col("text"))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
-      .withColumn("vocab_id", row_number().over(w).cast("long"))
+    EventsQueries.globalRowNumber(
+      counts, Seq(col("cnt").desc, col("token")), "vocab_id")
   }
 
   private val toksE = Hashing.tokensSql("text")
@@ -1202,7 +1225,7 @@ object TextQueries {
          |  SELECT doc_id, n_chars, len(toks) AS n_words,
          |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len,
          |    len(list_filter(toks, x -> regexp_matches(x, '^[a-z]+$$'))) AS n_alpha,
-         |    ${markerHitsSql("toks", Stopwords)} AS n_stop
+         |    ${distinctMarkerHitsSql("toks", Stopwords)} AS n_stop
          |  FROM t),
          |g2 AS (
          |  SELECT doc_id, unnest(list_transform(range(len(toks) - 1),

@@ -524,6 +524,81 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
 
+  test("registry-wide: no unpartitioned window over a data-scaling frame") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
+      Window => LWindow, WindowGroupLimit}
+    // The single-partition global sort has now been found (and killed)
+    // three separate times by grep — sketch_cms_terms, events_rfm, and
+    // the vocab helper, the last surviving because it used the
+    // fully-qualified Window spelling the short-name grep missed. This
+    // gate is the mechanical replacement: EVERY registry query's
+    // optimized plan is swept, and any Window/WindowGroupLimit with an
+    // empty partition spec fails unless (a) it sits on a __gpid offset
+    // aggregate (globalRowNumber's frame: one row per shuffle partition,
+    // bounded by construction) or (b) the query carries an allowlist
+    // entry whose value ARGUES the bound. Adding a new global window
+    // means adding a justification here, on purpose, in review.
+    val boundedFrames: Map[String, String] = Map(
+      "pipeline_classifier_calibration" ->
+        ("the cumulative window runs over the DISTINCT-score aggregate: " +
+          "perceptron scores are integer dot products of bounded bucket " +
+          "counts with F+1 integer weights, so the frame is O(score range) " +
+          "— thousands of rows at any corpus size, not O(docs)"),
+      "pipeline_unimax_mix" ->
+        ("every unpartitioned window runs over the per-LANGUAGE token-total " +
+          "frame (one row per language, aggregated upstream and " +
+          "broadcast-joined) — languages are an O(10^2) enumeration, " +
+          "never corpus-sized"))
+    def gpidBounded(w: LogicalPlan): Boolean = w.collectFirst {
+      case a: Aggregate
+        if a.groupingExpressions.exists(_.references.exists(_.name == "__gpid")) => a
+    }.isDefined
+    // a window whose input chain passes through a GlobalLimit is bounded
+    // by that literal limit (k-means' K seed rows, DSIR's K survivors):
+    // descend through unary nodes only, so a join below the window can't
+    // smuggle an unlimited side past the check
+    def limitBounded(p: LogicalPlan): Boolean = p match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => true
+      case u if u.children.length == 1 => limitBounded(u.children.head)
+      case _ => false
+    }
+    // sibling session with GraftExtensions (the TVF/SQL-function queries
+    // need it; the shared base session deliberately stays vanilla)
+    val shared = spark
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    val offenders = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+        val df = SparkEntry.queries(name)(s, Sf)
+        val unpart: Seq[LogicalPlan] = df.queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+          case w: WindowGroupLimit if w.partitionSpec.isEmpty => w
+        }
+        val scaling = unpart.filterNot(w =>
+          gpidBounded(w.children.head) || limitBounded(w.children.head))
+        if (scaling.nonEmpty && !boundedFrames.contains(name))
+          offenders += s"$name:\n${scaling.map(_.toString.take(600)).mkString("\n")}"
+        CacheScope.releaseAll()
+      }
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(shared)
+      org.apache.spark.sql.SparkSession.setActiveSession(shared)
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows over potentially data-scaling frames in " +
+        s"${offenders.size} queries — partition them, route through " +
+        s"globalRowNumber, or argue a bound in the allowlist:\n" +
+        offenders.mkString("\n---\n"))
+  }
+
   test("frontier BFS: no recursion node; hop joins read checkpoint leaves") {
     val df = SparkEntry.queries("dedup_bfs_hops")(spark, Sf)
     val p = df.queryExecution.executedPlan.toString

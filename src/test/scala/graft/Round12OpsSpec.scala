@@ -46,7 +46,8 @@ class Round12OpsSpec extends SparkTestBase {
       val nChars = text.length.toLong
       val sumLen = toks.map(_.length.toLong).sum
       val nAlpha = toks.count(_.matches("[a-z]+")).toLong
-      val nStop = toks.count(TextQueries.Stopwords.contains).toLong
+      // DISTINCT stop words present, per the table-A1 rule (not occurrences)
+      val nStop = toks.filter(TextQueries.Stopwords.contains).distinct.length.toLong
       val m2 = topMass(toks, 2)
       val m3 = topMass(toks, 3)
       assert(r.getAs[Long]("n_words") === nWords)
