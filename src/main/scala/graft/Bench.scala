@@ -27,6 +27,11 @@ object Bench {
     val spark = GraftSession.create(cpus, "graft-bench")
     implicit val ec: ExecutionContext = ExecutionContext.global
 
+    // container-health preflight (seq/random read, write+fsync, load):
+    // recorded IN the artifact so environment-vs-plan questions cite
+    // fields, not prose (see Preflight's scaladoc)
+    val health = Preflight.probeJson(sfDir)
+
     // untimed warmup: compiles the diff codegen path + parquet reader JIT
     // on a 5-row table so even the first query's WARM attempt (below)
     // starts from a JIT-ed interpreter core rather than pure cold start
@@ -164,9 +169,9 @@ object Bench {
     // queries-free (~80 chars) — whatever window survives, it parses
     // whole; per-query detail lives in the longer lines above it.
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","timeouts":$timeouts,"sf":"$sfDir","queries":$qs}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","timeouts":$timeouts,"sf":"$sfDir","health":$health,"queries":$qs}"""
     println(compact)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$att,"warm":$warm,"timeouts":$timeouts,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"attempts":$att,"warm":$warm,"timeouts":$timeouts,"sf":"$sfDir","health":$health}""")
     println(s"""{"metric":"total","value":${num(total)},"unit":"sec","timeouts":$timeouts,"n_queries":${results.size}}""")
     CacheScope.releaseSession() // drop the standing-index tier at session end
     spark.stop()

@@ -13,6 +13,7 @@ object BenchOne {
     val names = args.drop(2).toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.create(cpus, "graft-benchone")
+    println(s"[preflight] ${Preflight.probeJson(sfDir)}")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to n).map { _ =>
