@@ -159,6 +159,21 @@ object CacheScope {
     while (f != null) { f(); f = sessionLive.poll() }
   }
 
+  /** Immediately release ONE pinned frame, without waiting for
+    * [[releaseAll]] — for iterative trainers where round N's pinned table
+    * is dead the moment round N+1's pin has materialized: releasing
+    * eagerly bounds trainer residency at 2 tables instead of rounds×.
+    * The frame's queued [[releaseAll]] entry stays registered and is a
+    * harmless no-op on the already-released RDD; [[requireLive]] reports
+    * a late use by name exactly as after [[releaseAll]]. */
+  def releasePin(df: DataFrame): Unit = RddShim.leafRdd(df) match {
+    case Some(rdd) =>
+      if (releasedPins.size > ReleasedPinCap) releasedPins.clear()
+      releasedPins.add(rdd.id)
+      rdd.unpersist(blocking = false); ()
+    case None => df.unpersist(blocking = false); ()
+  }
+
   /** Register an already-persisted frame for release at [[releaseAll]]. */
   def adopt(df: DataFrame): DataFrame = {
     live.add(() => { df.unpersist(blocking = false); () })

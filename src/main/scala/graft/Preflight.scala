@@ -39,9 +39,17 @@ object Preflight {
   /** (sequentialMBps, randomMBps, randomIOPS) over the largest .parquet
     * under sfDir; (-1,-1,-1) if none readable. */
   private def readProbes(sfDir: String): (Double, Double, Double) = {
+    // a fixture "table.parquet" is either a single file (driver-generated)
+    // or a Spark-written directory of part files — probe the largest leaf
     val target = Option(new java.io.File(sfDir).listFiles())
       .getOrElse(Array.empty[java.io.File])
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .filter(_.getName.endsWith(".parquet"))
+      .flatMap {
+        case f if f.isFile => Seq(f)
+        case d => Option(d.listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isFile && f.getName.endsWith(".parquet")).toSeq
+      }
       .sortBy(-_.length()).headOption
     target match {
       case Some(f) if f.length() > (1 << 16) =>

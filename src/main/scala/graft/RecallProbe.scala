@@ -127,12 +127,22 @@ object RecallProbe {
         .filter(graft.functions.QuantizedVec.qcosine(col("emb_a"), col("emb_b"),
           col("nsq_a"), col("nsq_b")) >= 0.95)
         .select(col("vec_a"), col("vec_b"))
-      val found = SimilarityQueries.queries("ann_lsh_near_dup")(spark, sfDir)
-        .select(col("vec_a"), col("vec_b"))
       val t = truePairs.transform(CacheScope.cached)
       val nt = t.count()
-      val hit = t.join(found, Seq("vec_a", "vec_b"), "left_semi").count()
-      out("ann_lsh_near_dup") = if (nt == 0) 1.0 else hit.toDouble / nt
+      // one entry PER GEOMETRY (round-12 verdict item): the routed
+      // registry rung (single band below IvfLabelPathMax, LshBands past
+      // it) plus the single-band geometry explicitly, so the banded
+      // rung's recall lift over its predecessor is recorded at the same
+      // scale it was measured low
+      def pairRecall(found: DataFrame): Double = {
+        val hit = t.join(found.select(col("vec_a"), col("vec_b")),
+          Seq("vec_a", "vec_b"), "left_semi").count()
+        if (nt == 0) 1.0 else hit.toDouble / nt
+      }
+      out("ann_lsh_near_dup") =
+        pairRecall(SimilarityQueries.queries("ann_lsh_near_dup")(spark, sfDir))
+      out("ann_lsh_near_dup_single_band") =
+        pairRecall(SimilarityQueries.lshNearDupPairs(corpus, 1))
       CacheScope.releaseAll()
     }
     CacheScope.releaseSession()

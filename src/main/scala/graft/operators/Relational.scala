@@ -110,6 +110,34 @@ object Relational {
       |         WHERE o_custkey = c.c_custkey
       |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t""".stripMargin
 
+  /** Per-order distinct sorted item sets — the ONE basket-key shuffle the
+    * whole market-basket family derives from. collect_set folds the
+    * distinct into the basket build, so there is no separate distinct
+    * exchange and no corpus-sized self-join afterwards: the r13 sf10
+    * retime measured the old distinct→self-join→count shape at 2.5 GB
+    * shuffle write / ~50 s warm with zero spill (write-bound), and every
+    * byte of the middle exchange plus both sort-merge sorts was
+    * removable. Basket width bounds the downstream fan-out (TPC-H ≤ 7
+    * items; a production pipeline caps oversized baskets exactly like
+    * the LSH boilerplate cap). */
+  private def baskets(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+
+  /** (part_a, part_b, n_ab) pair co-occurrence counts generated NARROWLY
+    * inside each basket array (x from position i pairs with every later
+    * y, so part_a < part_b by sort order), then one pair-keyed count with
+    * map-side partial aggregation — two exchanges total at any scale. */
+  private def basketPairCounts(bs: DataFrame): DataFrame =
+    bs.select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)), y -> struct(x AS part_a, y AS part_b))))"""
+          .stripMargin)).as("pair"))
+      .select(col("pair.part_a"), col("pair.part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> (q1 _),
     "q3_topk_revenue" -> (q3 _),
@@ -403,40 +431,36 @@ object Relational {
           ((col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
             col("n").cast("double") / 100.0).as("intercept"))
     }),
-    // Market-basket pair co-occurrence (the frequent-itemset primitive):
-    // distinct (order, part) pairs self-join on the order key with
-    // part_a < part_b — pair fan-out is C(items-per-basket, 2), bounded by
-    // the per-basket item count (TPC-H ≤ 7; a production pipeline caps
-    // oversized baskets exactly like the LSH boilerplate cap), NEVER by
-    // corpus size. One shuffle on the basket key, then a pair-keyed count.
-    "q_basket_pairs" -> ((spark, sfDir) => {
-      val li = Tables.load(spark, sfDir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-      a.join(b, "l_orderkey").filter(col("part_a") < col("part_b"))
-        .groupBy(col("part_a"), col("part_b"))
-        .agg(count(lit(1)).as("n_baskets"))
-        .filter(col("n_baskets") >= 2)
-    }),
+    // Market-basket pair co-occurrence (the frequent-itemset primitive).
+    // Shape: ONE shuffle on the basket key builds each order's distinct
+    // sorted item set (collect_set folds the distinct into the basket
+    // build — no separate distinct exchange, no self-join re-exchange, no
+    // sort-merge sort of two corpus-sized sides, which the r13 sf10
+    // retime measured as the dominant shuffle-write term), then pairs are
+    // generated NARROWLY inside each basket array — fan-out is
+    // C(items-per-basket, 2), bounded by basket width (TPC-H ≤ 7; a
+    // production pipeline caps oversized baskets exactly like the LSH
+    // boilerplate cap), NEVER by corpus size — and one pair-keyed count
+    // (map-side partial agg) finishes. Two exchanges total at any scale.
+    "q_basket_pairs" -> ((spark, sfDir) =>
+      basketPairCounts(baskets(spark, sfDir))
+        .withColumnRenamed("n_ab", "n_baskets")
+        .filter(col("n_baskets") >= 2)),
     // Association rules on top of the basket pairs: support, directional
     // confidence, and lift as EXACT per-mille integers (cross-multiplied
-    // rationals, no doubles anywhere). The item-count and basket-total
-    // sides broadcast (|items| and 1 row); the only data-sized work is the
-    // same basket self-join the pair query already bounds. At 100 TB the
+    // rationals, no doubles anywhere). Basket totals, item counts, and
+    // the pair counts all derive from the ONE cached basket-key shuffle
+    // ([[baskets]]) — no corpus self-join anywhere. The item-count and
+    // basket-total sides broadcast (|items| and 1 row); at 100 TB the
     // item-count side switches to a shuffle join if |items| outgrows the
     // broadcast threshold — the plan shape is otherwise unchanged.
     "q_association_rules" -> ((spark, sfDir) => {
-      val li = Tables.load(spark, sfDir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-        .transform(CacheScope.cached) // basket totals, item counts, and both pair legs scan it
-      val nb = li.select(col("l_orderkey")).distinct()
-        .agg(count(lit(1)).as("n_baskets"))
-      val ic = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-      a.join(b, "l_orderkey").filter(col("part_a") < col("part_b"))
-        .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("n_ab"))
+      val bs = baskets(spark, sfDir)
+        .transform(CacheScope.cached) // basket total, item counts, pair counts all scan it
+      val nb = bs.agg(count(lit(1)).as("n_baskets"))
+      val ic = bs.select(explode(col("items")).as("l_partkey"))
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+      basketPairCounts(bs)
         .filter(col("n_ab") >= 2)
         .join(broadcast(ic.select(col("l_partkey").as("part_a"),
           col("n_item").as("n_a"))), "part_a")
@@ -462,14 +486,12 @@ object Relational {
     // basket joins stay keyed on the order id — Apriori's pruning
     // expressed as equi-joins, no iteration driver needed for one level.
     "q_basket_triples" -> ((spark, sfDir) => {
-      val li = Tables.load(spark, sfDir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-        .transform(CacheScope.cached) // pair build + three count-join legs
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-      val c = li.select(col("l_orderkey"), col("l_partkey").as("part_c"))
-      val l2 = a.join(b, "l_orderkey").filter(col("part_a") < col("part_b"))
-        .groupBy(col("part_a"), col("part_b")).agg(count(lit(1)).as("n_ab"))
+      val bs = baskets(spark, sfDir)
+        .transform(CacheScope.cached) // L2 build + the count-leg item frame
+      // the distinct (order, item) frame, recovered from the basket arrays
+      // (set semantics already applied) — no second lineitem shuffle
+      val li = bs.select(col("l_orderkey"), explode(col("items")).as("l_partkey"))
+      val l2 = basketPairCounts(bs)
         .filter(col("n_ab") >= 2)
         .select(col("part_a"), col("part_b"))
         .transform(CacheScope.pinned) // three legs of candidate generation

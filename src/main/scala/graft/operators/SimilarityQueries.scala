@@ -219,15 +219,68 @@ object SimilarityQueries {
 
   /** ±1 plane matrix derived from md5 parity — computed in Scala with the
     * same md5-derived hash as [[Hashing.hash64Sql]] so the oracle's planes
-    * are identical. */
-  def planeRows: Seq[(Int, Int, Int)] = {
+    * are identical. `nPlanes` > [[NumPlanes]] extends the SAME sequence
+    * (plane p is identical at every width), so the banded rung's first
+    * band reuses exactly the single-band signature planes. */
+  def planeRowsN(nPlanes: Int): Seq[(Int, Int, Int)] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    for (p <- 0 until NumPlanes; d <- 0 until Dim) yield {
+    for (p <- 0 until nPlanes; d <- 0 until Dim) yield {
       md.reset()
       val hex = md.digest(s"plane:$p:$d".getBytes("UTF-8")).map("%02x".format(_)).mkString
       val h = java.lang.Long.parseLong(hex.take(15), 16)
       (p, d, if (h % 2 == 1) 1 else -1)
     }
+  }
+
+  def planeRows: Seq[(Int, Int, Int)] = planeRowsN(NumPlanes)
+
+  /** Bands for the scale rung of `ann_lsh_near_dup`: 6 independent 16-bit
+    * signature bands (96 planes). The single 16-bit band measured 0.4525
+    * pair recall at the sf10 decade (bench/SCALING.json note_r12) — per
+    * band the collision probability of a true near-dup pair is p^16 with
+    * p = 1 - θ/π per bit, so b independent bands lift recall to
+    * 1-(1-p^16)^b: at the measured p_eff ≈ 0.95, six bands ≈ 0.97 vs
+    * 0.45. Candidate fan-out stays banded-bucketed (equi-join on
+    * (band, sig), never all-pairs), growing linearly in bands. */
+  val LshBands = 6
+
+  /** Sign-LSH near-dup pairs at an explicit banding geometry: quantized
+    * components × broadcast plane matrix → per-(vector, band) 16-bit sign
+    * signature → candidate pairs via equi-join on (band, signature) →
+    * exact quantized-cosine verify at 0.95. `bands = 1` is bit-identical
+    * to the historical single-band query (the oracle-checked geometry);
+    * the registry auto-selects [[LshBands]] past [[IvfLabelPathMax]] —
+    * same ladder pattern as the IVF family. */
+  def lshNearDupPairs(corpus: DataFrame, bands: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val planes = planeRowsN(bands * NumPlanes).toDF("p", "d", "s")
+    val qn = corpus.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("vec_id"), col("d"),
+        floor(col("v").cast("double") * QuantizedVec.DefaultScale + 0.5).cast("long").as("qv"))
+    val planeSums = qn.join(broadcast(planes), "d")
+      .groupBy(col("vec_id"), col("p"))
+      .agg(sum(col("s") * col("qv")).as("psum"))
+    val sigs = planeSums
+      .withColumn("band", (col("p") / NumPlanes).cast("int"))
+      .groupBy(col("vec_id"), col("band"))
+      .agg(sum(when(col("psum") > 0,
+        expr(s"shiftleft(cast(1 as bigint), cast(p % $NumPlanes as int))"))
+        .otherwise(0L)).as("sig"))
+    val a = sigs.select(col("vec_id").as("vec_a"), col("band"), col("sig"))
+    val b = sigs.select(col("vec_id").as("vec_b"), col("band"), col("sig"))
+    val cand = a.join(b, Seq("band", "sig")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b")).distinct()
+    val n = normed(corpus)
+    cand
+      .join(n.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
+        col("nsq").as("nsq_a")), "vec_a")
+      .join(n.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
+        col("nsq").as("nsq_b")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        QuantizedVec.qcosine(col("emb_a"), col("emb_b"),
+          col("nsq_a"), col("nsq_b")).as("cos"))
+      .filter(col("cos") >= 0.95)
   }
 
   private def normed(df: DataFrame): DataFrame =
@@ -1326,35 +1379,20 @@ object SimilarityQueries {
       val hybrid = hybridCorpus(spark, sfDir).transform(CacheScope.cached)
       hybridIndexedRrf(hybrid, Tables.memoCount(spark, s"hybrid:$sfDir")(hybrid.count()))
     }),
+    // Sign-LSH near-dup pairs — [[lshNearDupPairs]]. SCALE RUNG
+    // (auto-selected, the IvfLabelPathMax ladder pattern): oracle scales
+    // keep the single 16-bit band bit-for-bit; past the threshold the
+    // banded geometry ([[LshBands]] × 16 bits) engages, because the
+    // single band's pair recall measured 0.4525 at sf10 — six
+    // independent bands trade 6× banded candidate volume (still
+    // equi-joined, never all-pairs) for ~0.97 expected recall.
+    // LshBandedRecallSpec pins both geometries' recall on a perturbed
+    // fixture where banding actually engages.
     "ann_lsh_near_dup" -> ((spark, sfDir) => {
-      import spark.implicits._
       Tables.load(spark, sfDir, "embeddings").createOrReplaceTempView("embeddings")
       val corpus = spark.sql(vecCorpusSql)
-      val planes = planeRows.toDF("p", "d", "s")
-      // quantized components, joined with the broadcast plane matrix
-      val qn = corpus.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "v")))
-        .select(col("vec_id"), col("d"),
-          floor(col("v").cast("double") * QuantizedVec.DefaultScale + 0.5).cast("long").as("qv"))
-      val planeSums = qn.join(broadcast(planes), "d")
-        .groupBy(col("vec_id"), col("p"))
-        .agg(sum(col("s") * col("qv")).as("psum"))
-      val sigs = planeSums.groupBy(col("vec_id"))
-        .agg(sum(when(col("psum") > 0,
-          expr("shiftleft(cast(1 as bigint), cast(p as int))")).otherwise(0L)).as("sig"))
-      val a = sigs.select(col("vec_id").as("vec_a"), col("sig"))
-      val b = sigs.select(col("vec_id").as("vec_b"), col("sig"))
-      val cand = a.join(b, "sig").filter(col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"))
-      val n = normed(corpus)
-      cand
-        .join(n.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"),
-          col("nsq").as("nsq_a")), "vec_a")
-        .join(n.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"),
-          col("nsq").as("nsq_b")), "vec_b")
-        .select(col("vec_a"), col("vec_b"),
-          QuantizedVec.qcosine(col("emb_a"), col("emb_b"),
-            col("nsq_a"), col("nsq_b")).as("cos"))
-        .filter(col("cos") >= 0.95)
+      val n = Tables.memoCount(spark, s"veccorpus:$sfDir")(corpus.count())
+      lshNearDupPairs(corpus, if (n > IvfLabelPathMax) LshBands else 1)
     }),
     // Semantic drift diff over the embeddings table — see [[semanticDrift]].
     "diff_semantic_drift" -> ((spark, sfDir) =>

@@ -796,11 +796,31 @@ object TextQueries {
     * encode stage): [[BpeMerges]] relational rounds over the distinct-word
     * symbol table. Returns (merge table, final symbol table) — the latter
     * is each word's trained segmentation. */
-  def bpeTrain(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
-      val wf = CacheScope.pinned(Tables.load(spark, sfDir, "documents")
+  def bpeTrain(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
+    bpeTrain(spark, sfDir, sampleOneIn = 1L)
+
+  /** [[bpeTrain]] with the 100 TB sampling knob: `sampleOneIn` > 1 trains
+    * on a deterministic hash-threshold sample of the DISTINCT-WORD frame
+    * (hash64(word) mod k == 0 — the engine's standard sampler, the
+    * domain-caps/priority-sample routing), keeping each surviving word's
+    * full corpus frequency. This is how production subword trainers run at
+    * corpus scale anyway — merge statistics come from a word-frequency
+    * sample, not every distinct string — so the knob turns the trainer's
+    * cost from O(distinct words) to O(distinct words / k) per round
+    * without touching the round structure. Default 1 = full corpus, the
+    * oracle-replayed geometry (the unrolled-CTE oracle pins it
+    * bit-for-bit); the sampled geometry's determinism is pinned by
+    * `BpeSampledSpec`. */
+  def bpeTrain(spark: SparkSession, sfDir: String,
+      sampleOneIn: Long): (DataFrame, DataFrame) = {
+      val wfAll = Tables.load(spark, sfDir, "documents")
         .select(explode(Hashing.tokens(col("text"))).as("word"))
         .filter(length(col("word")) >= 2)
-        .groupBy(col("word")).agg(count(lit(1)).as("freq")))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      val wf = CacheScope.pinned(
+        if (sampleOneIn > 1L)
+          wfAll.filter(pmod(Hashing.hash64(col("word")), lit(sampleOneIn)) === 0L)
+        else wfAll)
       var syms = CacheScope.pinned(wf
         .select(col("word"), posexplode(
           expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
@@ -857,7 +877,12 @@ object TextQueries {
               when(col("m").isNotNull, concat(col("l"), col("r")))
                 .otherwise(col("sym")).as("sym"))
             .withColumn("pos", row_number().over(wPos).cast("long"))
+          // round N's table is dead once round N+1's pin materializes —
+          // release it NOW so trainer residency is bounded at 2 symbol
+          // tables, not BpeMerges of them piling up until releaseAll
+          val prev = syms
           syms = CacheScope.pinned(next)
+          CacheScope.releasePin(prev)
         }
       }
       val mergesOut =
