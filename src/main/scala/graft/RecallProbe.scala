@@ -81,6 +81,11 @@ object RecallProbe {
     out("ann_ivfadc_topk") =
       recall(exactL2TopK(stride), pairs(SimilarityQueries.ivfAdcTopk(raw, n)))
     CacheScope.releaseAll()
+    out("ann_bq_topk") =
+      recall(CacheScope.cached(pairs(
+          SimilarityQueries.queries("ann_cosine_topk")(spark, sfDir))),
+        pairs(SimilarityQueries.bqTopk(raw, n)))
+    CacheScope.releaseAll()
     // ann_filtered_topk is EXACT on its label-filtered subset (broadcast
     // probes × filtered scan, no routing stage), so this measures 1.0 by
     // construction — recorded so every retrieval rung carries per-scale

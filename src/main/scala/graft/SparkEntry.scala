@@ -63,7 +63,7 @@ object SparkEntry {
     "pipeline_decontaminate_fuzzy", "pipeline_classifier_calibration",
     "text_bm25_topk", "text_bm25_indexed",
     "text_gopher_rules", "pipeline_domain_caps", "ann_recall_report",
-    "pipeline_corpus_report")
+    "pipeline_corpus_report", "dedup_span_excise", "ann_bq_topk")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

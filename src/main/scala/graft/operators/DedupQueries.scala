@@ -57,6 +57,14 @@ object DedupQueries {
   val SpanDfMax = 20
   val SpanOccMax = 64
 
+  /** Non-overlapping excision-span width (tokens) for
+    * `dedup_span_excise` — the C4 discipline (Raffel et al. 2020 §2.2:
+    * drop every three-sentence span seen before, keep its first
+    * occurrence) re-expressed on token windows, since the fixture text
+    * carries no sentence boundaries. 32 tokens ≈ the three-sentence span
+    * at the fixtures' word lengths. */
+  val ExciseSpanLen = 32
+
   /** Base offset of the synthetic-duplicate doc_id bands. Real corpus ids
     * must stay below it — [[graft.ScaleUp]] asserts this when inflating the
     * document tables, so 1e8 buys ~3 more measured decades beyond sf10
@@ -195,6 +203,68 @@ object DedupQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // C4-style GLOBAL exact-span dedup WITH EXCISION (Raffel et al. 2020
+    // §2.2; RefinedWeb runs the same discipline on lines): every
+    // [[ExciseSpanLen]]-token non-overlapping span keeps only its FIRST
+    // occurrence in (doc_id, span_id) order; later occurrences are cut
+    // out of their documents and the cleaned corpus is re-emitted. Unlike
+    // `dedup_substring_spans` (which REPORTS maximal shared spans between
+    // pairs), this is the curation step that rewrites the corpus.
+    //
+    // Scale shape: the span frame is n_tokens/[[ExciseSpanLen]] rows
+    // carrying ~span-sized payloads (total bytes ≈ corpus bytes, no
+    // fan-out). Keeper selection is min(struct(doc_id, span_id, text))
+    // keyed by the span's md5 — a MAP-SIDE-COMBINABLE aggregate, chosen
+    // over the equivalent first-occurrence window on purpose: a
+    // boilerplate span with 10⁹ occurrences at 100 TB reduces to one row
+    // per map partition before the shuffle, where a window group (which
+    // cannot split) would pile every occurrence into one task. The
+    // rebuild then needs NO join back on the skewable span key: a kept
+    // occurrence IS its span's single keeper row, so cleaned text comes
+    // from the keeper table's own doc_id-keyed aggregation; per-doc
+    // totals join doc-wise (unique keys). Never an all-pairs stage; both
+    // data shuffles are key-partitioned and linear in the corpus. The
+    // oracle replays the same selection as a first-occurrence window —
+    // the relational form — so an unsound keeper rewrite fails the hash
+    // gate.
+    "dedup_span_excise" -> ((spark, sfDir) => {
+      val c = corpus(spark, sfDir)
+      // feeds keeper selection AND per-doc totals: pin (eager checkpoint)
+      // so the corpus tokenizes exactly once, per the shared-frame
+      // discipline
+      val spans = CacheScope.pinned(c
+        .withColumn("__toks", Hashing.tokens(col("text")))
+        .select(col("doc_id"),
+          explode(expr(
+            s"sequence(0, greatest(size(__toks) - 1, 0), $ExciseSpanLen)"))
+            .as("start"),
+          col("__toks"))
+        .select(col("doc_id"),
+          expr(s"start div $ExciseSpanLen").cast("long").as("span_id"),
+          concat_ws(" ", expr(s"slice(__toks, start + 1, $ExciseSpanLen)"))
+            .as("span_text"))
+        .filter(col("span_text") =!= ""))
+      val keep = spans
+        .groupBy(md5(col("span_text")).as("__fp"))
+        .agg(min(struct(col("doc_id"), col("span_id"), col("span_text")))
+          .as("__k"))
+        .select(col("__k.doc_id").as("doc_id"), col("__k.span_id").as("span_id"),
+          col("__k.span_text").as("span_text"))
+      val perDocKept = keep.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          expr("array_join(transform(array_sort(collect_list(" +
+            "struct(span_id, span_text))), x -> x.span_text), ' ')")
+            .as("clean_text"))
+      val perDocAll = spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"))
+      c.select(col("doc_id"))
+        .join(perDocAll, Seq("doc_id"), "left")
+        .join(perDocKept, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+    }),
     "dedup_exact" -> ((spark, sfDir) => {
       // Window keyed on a 128-bit fingerprint, not the raw document text:
       // at 100 TB the shuffle key must be 32 bytes, not multi-KB documents.
@@ -786,6 +856,40 @@ object DedupQueries {
     jaccardSql + "WHERE jaccard >= 0.4")
 
   val oracleSql: Map[String, String] = Map(
+    // span excise replayed: same non-overlapping spanner (DuckDB list
+    // slicing is inclusive, so [start+1 : start+L] ≡ slice(_, start+1, L)),
+    // keeper = ROW_NUMBER() over the span hash in (doc_id, span_id) order,
+    // rebuild via ORDER BY string_agg; string_agg/collect_list both skip
+    // the CASE's NULLs.
+    "dedup_span_excise" -> withSql(Seq(
+      "corpus" -> corpusSql,
+      "ex_t" ->
+        s"SELECT doc_id, ${Hashing.tokensSql("text")} AS toks FROM corpus",
+      "ex_s" ->
+        s"""SELECT doc_id,
+           |  unnest(range(0, greatest(len(toks), 1), $ExciseSpanLen)) AS start,
+           |  toks
+           |FROM ex_t""".stripMargin,
+      "ex_sp" ->
+        s"""SELECT doc_id, start // $ExciseSpanLen AS span_id,
+           |  array_to_string(toks[start+1:start+$ExciseSpanLen], ' ') AS span_text
+           |FROM ex_s""".stripMargin,
+      "ex_ne" -> "SELECT * FROM ex_sp WHERE span_text <> ''",
+      "ex_k" ->
+        """SELECT doc_id, span_id, span_text,
+          |  ROW_NUMBER() OVER (PARTITION BY md5(span_text)
+          |                     ORDER BY doc_id, span_id) AS rn
+          |FROM ex_ne""".stripMargin,
+      "ex_agg" ->
+        """SELECT doc_id, COUNT(*) AS n_spans,
+          |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          |  COALESCE(string_agg(CASE WHEN rn = 1 THEN span_text END,
+          |                      ' ' ORDER BY span_id), '') AS clean_text
+          |FROM ex_k GROUP BY doc_id""".stripMargin),
+      """SELECT c.doc_id, COALESCE(a.n_spans, 0) AS n_spans,
+        |  COALESCE(a.n_kept, 0) AS n_kept,
+        |  COALESCE(a.clean_text, '') AS clean_text
+        |FROM corpus c LEFT JOIN ex_agg a USING (doc_id)""".stripMargin),
     "dedup_exact" -> withSql(Seq("corpus" -> corpusSql),
       """SELECT doc_id,
         |  MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,

@@ -164,6 +164,13 @@ object SimilarityQueries {
   /** Prefix-score shortlist width fed to the exact full-dim rerank. */
   val MatShortlist = 50
 
+  /** Hamming shortlist width for the binary-quantization rung — same 5×k
+    * rescore budget as [[MatShortlist]]. Measured recall@10 0.72 at
+    * sf0.01 (pinned with headroom by `Round13OpsSpec`): the price of
+    * 32× compression on embeddings whose information is spread uniformly
+    * across dims — the same adversarial-fixture caveat as [[MatPrefDim]]. */
+  val BqShortlist = 50
+
   /** Coarse cells probed per query in the IMI two-level router. */
   val ImiCoarseProbe = 2
 
@@ -840,6 +847,62 @@ object SimilarityQueries {
     topkRerank(cand, normed(raw))
   }
 
+  /** 1-bit binary-quantization signatures: each dimension's SIGN packed
+    * into two 32-bit halves (bits 0..31 / 32..63 of the [[Dim]]-dim
+    * vector). Two halves, not one 64-bit word, so the packing is a plain
+    * SUM of disjoint non-negative powers of two — no sign-bit/overflow
+    * hazard in either engine's BIGINT arithmetic. The bit is the RAW
+    * float's sign (`x >= 0`): both engines compare the identical parquet
+    * float32 against zero, so signatures are bit-for-bit reproducible
+    * with no quantization step. */
+  private def bqSignatures(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+      expr("aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
+        "(CASE WHEN element_at(embedding, i + 1) >= 0 " +
+        "THEN shiftleft(1L, i) ELSE 0L END))").as("sig_lo"),
+      expr("aggregate(sequence(32, 63), 0L, (acc, i) -> acc + " +
+        "(CASE WHEN element_at(embedding, i + 1) >= 0 " +
+        "THEN shiftleft(1L, i - 32) ELSE 0L END))").as("sig_hi"))
+
+  /** Binary-quantization ANN (the vector-database "BQ + rescore" serving
+    * path; sign-projection similarity per Charikar, STOC 2002): the
+    * corpus index is ONE bit per dimension — 64-dim float32 → 8 bytes,
+    * 32× smaller than raw vectors, 4× smaller than PQ's 8-byte codes with
+    * no codebook to train — and the corpus-sized stage scores a
+    * (probe, vector) pair with two XOR+popcounts instead of [[Dim]]
+    * multiply-adds. The [[BqShortlist]] nearest-by-Hamming survivors
+    * rerank exact full-dim through the shared [[topkRerank]], so the
+    * emitted (cos, rank) arithmetic is the baseline's own.
+    *
+    * Scale shape: signature build is narrow per-row map work; the Hamming
+    * scan is the broadcast-probe join emitting only
+    * (probe_id, neighbor_id, ham) into the shortlist window
+    * (WindowGroupLimit caps it at [[BqShortlist]]/probe per map partition
+    * before the shuffle, the matryoshka lesson); the rerank joins only
+    * the shortlist. At corpus sizes past the flat-scan decades the
+    * Hamming stage composes with the sampled-IVF router exactly as
+    * [[matryoshkaIvfTopk]] does — BQ replaces the prefix cosine as the
+    * candidate scorer; the 8-byte signature is what lets that scan stay
+    * in memory when raw vectors cannot. */
+  def bqTopk(raw: DataFrame, nKnown: Long = -1L): DataFrame = {
+    val n = if (nKnown >= 0) nKnown else raw.count()
+    val emb = CacheScope.pinned(normed(raw))
+    val sigs = bqSignatures(emb)
+    val probes = sigs.filter(col("vec_id") % probeStride(n) === 0)
+      .select(col("vec_id").as("probe_id"), col("sig_lo").as("p_lo"),
+        col("sig_hi").as("p_hi"))
+    val hammed = broadcast(probes).join(sigs, col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        expr("bit_count(p_lo ^ sig_lo) + bit_count(p_hi ^ sig_hi)")
+          .cast("long").as("ham"))
+    val wS = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ham"), col("neighbor_id"))
+    val cand = hammed.withColumn("srank", row_number().over(wS))
+      .filter(col("srank") <= BqShortlist)
+      .select(col("probe_id"), col("neighbor_id"))
+    topkRerank(cand, emb)
+  }
+
   def matryoshkaIvfTopk(raw: DataFrame, nKnown: Long = -1L): DataFrame = {
     val n = if (nKnown >= 0) nKnown else raw.count()
     // consumed by routing (codebook sample + assignment), prefix scoring
@@ -1276,6 +1339,14 @@ object SimilarityQueries {
       if (nVecs > IvfLabelPathMax) matryoshkaIvfTopk(raw, nVecs)
       else matryoshkaPlainTopk(raw, nVecs)
     }),
+    // Binary-quantization rung — see [[bqTopk]]: 1 sign bit per dim (32×
+    // memory compression, XOR+popcount candidate scoring), Hamming
+    // shortlist, exact rerank. The fourth memory/compute point on the
+    // quantization ladder: raw (exact) / 32-dim prefix (matryoshka) /
+    // 8-byte PQ codes (ADC table lookups) / 8-byte sign bits (popcount).
+    "ann_bq_topk" -> ((spark, sfDir) =>
+      bqTopk(Tables.load(spark, sfDir, "embeddings"),
+        Tables.countOf(spark, sfDir, "embeddings"))),
     // The Matryoshka-over-IVF rung exercised directly at oracle scales
     // (same pattern as ann_ivf_sampled / ann_ivfadc_topk): the branch that
     // serves ann_matryoshka_topk past IvfLabelPathMax gets its own
@@ -1638,6 +1709,55 @@ object SimilarityQueries {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
          |                               ORDER BY cos DESC, neighbor_id) AS rank
          |  FROM scored) t WHERE rank <= $TopK""".stripMargin,
+    // binary quantization replayed: the sign bits come from the RAW
+    // parquet float vs zero (no arithmetic to drift), packed as a SUM of
+    // disjoint powers of two into the same two 32-bit halves; Hamming =
+    // bit_count(xor(lo)) + bit_count(xor(hi)); shortlist and exact rerank
+    // use the engine's tiebreaks (ham asc then neighbor, cos desc then
+    // neighbor)
+    "ann_bq_topk" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+         |${qnCte._1} AS (${qnCte._2}),
+         |${normsCte._1} AS (${normsCte._2}),
+         |$pstrideCte,
+         |bq_c AS (
+         |  SELECT vec_id, i - 1 AS d, embedding[i] AS v
+         |  FROM corpus, range(1, ${Dim + 1}) r(i)),
+         |bq_sig AS (
+         |  SELECT vec_id,
+         |    CAST(SUM(CASE WHEN v >= 0 AND d < 32
+         |                  THEN CAST(1 AS BIGINT) << d ELSE 0 END) AS BIGINT) AS sig_lo,
+         |    CAST(SUM(CASE WHEN v >= 0 AND d >= 32
+         |                  THEN CAST(1 AS BIGINT) << (d - 32) ELSE 0 END) AS BIGINT) AS sig_hi
+         |  FROM bq_c GROUP BY vec_id),
+         |bq_ham AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS neighbor_id,
+         |         bit_count(xor(a.sig_lo, b.sig_lo))
+         |           + bit_count(xor(a.sig_hi, b.sig_hi)) AS ham
+         |  FROM bq_sig a JOIN bq_sig b ON a.vec_id <> b.vec_id
+         |  CROSS JOIN pp
+         |  WHERE a.vec_id % pp.pstride = 0),
+         |bq_short AS (
+         |  SELECT probe_id, neighbor_id FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                                 ORDER BY ham, neighbor_id) AS srank
+         |    FROM bq_ham) t WHERE srank <= $BqShortlist),
+         |bq_dots AS (
+         |  SELECT s.probe_id, s.neighbor_id,
+         |         CAST(SUM(qa.qv * qb.qv) AS BIGINT) AS dot
+         |  FROM bq_short s
+         |  JOIN qn qa ON qa.vec_id = s.probe_id
+         |  JOIN qn qb ON qb.vec_id = s.neighbor_id AND qb.d = qa.d
+         |  GROUP BY s.probe_id, s.neighbor_id),
+         |bq_scored AS (
+         |  SELECT probe_id, neighbor_id,
+         |         CAST(dot AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cos
+         |  FROM bq_dots JOIN norms na ON na.vec_id = probe_id
+         |               JOIN norms nb ON nb.vec_id = neighbor_id)
+         |SELECT probe_id, neighbor_id, cos, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+         |                               ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM bq_scored) t WHERE rank <= $TopK""".stripMargin,
     // matryoshka replayed: prefix dots are the same qn join restricted to
     // d < MatPrefDim, prefix norms likewise; shortlist and rerank use the
     // engine's exact tiebreaks (score, then neighbor_id)
