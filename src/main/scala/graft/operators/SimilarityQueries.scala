@@ -891,13 +891,33 @@ object SimilarityQueries {
     val probes = sigs.filter(col("vec_id") % probeStride(n) === 0)
       .select(col("vec_id").as("probe_id"), col("sig_lo").as("p_lo"),
         col("sig_hi").as("p_hi"))
-    val hammed = broadcast(probes).join(sigs, col("vec_id") =!= col("probe_id"))
+    // deliberately NOT pinned: the popcount scan re-runs in ~the cost of
+    // reading the 8-byte signatures (4.7 s at sf10), far under
+    // checkpointing its 40M-row product
+    def hammed = broadcast(probes).join(sigs, col("vec_id") =!= col("probe_id"))
       .select(col("probe_id"), col("vec_id").as("neighbor_id"),
         expr("bit_count(p_lo ^ sig_lo) + bit_count(p_hi ^ sig_hi)")
           .cast("long").as("ham"))
+    // BOUNDED-DOMAIN TOP-K: Hamming over [[Dim]] bits takes only Dim+1
+    // values, so the per-probe shortlist cutoff comes from a (probe, ham)
+    // HISTOGRAM — one map-side-combinable aggregation of ≤ probes×(Dim+1)
+    // rows — instead of sorting the probes×corpus scan output. Measured
+    // at sf10: the straightforward row_number window sorted 40M rows for
+    // 18.5 s on a 4.7 s scan; the histogram path re-scans (4.7 s) and
+    // windows only the ≤ cum(H*) ≈ shortlist-sized survivors. The
+    // running-sum window here spans ≤ Dim+1 rows per probe — bounded by
+    // the bit domain, not the corpus.
+    val hcut = hammed.groupBy(col("probe_id"), col("ham"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("__cum", sum(col("c")).over(
+        Window.partitionBy(col("probe_id")).orderBy(col("ham"))))
+      .filter(col("__cum") - col("c") < BqShortlist)
+      .groupBy(col("probe_id")).agg(max(col("ham")).as("hcut"))
     val wS = Window.partitionBy(col("probe_id"))
       .orderBy(col("ham"), col("neighbor_id"))
-    val cand = hammed.withColumn("srank", row_number().over(wS))
+    val cand = hammed.join(broadcast(hcut), "probe_id")
+      .filter(col("ham") <= col("hcut"))
+      .withColumn("srank", row_number().over(wS))
       .filter(col("srank") <= BqShortlist)
       .select(col("probe_id"), col("neighbor_id"))
     topkRerank(cand, emb)
