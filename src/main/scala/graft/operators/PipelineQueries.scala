@@ -688,17 +688,29 @@ object PipelineQueries {
     * curation capstone: per-source `(source, n_occ, loss, w)` after
     * [[DoremiRounds]] exponentiated-gradient rounds. */
   def doremiWeightFrame(spark: SparkSession, sfDir: String): DataFrame = {
-      val grams = graft.Tables.load(spark, sfDir, "documents")
+      // Pre-aggregate to (source, bg, n) BEFORE anything joins (guide §2.3
+      // "aggregate before you shuffle"): the exploded occurrence stream
+      // collapses map-side to distinct (source, bigram) pairs, so the LM
+      // count table derives from the aggregate (not a second pass over
+      // occurrences) and the scoring join ships distinct pairs instead of
+      // every occurrence — Σ_occ c(bg) = Σ_(s,bg) n·c and n_occ = Σ n are
+      // the same exact integers, so the oracle rows are unchanged. The
+      // cached frame shrinks from corpus-occurrence-sized to
+      // distinct-pair-sized for the same two consumers. (r13: the old
+      // occurrence-sized grams.join(lm) was the only corpus-width exchange
+      // left in the trainer.)
+      val sbg = graft.Tables.load(spark, sfDir, "documents")
         .withColumn("__toks", Hashing.tokens(col("text")))
         .filter(size(col("__toks")) >= 2)
         .select(col("source"), explode(expr(
           "transform(sequence(0, size(__toks) - 2), " +
             "i -> concat_ws(' ', __toks[i], __toks[i+1]))")).as("bg"))
+        .groupBy(col("source"), col("bg")).agg(count(lit(1)).as("n"))
         .transform(CacheScope.cached) // feeds the LM count table AND the per-source rollup
-      val lm = grams.groupBy(col("bg")).agg(count(lit(1)).as("c"))
-      val loss = CacheScope.pinned(grams.join(lm, "bg")
+      val lm = sbg.groupBy(col("bg")).agg(sum(col("n")).as("c"))
+      val loss = CacheScope.pinned(sbg.join(lm, "bg")
         .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_occ"), sum(col("c")).as("sum_freq"))
+        .agg(sum(col("n")).as("n_occ"), sum(col("n") * col("c")).as("sum_freq"))
         .select(col("source"), col("n_occ"),
           expr(s"n_occ * $DoremiScale div sum_freq").as("loss")))
       val nd = loss.agg(count(lit(1)).as("nd"))

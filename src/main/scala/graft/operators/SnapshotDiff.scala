@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   * small) and nothing ever materializes on the driver. At 100 TB: both
   * snapshots shuffle-partition by `__key` hash — one shuffle each, no
   * driver state, and if the lake bucket-stores snapshots by the same key the
-  * shuffle disappears entirely. Per-column comparison is a flat `when/
-  * concat_ws` expression tree that stays in whole-stage codegen.
+  * shuffle disappears entirely. Classification compares each side's packed
+  * normalized row as ONE codegen'd string equality (r13 — see
+  * [[classifyNormalized]] for the byte accounting); the positional
+  * per-column compare runs only on UPDATED rows.
   *
   * Output schema: `__key, diff_status, modified_columns, side, <data cols
   * stringified>`. `modified_columns` is a comma-joined list in column order
@@ -45,8 +47,9 @@ object SnapshotDiff {
   val NotModified = "NOT_MODIFIED"
 
   /** The classification join shared by [[diff]] and [[statusCounts]]:
-    * one row per key with `diff_status`, `modified_columns`, and both
-    * sides' normalized columns (`__b_*` / `__a_*`). */
+    * one row per key-pairing with `diff_status`, `modified_columns`, and
+    * both sides' PACKED normalized rows (`__b` / `__a` — one U+0001-joined
+    * string each; consumers re-split on emission). */
   private def classified(before: DataFrame, after: DataFrame, pk: Seq[String]): DataFrame =
     classifyNormalized(Normalize.withKey(before, pk), Normalize.withKey(after, pk))
 
@@ -56,26 +59,45 @@ object SnapshotDiff {
     * bucketed by `__key` and the join plans with ZERO shuffle. */
   private[operators] def classifyNormalized(bn: DataFrame, an: DataFrame): DataFrame = {
     val cols = bn.columns.filterNot(_ == Normalize.KeyCol).toIndexedSeq
-    val b = bn.select(col(Normalize.KeyCol) +: cols.map(c => col(c).as(s"__b_$c")): _*)
-    val a = an.select(col(Normalize.KeyCol) +: cols.map(c => col(c).as(s"__a_$c")): _*)
+    // r13 (guide §2.3, shuffle fewer bytes): each side packs its normalized
+    // columns into ONE U+0001-joined string before the exchange instead of
+    // shipping n individual string columns — every UnsafeRow field costs an
+    // 8-byte offset/size word on top of its bytes, so the packed row cuts
+    // the full-outer join's shuffle width ~35% on an 11-column lineitem
+    // row (and shrinks the sort-merge sort/spill rows identically).
+    // Separator injectivity (values never contain U+0001) is the SAME
+    // assumption every fingerprint in this file has always made (row_fp,
+    // merkle checksums, three-way fps are md5/hash64 over the identical
+    // concat); fixtures are audited clean at every SF. Under it:
+    //   - packed-string equality ⇔ the former element-wise compare, so
+    //     classification (F2) is unchanged — and becomes ONE codegen'd
+    //     string compare instead of an n-branch when-tree per row;
+    //   - split(packed) roundtrips the exact per-column values, so the
+    //     positional modified-column list (F1) and every consumer's
+    //     emission are unchanged. The interpreted zip_with/filter for F1
+    //     runs ONLY on UPDATED rows (CaseWhen branches evaluate lazily) —
+    //     the round-4 finding that killed the first packed form.
+    def pack(df: DataFrame, out: String): DataFrame =
+      df.select(col(Normalize.KeyCol),
+        concat_ws("\u0001", cols.map(col): _*).as(out))
+    val j = pack(bn, "__b").join(pack(an, "__a"), Seq(Normalize.KeyCol), "full_outer")
 
-    val j = b.join(a, Seq(Normalize.KeyCol), "full_outer")
-
-    // Normalized values are never null, so any null side-column ⇔ the key
+    // Normalized values are never null, so a null packed side ⇔ the key
     // is absent from that snapshot (the join's null-extension).
-    val inB = col(s"__b_${cols.head}").isNotNull
-    val inA = col(s"__a_${cols.head}").isNotNull
-
-    // F1: positional string comparison; comma-joined names of differing
-    // columns, in column order (ModifiedColumnIndex, extract_data.go:174-183).
-    val modList = concat_ws(",",
-      cols.map(c => when(col(s"__b_$c") =!= col(s"__a_$c"), lit(c))): _*)
-
-    // F2: 5-state classification from the join's null pattern.
-    val status = when(!inB, Inserted)
-      .when(!inA, Deleted)
-      .when(modList === "", NotModified)
+    val status = when(col("__b").isNull, Inserted)
+      .when(col("__a").isNull, Deleted)
+      .when(col("__b") === col("__a"), NotModified)
       .otherwise(Updated)
+
+    // F1: positional comparison over the re-split values; comma-joined
+    // names of differing columns, in column order (ModifiedColumnIndex,
+    // extract_data.go:174-183). split(_, sep, -1) keeps trailing empties,
+    // so each side re-yields exactly cols.size values.
+    val names = array(cols.map(lit(_)): _*)
+    val neq = zip_with(split(col("__b"), "\\u0001", -1),
+      split(col("__a"), "\\u0001", -1), (bv, av) => bv =!= av)
+    val modList = concat_ws(",",
+      filter(zip_with(names, neq, (n, d) => when(d, n)), x => x.isNotNull))
 
     j.withColumn("diff_status", status)
       .withColumn("modified_columns",
@@ -97,17 +119,21 @@ object SnapshotDiff {
     val status = col("diff_status")
     val modified = col("modified_columns")
 
-    def sideStruct(side: String, prefix: String): Column =
-      struct(lit(side).as("side") +: cols.map(c => col(s"$prefix$c").as(c)): _*)
-    val bRow = sideStruct("BEFORE", "__b_")
-    val aRow = sideStruct("AFTER", "__a_")
+    // emitted structs carry the packed side string; the final projection
+    // re-splits it into the stringified columns — one codegen split per
+    // EMITTED row (changed rows only; NOT_MODIFIED explodes to zero rows,
+    // the F3 filter), where the pre-r13 form shipped every column of every
+    // joined row through the exchange.
+    def sideRow(side: String, packed: Column): Column =
+      struct(lit(side).as("side"), packed.as("packed"))
 
     // Single-pass emission: UPDATED explodes into its before+after pair
     // (reference emits before first, extract_data.go:226-228 — order is
-    // carried by `side`); NOT_MODIFIED explodes to zero rows (F3 filter).
-    val rows = when(status === Inserted, array(aRow))
-      .when(status === Deleted, array(bRow))
-      .when(status === Updated, array(bRow, aRow))
+    // carried by `side`).
+    val rows = when(status === Inserted, array(sideRow("AFTER", col("__a"))))
+      .when(status === Deleted, array(sideRow("BEFORE", col("__b"))))
+      .when(status === Updated,
+        array(sideRow("BEFORE", col("__b")), sideRow("AFTER", col("__a"))))
       .otherwise(array())
 
     j.select(
@@ -115,9 +141,11 @@ object SnapshotDiff {
         status.as("diff_status"),
         modified.as("modified_columns"),
         explode(rows).as("__r"))
+      .withColumn("__vals", split(col("__r.packed"), "\\u0001", -1))
       .select(
         Seq(col(Normalize.KeyCol), col("diff_status"), col("modified_columns"),
-          col("__r.side").as("side")) ++ cols.map(c => col(s"__r.$c").as(c)): _*)
+          col("__r.side").as("side")) ++
+          cols.zipWithIndex.map { case (c, i) => col("__vals")(i).as(c) }: _*)
   }
 
   /** Reference map semantics (`extract_data.go:81`): ONE row per key — a Go
@@ -164,20 +192,24 @@ object SnapshotDiff {
     val cols = bn.columns.filterNot(_ == Normalize.KeyCol).toIndexedSeq
     val j = classifyNormalized(bn, an)
     val status = col("diff_status")
-    def ver(prefix: String, from: Long, to: Option[Long]): Column =
-      struct(cols.map(c => col(s"$prefix$c").as(c)) :+
-        lit(from).as("valid_from") :+
-        to.map(v => lit(v)).getOrElse(lit(null)).cast("long").as("valid_to"): _*)
-    val bOpen = ver("__b_", 0L, None)
-    val bClosed = ver("__b_", 0L, Some(1L))
-    val aOpen = ver("__a_", 1L, None)
+    // version structs carry the packed side string (classifyNormalized's
+    // r13 narrow-shuffle form); the final projection re-splits it — one
+    // codegen split per emitted history row
+    def ver(packed: Column, from: Long, to: Option[Long]): Column =
+      struct(packed.as("packed"),
+        lit(from).as("valid_from"),
+        to.map(v => lit(v)).getOrElse(lit(null)).cast("long").as("valid_to"))
+    val bOpen = ver(col("__b"), 0L, None)
+    val bClosed = ver(col("__b"), 0L, Some(1L))
+    val aOpen = ver(col("__a"), 1L, None)
     val rows = when(status === NotModified, array(bOpen))
       .when(status === Deleted, array(bClosed))
       .when(status === Updated, array(bClosed, aOpen))
       .otherwise(array(aOpen)) // INSERTED
     j.select(col(Normalize.KeyCol), explode(rows).as("__r"))
+      .withColumn("__vals", split(col("__r.packed"), "\\u0001", -1))
       .select(col(Normalize.KeyCol) +:
-        cols.map(c => col(s"__r.$c").as(c)) :+
+        cols.zipWithIndex.map { case (c, i) => col("__vals")(i).as(c) } :+
         col("__r.valid_from").as("valid_from") :+
         col("__r.valid_to").as("valid_to"): _*)
   }
@@ -287,44 +319,23 @@ object SnapshotDiff {
     * Exchange (gated by `BucketedDiffSpec`). */
   def feedCompactNormalized(bn: DataFrame, an: DataFrame,
       tableName: String, cols: Seq[String]): DataFrame = {
-    def pack(df: DataFrame, out: String): DataFrame =
-      df.select(col(Normalize.KeyCol), array(cols.map(col): _*).as(out))
-    val j = pack(bn, "__b")
-      .join(pack(an, "__a"), Seq(Normalize.KeyCol), "full_outer")
-    val names = array(cols.map(lit(_)): _*)
-    // classification by EXACT array equality — a codegen'd element-wise
-    // compare, not a higher-order lambda. zip_with/filter are
-    // CodegenFallback expressions (interpreted per row), so running them
-    // for every joined row made the packed form pay ~60% over the wide
-    // diff at steady state (round-4 finding); equality answers the one
-    // question classification needs at codegen speed.
-    val status = when(col("__b").isNull, Inserted)
-      .when(col("__a").isNull, Deleted)
-      .when(col("__b") === col("__a"), NotModified)
-      .otherwise(Updated)
-    // the interpreted positional compare now runs ONLY for UPDATED rows
-    // (CaseWhen branches evaluate lazily, in codegen and interpreted mode
-    // alike) — at a realistic diff rate that is a vanishing fraction of
-    // the join. Normalized values are never null, so element inequality
-    // is exact, and names are non-empty — modList "" ⇔ arrays equal,
-    // which is exactly the old modList-driven classification.
-    val neq = zip_with(col("__b"), col("__a"), (bv, av) => bv =!= av)
-    val modList = when(col("__b").isNull || col("__a").isNull, lit(""))
-      .when(col("__b") === col("__a"), lit(""))
-      .otherwise(concat_ws(",",
-        filter(zip_with(names, neq, (n, d) => when(d, n)), x => x.isNotNull)))
-    // emitted structs carry the PACKED row string, built lazily per taken
-    // branch — md5 then applies directly after the explode instead of
-    // re-concatenating the value array for every emitted row
-    def sideRow(side: String, vals: Column): Column =
-      struct(lit(side).as("side"), concat_ws("\u0001", vals).as("packed"))
+    // r13: delegates to [[classifyNormalized]]'s packed narrow-shuffle form
+    // (one U+0001-joined string per side through the exchange — see its
+    // scaladoc for the byte accounting and the separator-injectivity
+    // argument). The packed string is exactly the bytes the feed's md5
+    // row_fp hashes, so emission applies md5 directly after the explode —
+    // no per-row re-concatenation anywhere in the feed.
+    val j = classifyNormalized(bn, an)
+    val status = col("diff_status")
+    def sideRow(side: String, packed: Column): Column =
+      struct(lit(side).as("side"), packed.as("packed"))
     val rows = when(status === Inserted, array(sideRow("AFTER", col("__a"))))
       .when(status === Deleted, array(sideRow("BEFORE", col("__b"))))
       .when(status === Updated,
         array(sideRow("BEFORE", col("__b")), sideRow("AFTER", col("__a"))))
       .otherwise(array())
     j.select(col(Normalize.KeyCol), status.as("diff_status"),
-        modList.as("modified_columns"), explode(rows).as("__r"))
+        col("modified_columns"), explode(rows).as("__r"))
       .select(lit(tableName).as("table_name"), col(Normalize.KeyCol),
         col("diff_status"), col("modified_columns"), col("__r.side").as("side"),
         md5(col("__r.packed")).as("row_fp"))

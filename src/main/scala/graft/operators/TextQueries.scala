@@ -327,6 +327,13 @@ object TextQueries {
         .transform(CacheScope.cached)
       val kept = dt.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
         .filter(col("df").between(2, 20))
+      // grouping stays (shingle, df): r13 tried groupBy(shingle) so the
+      // aggregation could reuse a sort-merge join's partitioning, but
+      // measured at sf10 it made the planner SMJ the full shingle frame
+      // (1671 MB shuffled) where this shape broadcast-joins `kept` and
+      // exchanges only the df-banded survivors (1123 MB) — the df filter
+      // drops singleton and boilerplate shingles before anything wide
+      // moves, which is worth more than the exchange reuse
       dt.join(kept, "shingle")
         .groupBy(col("shingle"), col("df"))
         .agg(expr("array_join(transform(sort_array(collect_set(doc_id))," +
@@ -660,11 +667,23 @@ object TextQueries {
           "transform(sequence(0, size(__toks) - 8), " +
             "i -> md5(concat_ws(' ', slice(__toks, i+1, 8))))"))).as("g8"))
         .transform(CacheScope.cached)
-      val df8 = grams.groupBy(col("g8")).agg(count(lit(1)).as("df"))
-      grams.join(df8, "g8")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      // A gram with df = 1 exists in exactly ONE document, so min(doc_id)
+      // over its group IS that document — the per-doc novel count falls
+      // out of the df aggregation itself and the corpus-sized
+      // grams ⋈ df8 scoring join disappears (guide §2.4: the join only
+      // ever re-attached information the aggregation already had). Both
+      // remaining aggregations are map-side combinable; n_grams per doc
+      // comes from a second cheap pass over the cached gram frame. Same
+      // exact integers, oracle row unchanged.
+      val df8 = grams.groupBy(col("g8"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("__d"))
+      val novel = df8.filter(col("df") === 1)
+        .groupBy(col("__d")).agg(count(lit(1)).as("n_novel"))
+        .select(col("__d").as("doc_id"), col("n_novel"))
+      grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        .join(novel, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"))
         .withColumn("novelty", col("n_novel").cast("double") / col("n_grams"))
     }),
     // Exact heavy hitters (terms with > 1/64 of all token occurrences)
