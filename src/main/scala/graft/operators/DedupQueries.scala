@@ -666,9 +666,25 @@ object DedupQueries {
   )
 
   /** SimHash banded candidate pairs with Hamming distance ≤ 3 — shared by
-    * `dedup_simhash_pairs` (the pair list itself) and `dedup_components`
-    * (clusters over it). */
-  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    * `dedup_simhash_pairs` (the pair list itself), `dedup_components`
+    * (clusters over it), and the whole dup-graph analytics family
+    * (BFS/PageRank/LPA/triangles).
+    *
+    * Session-scoped standing artifact (r14): the dup-graph EDGE LIST is
+    * the index every graph consumer of a dedup pipeline reads — built once
+    * per corpus snapshot, then queried by components, rank, propagation
+    * and triangle jobs alike. Seven registry queries were each re-running
+    * the simhash banding + self-join per consumer; the memoized frame is
+    * three narrow columns, O(near-dup pairs) rows (the survivor-frame
+    * precedent). First consumer in a session pays the build; every
+    * consumer's oracle replays the full chain, so the shared frame is
+    * hash-gated per query. */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    CacheScope.sessionPinned(s"simhash_pairs:$sfDir", spark) {
+      simhashPairsBuild(spark, sfDir)
+    }
+
+  private def simhashPairsBuild(spark: SparkSession, sfDir: String): DataFrame = {
     val sigs = simhashSigs(corpus(spark, sfDir))
     val chunks = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>

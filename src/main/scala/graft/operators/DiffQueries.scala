@@ -481,16 +481,30 @@ object DiffQueries {
     * itself relies on, so cross-engine rendering is already proven by the
     * `diff_*` gates). */
   private def profile(t: TableDef)(spark: SparkSession, sfDir: String): DataFrame = {
+    // One group-then-reduce branch per column, unioned (r14). The old
+    // single-agg form used N countDistinct over different columns, which
+    // plans as Expand (N+1 row copies of the whole table) into THREE
+    // SortAggregates — sort aggregation, because min/max over string
+    // columns have no fixed-size buffer — sorting the multiplied rows on a
+    // 7-part key twice. Per column, grouping by the value first gives the
+    // same exact numbers from a two-phase HASH aggregation over distinct
+    // values only: n_distinct = non-null group count, n_nulls = the null
+    // group's row count, min/max over group keys ≡ min/max over rows
+    // (computed on the NATIVE type, stringified after, exactly as before).
+    // All branches share one union plan, so Spark schedules the per-column
+    // scans concurrently; no Expand, no wide sort, shuffle = distinct
+    // values per column (plan: plans/r14/profile_orders_{before,after}).
     val df = Tables.load(spark, sfDir, t.name)
-    val aggs = t.cols.flatMap(c => Seq(
-      count(when(col(c).isNull, lit(1))).as(s"__nn_$c"),
-      countDistinct(col(c)).as(s"__nd_$c"),
-      min(col(c)).cast("string").as(s"__mn_$c"),
-      max(col(c)).cast("string").as(s"__mx_$c")))
-    val stackArgs = t.cols.map(c => s"'$c', __nn_$c, __nd_$c, __mn_$c, __mx_$c").mkString(", ")
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(expr(s"stack(${t.cols.length}, $stackArgs) " +
-        "AS (col_name, n_nulls, n_distinct, min_val, max_val)"))
+    t.cols.map { c =>
+      df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__n"))
+        .agg(
+          coalesce(sum(when(col("__v").isNull, col("__n"))), lit(0L)).as("n_nulls"),
+          count(col("__v")).as("n_distinct"),
+          min(col("__v")).cast("string").as("min_val"),
+          max(col("__v")).cast("string").as("max_val"))
+        .select(lit(c).as("col_name"), col("n_nulls"), col("n_distinct"),
+          col("min_val"), col("max_val"))
+    }.reduce(_.unionByName(_))
   }
 
   private def profileSql(t: TableDef): String =

@@ -731,7 +731,7 @@ object TextQueries {
     // even offsets win — no sequential fold, no UDF. The DuckDB oracle
     // replays all rounds as unrolled CTEs, so the ITERATIVE trainer is
     // hash-checked end to end, tiebreaks included (count desc, pair asc).
-    "text_bpe_merges" -> ((spark, sfDir) => bpeTrain(spark, sfDir)._1),
+    "text_bpe_merges" -> ((spark, sfDir) => bpeTrainShared(spark, sfDir)._1),
     // BPE APPLY — the trained tokenizer used: the trainer's final symbol
     // table IS each distinct word's segmentation, so encoding the corpus
     // is one per-word subword count over that table joined back onto the
@@ -741,7 +741,7 @@ object TextQueries {
     // training is O(vocab) + one corpus shuffle; the oracle replays the
     // identical 8 unrolled merge rounds and the same rollup.
     "text_bpe_encode" -> ((spark, sfDir) => {
-      val syms = bpeTrain(spark, sfDir)._2
+      val syms = bpeTrainShared(spark, sfDir)._2
       val seg = syms.groupBy(col("word")).agg(count(lit(1)).as("n_syms"))
       Tables.load(spark, sfDir, "documents")
         .select(col("doc_id"), explode(Hashing.tokens(col("text"))).as("word"))
@@ -762,7 +762,7 @@ object TextQueries {
     // cost is O(vocab) + one corpus shuffle; the languages frame is
     // control-plane sized at any corpus scale.
     "text_bpe_fertility" -> ((spark, sfDir) => {
-      val syms = bpeTrain(spark, sfDir)._2
+      val syms = bpeTrainShared(spark, sfDir)._2
       val seg = syms.groupBy(col("word")).agg(count(lit(1)).as("n_syms"))
       Tables.load(spark, sfDir, "documents")
         .select(col("lang"), explode(Hashing.tokens(col("text"))).as("word"))
@@ -786,7 +786,7 @@ object TextQueries {
     // deterministic, mirroring the oracle's ORDER BY pos. The `roundtrip`
     // column is asserted all-true by spec AND hash-checked by the oracle.
     "text_bpe_decode" -> ((spark, sfDir) => {
-      val syms = bpeTrain(spark, sfDir)._2
+      val syms = bpeTrainShared(spark, sfDir)._2
       syms.groupBy(col("word"))
         .agg(count(lit(1)).as("n_syms"),
           array_join(transform(
@@ -818,6 +818,32 @@ object TextQueries {
   def bpeTrain(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) =
     bpeTrain(spark, sfDir, sampleOneIn = 1L)
 
+  /** The trained tokenizer as a SESSION-SCOPED STANDING ARTIFACT — the
+    * standing-index tier ([[CacheScope.sessionPinned]]; same precedent as
+    * the dedup survivor frame, the fitted quality-classifier weights and
+    * the persisted BM25 index): four registry queries (`text_bpe_merges`,
+    * `text_bpe_encode`, `text_bpe_fertility`, `text_bpe_decode`) consume
+    * the SAME deterministic 8-round training run, and a real pipeline
+    * trains its tokenizer once and serves it to every consumer — it never
+    * re-runs the merge loop per encode job. The memoized frames are the
+    * 8-row merge table and the distinct-word segmentation table (O(distinct
+    * words × word length) narrow rows — the same order as the survivor
+    * frame's O(corpus docs)); both survive `releaseAll` and drop at
+    * `releaseSession`. The first consumer in a session pays the full
+    * training cost; results are bit-identical for every consumer (the
+    * unrolled-CTE oracle replays the rounds per query, so any divergence
+    * fails the hash gate). */
+  def bpeTrainShared(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    var trained: Option[(DataFrame, DataFrame)] = None
+    val syms = CacheScope.sessionPinned(s"bpe_syms:$sfDir", spark) {
+      val t = bpeTrain(spark, sfDir); trained = Some(t); t._2
+    }
+    val merges = CacheScope.sessionPinned(s"bpe_merges:$sfDir", spark) {
+      trained.map(_._1).getOrElse(bpeTrain(spark, sfDir)._1)
+    }
+    (merges, syms)
+  }
+
   /** [[bpeTrain]] with the 100 TB sampling knob: `sampleOneIn` > 1 trains
     * on a deterministic hash-threshold sample of the DISTINCT-WORD frame
     * (hash64(word) mod k == 0 — the engine's standard sampler, the
@@ -840,19 +866,28 @@ object TextQueries {
         if (sampleOneIn > 1L)
           wfAll.filter(pmod(Hashing.hash64(col("word")), lit(sampleOneIn)) === 0L)
         else wfAll)
+      // the symbol table CARRIES each word's corpus frequency (one long
+      // column) so the per-round pair count is a plain map-side-combinable
+      // aggregation — the old shape re-joined wf every round (8 shuffled
+      // joins per training run, guide §2.4 "remove shuffles outright")
       var syms = CacheScope.pinned(wf
-        .select(col("word"), posexplode(
+        .select(col("word"), col("freq"), posexplode(
           expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
           .as(Seq("p0", "sym")))
-        .select(col("word"), (col("p0") + 1).cast("long").as("pos"), col("sym")))
+        .select(col("word"), col("freq"),
+          (col("p0") + 1).cast("long").as("pos"), col("sym")))
       var merges: DataFrame = null
       val wPos = org.apache.spark.sql.expressions.Window
         .partitionBy(col("word")).orderBy(col("pos"))
+      // running frame over the same (word, pos) spec: consecutive Window
+      // operators on one partitioning/order share a single exchange+sort
+      val wRun = wPos.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
       var exhausted = false
       for (step <- 1 to BpeMerges if !exhausted) {
         val wn = syms.withColumn("nxt", lead(col("sym"), 1).over(wPos))
         val cnts = wn.filter(col("nxt").isNotNull)
-          .join(wf, "word")
           .groupBy(col("sym"), col("nxt"))
           .agg(sum(col("freq")).as("cnt"))
         // arg-max pair, ONE row: -cnt asc = cnt desc, then (l, r) asc —
@@ -877,25 +912,30 @@ object TextQueries {
           merges = if (merges == null) stepRow else merges.unionByName(stepRow)
           // greedy left-to-right merge: candidate starts, consecutive runs,
           // even offsets survive; winners emit l||r, their successors drop,
-          // positions renumber
-          val cand = wn.withColumn("l", lit(l)).withColumn("r", lit(r))
-          val valid = cand.filter(col("sym") === col("l") && col("nxt") === col("r"))
-            .withColumn("crn", row_number().over(wPos))
-            .withColumn("run", col("pos") - col("crn"))
-            .withColumn("rmin", min(col("pos")).over(
-              org.apache.spark.sql.expressions.Window
-                .partitionBy(col("word"), col("run"))))
-            .filter(((col("pos") - col("rmin")) % 2) === 0)
-            .select(col("word"), col("pos"))
-          val next = cand
-            .join(valid.withColumn("m", lit(1)), Seq("word", "pos"), "left_outer")
-            .join(valid.select(col("word"), (col("pos") + 1).as("pos"),
-              lit(1).as("dropme")), Seq("word", "pos"), "left_outer")
-            .filter(col("dropme").isNull)
-            .select(col("word"), col("pos"),
-              when(col("m").isNotNull, concat(col("l"), col("r")))
-                .otherwise(col("sym")).as("sym"))
+          // positions renumber. All of it is window arithmetic over the ONE
+          // (word, pos) spec — a candidate's run starts right after the
+          // last non-candidate position (`__brk`, a running max), so
+          // "even offset within the run" is (pos - __brk - 1) % 2 == 0 and
+          // "successor of a winner" is lag(__valid). The old shape computed
+          // run starts on a filtered frame and joined the winner list back
+          // twice — 2 extra window exchanges + 2 shuffled joins per round
+          // for the same rows (guide §2.4); equality is oracle-gated by the
+          // unrolled-CTE replay of every round.
+          val isCand = coalesce(col("sym") === lit(l) && col("nxt") === lit(r),
+            lit(false))
+          val next = wn
+            .withColumn("__f", isCand)
+            .withColumn("__brk",
+              max(when(!col("__f"), col("pos"))).over(wRun))
+            .withColumn("__valid", col("__f") &&
+              ((col("pos") - coalesce(col("__brk"), lit(0L)) - 1) % 2 === 0))
+            .withColumn("__drop",
+              coalesce(lag(col("__valid"), 1).over(wPos), lit(false)))
+            .filter(!col("__drop"))
+            .select(col("word"), col("freq"), col("pos"),
+              when(col("__valid"), lit(l + r)).otherwise(col("sym")).as("sym"))
             .withColumn("pos", row_number().over(wPos).cast("long"))
+            .select(col("word"), col("freq"), col("pos"), col("sym"))
           // round N's table is dead once round N+1's pin materializes —
           // release it NOW so trainer residency is bounded at 2 symbol
           // tables, not BpeMerges of them piling up until releaseAll
