@@ -660,23 +660,34 @@ object SnapshotDiff {
       // no separator string is ever built. The oracle never sees this
       // fingerprint: it recomputes the report from full column compares,
       // so the hash choice is pinned by the report's result.
+      // the two lanes stay FLAT longs (r14): min/max over a struct has no
+      // fixed-size aggregation buffer, so the (table, key) rollup planned
+      // as a SortAggregate — sorting the whole ~50-byte union on the group
+      // key. Flat long lanes keep it a two-phase HashAggregate with
+      // map-side combine ("2 SortAggregate → 0", plans/r14/diff_report_*).
       n.select(lit(name).as("table_name"), col(Normalize.KeyCol),
-        struct(xxhash64(cols: _*).as("h1"),
-          xxhash64(lit(1L) +: cols: _*).as("h2")).as("__fp"),
+        xxhash64(cols: _*).as("__h1"),
+        xxhash64(lit(1L) +: cols: _*).as("__h2"),
         lit(side).as("__side"))
     }
     val unioned = sides.map { case (name, before, after, pk) =>
       fpSide(name, before, pk, 0).unionByName(fpSide(name, after, pk, 1))
     }.reduce(_.unionByName(_))
 
+    // "some fp differs" ⟺ some LANE's min ≠ max: two distinct (h1, h2)
+    // pairs differ in at least one lane, and a constant pair set is
+    // constant in both — exactly the old struct min ≠ max test, in flat
+    // hash-aggregable longs
     val status = when(col("__min_side") === 1, Inserted)
       .when(col("__max_side") === 0, Deleted)
-      .when(col("__min_fp") =!= col("__max_fp"), Updated)
+      .when(col("__min_h1") =!= col("__max_h1") ||
+        col("__min_h2") =!= col("__max_h2"), Updated)
       .otherwise(NotModified)
 
     unioned.groupBy(col("table_name"), col(Normalize.KeyCol))
       .agg(min(col("__side")).as("__min_side"), max(col("__side")).as("__max_side"),
-        min(col("__fp")).as("__min_fp"), max(col("__fp")).as("__max_fp"))
+        min(col("__h1")).as("__min_h1"), max(col("__h1")).as("__max_h1"),
+        min(col("__h2")).as("__min_h2"), max(col("__h2")).as("__max_h2"))
       .select(col("table_name"), status.as("diff_status"))
       .filter(col("diff_status") =!= NotModified)
       .groupBy(col("table_name"), col("diff_status"))

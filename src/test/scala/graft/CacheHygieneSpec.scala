@@ -53,14 +53,17 @@ class CacheHygieneSpec extends SparkTestBase {
       CacheScope.releaseAll()
       spark.catalog.clearCache()
     }
-    // the TWO legitimate releaseAll survivors are the standing
-    // CacheScope.sessionPinned frames: the survivor index (shared by
-    // dedup_survivors and the capstone) and the fitted classifier weights
-    // (shared by the batch classifier and its streaming twin); everything
-    // else must be gone
+    // the legitimate releaseAll survivors are the standing
+    // CacheScope.sessionPinned frames, one slot each: the survivor index
+    // (dedup_survivors + the capstone), the fitted classifier weights
+    // (batch classifier + streaming twin), and the r14 additions — the
+    // simhash dup-graph edge list (pairs/components/graph family), the
+    // DoReMi weight table (doremi + capstone), and the trained BPE
+    // tokenizer's two frames (merge table + segmentation table, served to
+    // all four text_bpe_* queries); everything else must be gone
     val standing = spark.sparkContext.getPersistentRDDs
-    assert(standing.size <= 2,
-      s"leaked ${standing.size} persistent RDDs (expected <=2 session pins): " +
+    assert(standing.size <= 6,
+      s"leaked ${standing.size} persistent RDDs (expected <=6 session pins): " +
         standing.values.map(r => s"${r.id}:${r.name}").mkString("; "))
     // session end releases the standing tier too
     CacheScope.releaseSession()

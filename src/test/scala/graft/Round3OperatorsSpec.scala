@@ -161,13 +161,17 @@ class Round3OperatorsSpec extends SparkTestBase {
     assert(folded == direct && folded.nonEmpty)
   }
 
-  test("profiler: one-scan plan (single Expand), sane per-column stats") {
+  test("profiler: hash-aggregable per-column plan (no Expand, no SortAggregate)") {
     val q = SparkEntry.queries("profile_orders")(spark, Sf)
     val plan = q.queryExecution.executedPlan.toString
-    // multi-column DISTINCT must plan as ONE Expand over ONE scan, not
-    // a rescan per column
-    assert(plan.linesIterator.count(_.contains("Expand")) == 1, plan.take(3000))
-    assert(plan.linesIterator.count(_.contains("Scan parquet")) == 1, plan.take(3000))
+    // r14: per-column group-then-reduce — no Expand row multiplication
+    // (the old multi-countDistinct form planned Expand x7 into wide-key
+    // SortAggregates); the value-grouping stage hash-aggregates, and the
+    // scan count is one cheap column-pruned scan per profiled column,
+    // all branches scheduled concurrently in one union plan
+    assert(!plan.linesIterator.exists(_.contains("Expand")), plan.take(3000))
+    assert(plan.linesIterator.count(_.contains("Scan parquet"))
+      == Tables.orders.cols.length, plan.take(3000))
     val rows = q.as[(String, Long, Long, String, String)].collect()
     val n = Tables.load(spark, Sf, "orders").count()
     assert(rows.map(_._1).toSet == Tables.orders.cols.toSet)
